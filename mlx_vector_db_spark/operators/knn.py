@@ -1,0 +1,304 @@
+"""Exact k-nearest-neighbor search operators.
+
+Reference semantics (service/optimized_vector_store.py:116-192):
+conjunctive-equality metadata pre-filter -> score every surviving row
+against the query (one fused kernel) -> top-k by score (desc for
+cosine/dot, asc for euclidean) -> canonical similarity/distance/rank.
+
+Spark-first execution, two physical strategies:
+
+1. ``knn_query`` / ``knn_join`` — pure column expressions. The filter and
+   column pruning push down to the Parquet scan; scoring runs JVM-side;
+   top-k is TakeOrderedAndProject (single query) or a WindowGroupLimit
+   window (batch). Zero Python in the data path. Best when the query
+   batch is small-to-moderate.
+
+2. ``knn_join_blocked`` — the 100 TB path for large query batches
+   (reference J2, performance/mlx_optimized.py:59-88 does this as one
+   (M,N) matmul). The query block is collected (queries are the small
+   side by design), broadcast to every executor, and each Arrow batch of
+   vectors is scored as a single NumPy matmul; a per-batch partial top-k
+   (np.argpartition) keeps only k candidates per query per batch, so the
+   shuffle into the final per-query top-k carries O(num_batches * M * k)
+   rows instead of O(N * M). This mirrors a map-side combine for the
+   top-k "aggregation".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Mapping, Sequence
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.vector import (
+    NORM_EPS,
+    distance_for_metric,
+    l2_norm,
+    metric_ascending,
+    score_for_metric,
+    similarity_for_metric,
+)
+from mlx_vector_db_spark.operators.topk import top_k_per_group
+
+__all__ = ["knn_query", "knn_join", "knn_join_blocked", "apply_metadata_filter"]
+
+
+def apply_metadata_filter(
+    df: DataFrame, filter_metadata: Mapping[str, Any] | None
+) -> DataFrame:
+    """Conjunctive equality pre-filter (reference P1,
+    service/optimized_vector_store.py:159-167).
+
+    Keys that exist as top-level (promoted) columns filter those columns
+    directly — Catalyst pushes these to the Parquet scan. Keys not in
+    the schema fall through to the open ``meta`` map column if present;
+    map lookups can't push down, which is exactly why hot keys should be
+    promoted (SURVEY.md §7.4).
+    """
+    if not filter_metadata:
+        return df
+    cols = set(df.columns)
+    for key, value in filter_metadata.items():
+        if key in cols:
+            df = df.where(F.col(key) == F.lit(value))
+        elif "meta" in cols:
+            df = df.where(F.col("meta").getItem(key) == F.lit(str(value)))
+        else:
+            # No such column and no open map: nothing can match.
+            df = df.where(F.lit(False))
+    return df
+
+
+def _validate(df: DataFrame, k: int, **cols: str) -> None:
+    """Fail fast with a clear message instead of a mid-plan
+    AnalysisException (the reference raises ValueError on bad inputs,
+    service/models.py:41-46 / utils.py:27-41)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    have = set(df.columns)
+    for what, name in cols.items():
+        if name not in have:
+            raise ValueError(
+                f"{what}={name!r} not in DataFrame columns {sorted(have)}"
+            )
+
+
+def _order(metric: str, score: Column, id_col: str) -> list[Column]:
+    """Deterministic total order: best score first, then id ASC
+    (FIXTURES.md tie-break; the reference's argsort tie order is
+    unspecified)."""
+    lead = score.asc() if metric_ascending(metric) else score.desc()
+    return [lead, F.col(id_col).asc()]
+
+
+def _annotate(metric: str, df: DataFrame, raw: Column) -> DataFrame:
+    """Attach canonical score/similarity/distance columns."""
+    return (
+        df.withColumn("score", raw)
+        .withColumn("similarity", similarity_for_metric(metric, F.col("score")))
+        .withColumn("distance", distance_for_metric(metric, F.col("score")))
+    )
+
+
+def knn_query(
+    vectors: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    metric: str = "cosine",
+    filter_metadata: Mapping[str, Any] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    norm_col: str | None = None,
+) -> DataFrame:
+    """Single-query exact k-NN (reference §3.1 hot path).
+
+    Returns the vectors DataFrame's columns plus ``score``,
+    ``similarity``, ``distance``, ``rank`` — sorted best-first.
+
+    The query is inlined as a literal array, so the plan is
+    scan -> (pushed) filter -> project(score) -> TakeOrderedAndProject:
+    a per-partition heap and a driver merge of k rows per partition —
+    no shuffle, which is the plan you want against a 100 TB table.
+    """
+    _validate(vectors, k, vec_col=vec_col, id_col=id_col)
+    filtered = apply_metadata_filter(vectors, filter_metadata)
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    q_norm = (
+        F.lit(float(np.sqrt(np.sum(np.square(np.asarray(query_vector, dtype=np.float64))))))
+        if metric == "cosine"
+        else None
+    )
+    v_norm = F.col(norm_col) if (norm_col and metric == "cosine") else None
+    raw = score_for_metric(metric, vec_col, q, a_norm=v_norm, b_norm=q_norm)
+    scored = _annotate(metric, filtered, raw)
+    ordered = scored.orderBy(*_order(metric, F.col("score"), id_col)).limit(int(k))
+    # rank is positional post-limit; a monotonic row_number over the
+    # already-k-row result is cheap.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*_order(metric, F.col("score"), id_col))
+    return ordered.withColumn("rank", F.row_number().over(w))
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    filter_metadata: Mapping[str, Any] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    norm_col: str | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch exact k-NN: every query row against every vector row
+    (reference J2 batch similarity join + A1 per-query top-k).
+
+    Output columns: ``query_id``, ``id``, ``score``, ``similarity``,
+    ``distance``, ``rank`` (<= k per query).
+
+    Physical shape: broadcast-nested-loop join (query side broadcast —
+    it is the small side by design) -> JVM score expression ->
+    WindowGroupLimit top-k per query. The only shuffle is the final
+    per-query window, whose input was already cut down by the group
+    limit. Set ``broadcast_queries=False`` only if the query set is too
+    big to broadcast — then prefer :func:`knn_join_blocked`.
+    """
+    _validate(vectors, k, vec_col=vec_col, id_col=id_col)
+    _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
+    filtered = apply_metadata_filter(vectors, filter_metadata)
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+        *(
+            [l2_norm(query_vec_col).alias("_qnorm")]
+            if metric == "cosine"
+            else []
+        ),
+    )
+    if broadcast_queries:
+        qdf = F.broadcast(qdf)
+    joined = filtered.crossJoin(qdf)
+    v_norm = F.col(norm_col) if (norm_col and metric == "cosine") else None
+    q_norm = F.col("_qnorm") if metric == "cosine" else None
+    raw = score_for_metric(metric, vec_col, F.col("_qvec"), a_norm=v_norm, b_norm=q_norm)
+    scored = _annotate(metric, joined, raw)
+    topk = top_k_per_group(
+        scored, ["query_id"], _order(metric, F.col("score"), id_col), k
+    )
+    return topk.select(
+        "query_id", id_col, "score", "similarity", "distance", "rank"
+    )
+
+
+def knn_join_blocked(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    filter_metadata: Mapping[str, Any] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Arrow block-matmul batch k-NN — the wide-batch / huge-table path.
+
+    Equivalent results to :func:`knn_join` (same scores to float64
+    rounding, same deterministic tie-break). The query matrix is
+    collected and broadcast once; each Arrow record batch of the vectors
+    table is scored with a single ``V @ Q.T`` BLAS call and reduced to a
+    per-batch top-k with ``np.argpartition`` before anything is emitted,
+    so executor->shuffle volume is O(batches * M * k), independent of N.
+    """
+    if metric not in ("cosine", "euclidean", "dot_product"):
+        raise ValueError(f"unknown metric {metric!r}")
+    _validate(vectors, k, vec_col=vec_col, id_col=id_col)
+    _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
+    filtered = apply_metadata_filter(vectors, filter_metadata)
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), NORM_EPS)
+    sc = vectors.sparkSession.sparkContext
+    bq = sc.broadcast(
+        {
+            "ids": q_ids,
+            "Q": Qn if metric == "cosine" else Q,
+            "sq_norms": (Q * Q).sum(axis=1) if metric == "euclidean" else None,
+        }
+    )
+    kk = int(k)
+    ascending = metric_ascending(metric)
+    met = metric
+
+    def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qd = bq.value
+        Qm = qd["Q"]
+        qids = qd["ids"]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            if met == "cosine":
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), NORM_EPS
+                )
+                S = Vn @ Qm.T  # (n, M) similarity, higher better
+            elif met == "dot_product":
+                S = V @ Qm.T
+            else:  # euclidean: ||v||^2 - 2 v.q + ||q||^2
+                S = np.sqrt(
+                    np.maximum(
+                        (V * V).sum(axis=1)[:, None]
+                        - 2.0 * (V @ Qm.T)
+                        + qd["sq_norms"][None, :],
+                        0.0,
+                    )
+                )
+            n = S.shape[0]
+            take = min(kk, n)
+            key = S if ascending else -S
+            # partial top-k per query within this Arrow batch
+            idx = np.argpartition(key, take - 1, axis=0)[:take, :]  # (take, M)
+            out_qid = np.repeat(qids, take)
+            qcols = np.repeat(np.arange(len(qids)), take)
+            rows = idx.T.reshape(-1)  # vector-row index per emitted candidate
+            if met == "euclidean":
+                # The matmul expansion loses ~1e-7 absolute precision near
+                # zero distance; recompute exact distances for the k*M
+                # emitted candidates only (cost independent of N) so the
+                # blocked path is bit-comparable to the expression path.
+                scores = np.linalg.norm(V[rows] - Qm[qcols], axis=1)
+            else:
+                scores = S[rows, qcols]
+            yield pd.DataFrame(
+                {
+                    "query_id": out_qid,
+                    id_col: ids[rows],
+                    "score": scores,
+                }
+            )
+
+    candidates = filtered.select(id_col, vec_col).mapInPandas(
+        score_blocks, schema=f"query_id long, {id_col} long, score double"
+    )
+    scored = (
+        candidates.withColumn(
+            "similarity", similarity_for_metric(met, F.col("score"))
+        ).withColumn("distance", distance_for_metric(met, F.col("score")))
+    )
+    return top_k_per_group(
+        scored, ["query_id"], _order(met, F.col("score"), id_col), kk
+    ).select("query_id", id_col, "score", "similarity", "distance", "rank")

@@ -1,0 +1,153 @@
+"""Exact k-NN operators vs a NumPy brute-force oracle.
+
+Covers the reference's invariants (FIXTURES.md oracle rules): self-query
+rank 1 with sim≈1, filter soundness + pre-filter semantics, k-clamping,
+deterministic tie-break, and parity between the expression path and the
+Arrow block-matmul path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.vector import NORM_EPS
+from mlx_vector_db_spark.operators.knn import knn_join, knn_join_blocked, knn_query
+
+N, DIM, NQ, K = 200, 16, 7, 10
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def vec_np():
+    v = RNG.random((N, DIM)).astype(np.float32)
+    v[3] = 0.0  # zero vector exercises the eps clamp
+    v[10] = v[11]  # duplicate rows exercise the id tie-break
+    return v
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, vec_np):
+    rows = [
+        (i, vec_np[i].tolist(), "A" if i % 2 == 0 else "B", int(i % 3))
+        for i in range(N)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, embedding array<float>, category string, priority int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries_np(vec_np):
+    q = RNG.random((NQ, DIM)).astype(np.float32)
+    q[0] = vec_np[17]  # self-query case
+    return q
+
+
+@pytest.fixture(scope="module")
+def queries(spark, queries_np):
+    rows = [(i, queries_np[i].tolist()) for i in range(NQ)]
+    return spark.createDataFrame(rows, "query_id long, embedding array<float>")
+
+
+def oracle_topk(vec_np, q, metric, k, mask=None):
+    V = vec_np.astype(np.float64)
+    qq = q.astype(np.float64)
+    ids = np.arange(len(V))
+    if mask is not None:
+        V, ids = V[mask], ids[mask]
+    if metric == "cosine":
+        vn = np.maximum(np.linalg.norm(V, axis=1), NORM_EPS)
+        qn = max(np.linalg.norm(qq), NORM_EPS)
+        s = (V @ qq) / (vn * qn)
+        order = np.lexsort((ids, -s))
+    elif metric == "dot_product":
+        s = V @ qq
+        order = np.lexsort((ids, -s))
+    else:
+        s = np.linalg.norm(V - qq, axis=1)
+        order = np.lexsort((ids, s))
+    take = order[: min(k, len(ids))]
+    return ids[take].tolist(), s[take].tolist()
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+def test_knn_query_matches_oracle(spark, vectors, vec_np, queries_np, metric):
+    q = queries_np[1]
+    got = knn_query(vectors, q.tolist(), k=K, metric=metric).collect()
+    exp_ids, exp_scores = oracle_topk(vec_np, q, metric, K)
+    assert [r["id"] for r in got] == exp_ids
+    assert [r["rank"] for r in got] == list(range(1, len(exp_ids) + 1))
+    for r, s in zip(got, exp_scores):
+        assert r["score"] == pytest.approx(s, abs=1e-5)
+
+
+def test_self_query_rank1(spark, vectors, vec_np):
+    got = knn_query(vectors, vec_np[17].tolist(), k=3, metric="cosine").collect()
+    assert got[0]["id"] == 17
+    assert got[0]["similarity"] > 0.999
+
+
+def test_duplicate_rows_tie_break_by_id(spark, vectors, vec_np):
+    got = knn_query(vectors, vec_np[10].tolist(), k=2, metric="cosine").collect()
+    assert [r["id"] for r in got] == [10, 11]
+
+
+def test_k_clamped_to_matching_rows(spark, vectors, vec_np):
+    got = knn_query(
+        vectors, vec_np[0].tolist(), k=5000, metric="cosine"
+    ).collect()
+    assert len(got) == N
+
+
+def test_filtered_knn_is_prefilter_semantics(spark, vectors, vec_np, queries_np):
+    q = queries_np[2]
+    got = knn_query(
+        vectors, q.tolist(), k=K, metric="cosine",
+        filter_metadata={"category": "A", "priority": 1},
+    ).collect()
+    mask = np.array([(i % 2 == 0) and (i % 3 == 1) for i in range(N)])
+    exp_ids, _ = oracle_topk(vec_np, q, "cosine", K, mask=mask)
+    assert [r["id"] for r in got] == exp_ids
+    for r in got:
+        assert r["category"] == "A" and r["priority"] == 1
+
+
+def test_no_match_filter_returns_empty(spark, vectors, vec_np):
+    got = knn_query(
+        vectors, vec_np[0].tolist(), k=5, filter_metadata={"category": "C"}
+    ).collect()
+    assert got == []
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+def test_knn_join_matches_oracle(spark, vectors, queries, vec_np, queries_np, metric):
+    got = knn_join(vectors, queries, k=K, metric=metric).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(NQ))
+    for qid in range(NQ):
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        exp_ids, exp_scores = oracle_topk(vec_np, queries_np[qid], metric, K)
+        assert [r["id"] for r in rows] == exp_ids
+        for r, s in zip(rows, exp_scores):
+            assert r["score"] == pytest.approx(s, abs=1e-5)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+def test_blocked_path_parity(spark, vectors, queries, metric):
+    a = knn_join(vectors, queries, k=K, metric=metric)
+    b = knn_join_blocked(vectors, queries, k=K, metric=metric)
+    pa = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in a.collect()}
+    pb = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in b.collect()}
+    assert pa.keys() == pb.keys()
+    for key in pa:
+        assert pa[key][0] == pb[key][0]
+        assert pa[key][1] == pytest.approx(pb[key][1], abs=1e-9)
+
+
+def test_knn_query_plan_is_take_ordered(spark, vectors, vec_np):
+    plan = knn_query(vectors, vec_np[0].tolist(), k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
