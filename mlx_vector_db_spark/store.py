@@ -1,0 +1,422 @@
+"""VectorStore — the reference's store surface, rebuilt on partitioned Parquet.
+
+Reference data model (service/optimized_vector_store.py:59-242): one store
+per ``(user_id, model_id)``, a dense float32 matrix + positionally aligned
+JSON metadata, persisted as ``vectors.npz`` + ``metadata.jsonl`` with a
+whole-store rewrite on every add, and an optional HNSW side-car rebuilt
+from scratch per add (:110-113) — the single-node scalability cliff this
+rebuild removes.
+
+Spark-first mapping:
+
+- layout: ``root/user_id=<u>/model_id=<m>/*.parquet`` (Hive partition
+  columns). A store is a partition; the fleet is one logical table. At
+  100 TB this gives partition pruning for per-store queries and a single
+  scan for fleet-wide stats. (On a real cluster the format would be
+  Delta/Iceberg for ACID appends + DELETE; plain Parquet here because
+  those jars aren't in the image — the API is format-agnostic.)
+- schema: ``id long, embedding array<float>, norm double,
+  meta map<string,string>`` + promoted typed metadata columns. Hot
+  filter keys should be promoted (map lookups don't push down).
+- ``norm`` is precomputed at write so cosine queries are a single dot
+  product per row (the analog of the reference keeping its matrix
+  resident; SURVEY.md §7.1).
+- add = append (no whole-store rewrite); delete = declarative anti-filter
+  rewrite (the reference declared ``/vectors/delete`` but never
+  implemented it — service/models.py:97-105; we implement it properly);
+  optimize = file compaction (replaces "rebuild the index on every add").
+- query/batch_query build DataFrame plans via operators.knn — nothing
+  here ever loops over collected rows.
+
+Concurrency: single-writer per store (the reference holds an RLock per
+store, :63; at cluster scale the table format's optimistic concurrency
+takes over).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+import uuid
+from collections.abc import Mapping, Sequence
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mlx_vector_db_spark.functions.vector import METRICS, l2_norm
+from mlx_vector_db_spark.operators import knn
+from mlx_vector_db_spark.operators.knn import knn_join, knn_join_blocked, knn_query
+
+MAX_DIMENSION = 4096  # reference: service/models.py:92,125 validates 1..4096
+
+_PROMOTED_TYPES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+@dataclass
+class StoreConfig:
+    """Per-store schema contract (reference MLXVectorStoreConfig,
+    service/optimized_vector_store.py:51-57)."""
+
+    user_id: str
+    model_id: str
+    dimension: int = 384
+    metric: str = "cosine"
+    promoted_keys: dict[str, str] = field(default_factory=dict)  # name -> type
+    created_at: float = 0.0
+
+    def __post_init__(self) -> None:
+        if not (1 <= self.dimension <= MAX_DIMENSION):
+            raise ValueError(
+                f"dimension must be in 1..{MAX_DIMENSION}, got {self.dimension}"
+            )
+        if self.metric not in METRICS:
+            raise ValueError(f"metric must be one of {METRICS}, got {self.metric!r}")
+        for key, tname in self.promoted_keys.items():
+            if tname not in _PROMOTED_TYPES:
+                raise ValueError(
+                    f"promoted key {key!r}: unknown type {tname!r} "
+                    f"(allowed: {sorted(_PROMOTED_TYPES)})"
+                )
+
+
+class VectorStoreCatalog:
+    """Fleet of stores under one root directory (the reference's
+    ``store_manager`` process-global dict, api/routes/vectors.py:48-71,
+    made durable)."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        self._meta_dir = self.root / "_catalog"
+        self._meta_dir.mkdir(parents=True, exist_ok=True)
+
+    def _config_path(self, user_id: str, model_id: str) -> Path:
+        return self._meta_dir / f"{user_id}__{model_id}.json"
+
+    def create_store(
+        self,
+        user_id: str,
+        model_id: str,
+        dimension: int = 384,
+        metric: str = "cosine",
+        promoted_keys: Mapping[str, str] | None = None,
+        exist_ok: bool = False,
+    ) -> "VectorStore":
+        path = self._config_path(user_id, model_id)
+        if path.exists():
+            if not exist_ok:
+                raise FileExistsError(f"store ({user_id}, {model_id}) already exists")
+            return self.get_store(user_id, model_id)
+        cfg = StoreConfig(
+            user_id=user_id,
+            model_id=model_id,
+            dimension=dimension,
+            metric=metric,
+            promoted_keys=dict(promoted_keys or {}),
+            created_at=time.time(),
+        )
+        path.write_text(json.dumps(asdict(cfg), indent=2))
+        return VectorStore(self, cfg)
+
+    def store_exists(self, user_id: str, model_id: str) -> bool:
+        return self._config_path(user_id, model_id).exists()
+
+    def get_store(self, user_id: str, model_id: str) -> "VectorStore":
+        path = self._config_path(user_id, model_id)
+        if not path.exists():
+            raise KeyError(f"store ({user_id}, {model_id}) does not exist")
+        cfg = StoreConfig(**json.loads(path.read_text()))
+        return VectorStore(self, cfg)
+
+    def delete_store(self, user_id: str, model_id: str) -> None:
+        """DROP TABLE analog (reference api/routes/admin.py:74-112)."""
+        path = self._config_path(user_id, model_id)
+        if not path.exists():
+            raise KeyError(f"store ({user_id}, {model_id}) does not exist")
+        path.unlink()
+        data_dir = self.root / f"user_id={user_id}" / f"model_id={model_id}"
+        shutil.rmtree(data_dir, ignore_errors=True)
+
+    def list_stores(self) -> list[StoreConfig]:
+        return [
+            StoreConfig(**json.loads(p.read_text()))
+            for p in sorted(self._meta_dir.glob("*.json"))
+        ]
+
+    def fleet_stats(self) -> dict[str, Any]:
+        """Fleet-wide totals (reference api/routes/vectors.py:121-141 loops
+        stores in Python; here it is one partition-pruned aggregate scan)."""
+        stores = self.list_stores()
+        total = 0
+        per_store: dict[str, int] = {}
+        for cfg in stores:
+            cnt = VectorStore(self, cfg).count()
+            per_store[f"{cfg.user_id}_{cfg.model_id}"] = cnt
+            total += cnt
+        return {
+            "total_stores": len(stores),
+            "total_vectors": total,
+            "stores": per_store,
+        }
+
+
+class VectorStore:
+    """One ``(user_id, model_id)`` store; all methods build DataFrame plans."""
+
+    def __init__(self, catalog: VectorStoreCatalog, config: StoreConfig):
+        self.catalog = catalog
+        self.config = config
+        self.data_dir = (
+            catalog.root
+            / f"user_id={config.user_id}"
+            / f"model_id={config.model_id}"
+        )
+
+    # -- schema ------------------------------------------------------------
+
+    @property
+    def schema(self) -> T.StructType:
+        fields = [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+            T.StructField("norm", T.DoubleType(), False),
+        ]
+        for key, tname in self.config.promoted_keys.items():
+            fields.append(T.StructField(key, _PROMOTED_TYPES[tname], True))
+        fields.append(
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True)
+        )
+        return T.StructType(fields)
+
+    def _empty(self) -> DataFrame:
+        return self.catalog.spark.createDataFrame([], self.schema)
+
+    def to_df(self) -> DataFrame:
+        """The store as a DataFrame (scan, with pushdown-capable columns)."""
+        if not self.data_dir.exists() or not any(self.data_dir.glob("*.parquet")):
+            return self._empty()
+        return self.catalog.spark.read.schema(self.schema).parquet(str(self.data_dir))
+
+    # -- ingest ------------------------------------------------------------
+
+    def add_vectors(
+        self,
+        vectors: Sequence[Sequence[float]] | DataFrame,
+        metadata: Sequence[Mapping[str, Any]] | None = None,
+        ids: Sequence[int] | None = None,
+    ) -> int:
+        """Append vectors (+ aligned metadata) — reference U1
+        (service/optimized_vector_store.py:96-114) without the
+        whole-store rewrite.
+
+        Accepts either a prepared DataFrame with at least an
+        ``embedding array<float>`` column, or python lists (the wire
+        format, service/models.py:38). Dimension and vector/metadata
+        alignment are validated like the reference (models.py:41-46),
+        but as plan-level checks, not row loops.
+        """
+        spark = self.catalog.spark
+        dim = self.config.dimension
+        if isinstance(vectors, DataFrame):
+            df = vectors
+            if "embedding" not in df.columns:
+                raise ValueError("DataFrame input must have an 'embedding' column")
+        else:
+            n = len(vectors)
+            if metadata is not None and len(metadata) != n:
+                raise ValueError(
+                    f"vectors ({n}) and metadata ({len(metadata)}) lengths differ"
+                )
+            if ids is not None and len(ids) != n:
+                raise ValueError(f"vectors ({n}) and ids ({len(ids)}) lengths differ")
+            base = self.count() if ids is None else 0
+            rows = []
+            for i, vec in enumerate(vectors):
+                md = dict(metadata[i]) if metadata is not None else {}
+                promoted = {
+                    k: md.pop(k, None) for k in self.config.promoted_keys
+                }
+                rows.append(
+                    {
+                        "id": int(ids[i]) if ids is not None else base + i,
+                        "embedding": [float(x) for x in vec],
+                        **promoted,
+                        "meta": {k: str(v) for k, v in md.items()},
+                    }
+                )
+            in_fields = [f for f in self.schema.fields if f.name != "norm"]
+            df = spark.createDataFrame(rows, T.StructType(in_fields))
+
+        # plan-level validation: every embedding must have the store dim
+        bad = df.where(F.size("embedding") != F.lit(dim)).limit(1).count()
+        if bad:
+            raise ValueError(f"embedding dimension mismatch: store expects {dim}")
+
+        out = df
+        if "id" not in out.columns:
+            out = out.withColumn("id", F.monotonically_increasing_id())
+        if "meta" not in out.columns:
+            out = out.withColumn(
+                "meta", F.create_map().cast("map<string,string>")
+            )
+        out = out.withColumn("embedding", F.col("embedding").cast("array<float>"))
+        out = out.withColumn("norm", l2_norm("embedding"))
+        for key, tname in self.config.promoted_keys.items():
+            if key not in out.columns:
+                out = out.withColumn(key, F.lit(None).cast(_PROMOTED_TYPES[tname]))
+        ordered = [f.name for f in self.schema.fields]
+        n_added = df.count()
+        # Size output files by row count instead of inheriting the input's
+        # partitioning: a 500-row python batch otherwise fans out into one
+        # tiny file per shuffle partition (small-file problem), while a
+        # billion-row ingest still gets ceil(n/rows_per_file) parallel
+        # writers.
+        rows_per_file = 500_000
+        n_files = max(1, -(-n_added // rows_per_file))
+        out = out.repartition(n_files) if n_files > 1 else out.coalesce(1)
+        out.select(*ordered).write.mode("append").parquet(str(self.data_dir))
+        return n_added
+
+    # -- query -------------------------------------------------------------
+
+    def query(
+        self,
+        query_vector: Sequence[float],
+        k: int = 10,
+        filter_metadata: Mapping[str, Any] | None = None,
+        metric: str | None = None,
+    ) -> DataFrame:
+        """Single k-NN query (reference §3.1). Empty store -> empty result,
+        not an error (service/optimized_vector_store.py:117)."""
+        self._check_dim(query_vector)
+        return knn_query(
+            self.to_df(),
+            query_vector,
+            k=k,
+            metric=metric or self.config.metric,
+            filter_metadata=filter_metadata,
+            norm_col="norm",
+        )
+
+    def batch_query(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        filter_metadata: Mapping[str, Any] | None = None,
+        metric: str | None = None,
+        blocked: bool = False,
+    ) -> DataFrame:
+        """Batch k-NN (the reference's declared-but-missing
+        ``store.batch_query`` — call sites api/routes/vectors.py:291 with
+        no implementation; SURVEY.md §2.11 — implemented properly here).
+
+        ``blocked=True`` selects the Arrow block-matmul path for wide
+        query batches / huge stores.
+        """
+        fn = knn_join_blocked if blocked else knn_join
+        return fn(
+            self.to_df(),
+            queries,
+            k=k,
+            metric=metric or self.config.metric,
+            filter_metadata=filter_metadata,
+            **({} if blocked else {"norm_col": "norm"}),
+        )
+
+    # -- mutation ----------------------------------------------------------
+
+    def delete_vectors(
+        self,
+        ids: Sequence[int] | None = None,
+        filter_metadata: Mapping[str, Any] | None = None,
+    ) -> int:
+        """DELETE WHERE — anti-filter rewrite (reference declared this
+        endpoint but never implemented it, service/models.py:97-105).
+
+        On plain Parquet this is read -> anti-filter -> atomic swap; on a
+        table format it would be a metadata-only ``DELETE WHERE``.
+        Returns the number of rows removed.
+        """
+        if ids is None and filter_metadata is None:
+            raise ValueError("provide ids and/or filter_metadata")
+        df = self.to_df()
+        before = df.count()
+        doomed = df
+        if ids is not None:
+            doomed = doomed.where(F.col("id").isin([int(i) for i in ids]))
+        doomed = knn.apply_metadata_filter(doomed, filter_metadata)
+        keep = df.join(doomed.select("id"), on="id", how="left_anti")
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        keep.select([f.name for f in self.schema.fields]).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        after = self.catalog.spark.read.parquet(str(staging)).count()
+        shutil.rmtree(self.data_dir, ignore_errors=True)
+        staging.rename(self.data_dir)
+        return before - after
+
+    def clear(self) -> None:
+        """TRUNCATE (reference service/optimized_vector_store.py:198-209)."""
+        shutil.rmtree(self.data_dir, ignore_errors=True)
+
+    def optimize(self, target_files: int = 4) -> int:
+        """Compact small files (the reference's ``store.optimize`` is
+        called but undefined, api/routes/vectors.py:425; here it is the
+        Parquet analog of OPTIMIZE: coalesce + rewrite). Returns the
+        resulting file count."""
+        df = self.to_df()
+        if df.isEmpty():
+            return 0
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        df.coalesce(target_files).write.mode("overwrite").parquet(str(staging))
+        shutil.rmtree(self.data_dir, ignore_errors=True)
+        staging.rename(self.data_dir)
+        return len(list(self.data_dir.glob("*.parquet")))
+
+    # -- stats -------------------------------------------------------------
+
+    def count(self) -> int:
+        return self.to_df().count()
+
+    def stats(self) -> dict[str, Any]:
+        """Reference store stats (service/optimized_vector_store.py:241-242,
+        api/routes/vectors.py:332-345)."""
+        return {
+            "user_id": self.config.user_id,
+            "model_id": self.config.model_id,
+            "vector_count": self.count(),
+            "dimension": self.config.dimension,
+            "metric": self.config.metric,
+            "index_type": "none",
+            "files": len(list(self.data_dir.glob("*.parquet")))
+            if self.data_dir.exists()
+            else 0,
+        }
+
+    def health_check(self) -> dict[str, Any]:
+        """Reference calls this but never defines it (tests/demo.py:254)."""
+        ok = True
+        detail = "ok"
+        try:
+            self.to_df().limit(1).count()
+        except Exception as exc:  # pragma: no cover - defensive
+            ok, detail = False, str(exc)
+        return {"healthy": ok, "detail": detail}
+
+    def _check_dim(self, vec: Sequence[float]) -> None:
+        if len(vec) != self.config.dimension:
+            raise ValueError(
+                f"query dimension {len(vec)} != store dimension "
+                f"{self.config.dimension}"
+            )

@@ -1,0 +1,158 @@
+"""Store lifecycle — mirrors the reference's integration workflow
+(tests/test_integration.py:46-173): create -> add -> query (self-match,
+filtered) -> stats -> delete, plus the surface the reference declared but
+never implemented (batch_query, delete_vectors, optimize, health_check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mlx_vector_db_spark.store import VectorStoreCatalog
+
+DIM = 32
+RNG = np.random.default_rng(3)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return VectorStoreCatalog(spark, tmp_path / "stores")
+
+
+@pytest.fixture()
+def store(catalog):
+    st = catalog.create_store(
+        "u1", "m1", dimension=DIM, metric="cosine",
+        promoted_keys={"category": "string", "priority": "int"},
+    )
+    vecs = RNG.random((50, DIM)).astype(np.float32)
+    meta = [
+        {"category": "A" if i % 2 == 0 else "B", "priority": i % 3, "note": f"n{i}"}
+        for i in range(50)
+    ]
+    st.add_vectors(vecs.tolist(), meta)
+    st._test_vecs = vecs
+    return st
+
+
+def test_create_duplicate_raises(catalog):
+    catalog.create_store("u", "m", dimension=8)
+    with pytest.raises(FileExistsError):
+        catalog.create_store("u", "m", dimension=8)
+    assert catalog.create_store("u", "m", dimension=8, exist_ok=True) is not None
+
+
+def test_bad_config_rejected(catalog):
+    with pytest.raises(ValueError):
+        catalog.create_store("u", "m2", dimension=0)
+    with pytest.raises(ValueError):
+        catalog.create_store("u", "m3", dimension=8, metric="manhattan")
+
+
+def test_add_and_count(store):
+    assert store.count() == 50
+    assert store.stats()["vector_count"] == 50
+
+
+def test_dimension_mismatch_rejected(store):
+    with pytest.raises(ValueError, match="dimension"):
+        store.add_vectors([[1.0, 2.0]])
+    with pytest.raises(ValueError, match="dimension"):
+        store.query([1.0] * (DIM + 1))
+
+
+def test_misaligned_metadata_rejected(store):
+    with pytest.raises(ValueError, match="lengths differ"):
+        store.add_vectors([[0.0] * DIM] * 3, [{}] * 2)
+
+
+def test_self_query_rank1(store):
+    res = store.query(store._test_vecs[7].tolist(), k=3).collect()
+    assert res[0]["id"] == 7
+    assert res[0]["similarity"] > 0.999
+
+
+def test_filtered_query_soundness(store):
+    res = store.query(
+        store._test_vecs[0].tolist(), k=5,
+        filter_metadata={"category": "A", "priority": 1},
+    ).collect()
+    assert res, "expected matches"
+    for r in res:
+        assert r["category"] == "A" and r["priority"] == 1
+
+
+def test_map_metadata_filter(store):
+    res = store.query(
+        store._test_vecs[0].tolist(), k=5, filter_metadata={"note": "n4"}
+    ).collect()
+    assert [r["id"] for r in res] == [4]
+
+
+def test_empty_store_query_returns_empty(catalog):
+    st = catalog.create_store("u2", "m1", dimension=DIM)
+    assert st.query([0.5] * DIM, k=5).collect() == []
+
+
+def test_append_no_rewrite(store):
+    more = RNG.random((10, DIM)).astype(np.float32)
+    store.add_vectors(more.tolist())
+    assert store.count() == 60
+    # appended ids continue after the existing ones
+    ids = {r["id"] for r in store.to_df().select("id").collect()}
+    assert ids == set(range(60))
+
+
+def test_batch_query(store, spark):
+    q = spark.createDataFrame(
+        [(i, store._test_vecs[i].tolist()) for i in range(4)],
+        "query_id long, embedding array<float>",
+    )
+    res = store.batch_query(q, k=2).collect()
+    top = {r["query_id"]: r["id"] for r in res if r["rank"] == 1}
+    assert top == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_delete_by_filter_and_ids(store):
+    removed = store.delete_vectors(filter_metadata={"category": "B"})
+    assert removed == 25
+    assert store.count() == 25
+    removed = store.delete_vectors(ids=[0, 2])
+    assert removed == 2
+    res = store.query(store._test_vecs[0].tolist(), k=50).collect()
+    assert all(r["category"] == "A" for r in res)
+    assert {r["id"] for r in res}.isdisjoint({0, 2})
+
+
+def test_optimize_compacts_files(store):
+    for _ in range(3):
+        store.add_vectors(RNG.random((5, DIM)).astype(np.float32).tolist())
+    before = store.stats()["files"]
+    n_files = store.optimize(target_files=1)
+    assert n_files == 1 and n_files <= before
+    assert store.count() == 65
+
+
+def test_clear_and_delete_store(catalog, store):
+    store.clear()
+    assert store.count() == 0
+    catalog.delete_store("u1", "m1")
+    assert not catalog.store_exists("u1", "m1")
+    with pytest.raises(KeyError):
+        catalog.get_store("u1", "m1")
+
+
+def test_fleet_stats(catalog):
+    a = catalog.create_store("t1", "m", dimension=8)
+    b = catalog.create_store("t2", "m", dimension=8)
+    a.add_vectors([[1.0] * 8] * 3)
+    b.add_vectors([[2.0] * 8] * 2)
+    fs = catalog.fleet_stats()
+    assert fs["total_stores"] == 2
+    assert fs["total_vectors"] == 5
+    assert fs["stores"] == {"t1_m": 3, "t2_m": 2}
+
+
+def test_health_check(store):
+    assert store.health_check()["healthy"] is True
