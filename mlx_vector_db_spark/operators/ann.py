@@ -1,0 +1,234 @@
+"""Approximate nearest neighbor — index-as-columns (the Spark-native
+replacement for the reference's HNSW side-car, SURVEY.md §2.9).
+
+The reference builds an hnswlib graph over the whole matrix on every add
+(performance/hnsw_index.py:44-77, rebuilt from scratch per batch —
+service/optimized_vector_store.py:110-113). A graph index doesn't
+distribute; the Spark-native analog is *partition pruning*: a batch job
+assigns every row a coarse cell id (IVF centroid or LSH bucket), stored
+as a plain column; search scores only the query's probe cells, exact
+within them. New data gets cell ids per micro-batch (assignment is a
+pure projection once centroids exist) — no global rebuild, ever.
+
+- IVF: k-means centroids (pyspark.ml KMeans, trained on a sample),
+  ``centroid_id`` column; search probes the ``nprobe`` nearest
+  centroids. The accuracy/speed knob mirrors the reference's
+  ``ef_search``.
+- LSH: ``bucket_id`` from random-hyperplane sign bits (cosine LSH);
+  multiprobe flips bits for recall. Bucket assignment is a pure column
+  expression — usable in streaming ingest too.
+
+Both paths keep the exact operators as their within-cell kernel and as
+the always-available fallback (the reference falls back to brute force
+silently, service/optimized_vector_store.py:142-145).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.vector import dot_product
+from mlx_vector_db_spark.operators.knn import knn_join, knn_query
+
+__all__ = [
+    "IVFIndex",
+    "build_ivf",
+    "lsh_bucket_expr",
+    "add_lsh_buckets",
+    "lsh_probe_buckets",
+]
+
+
+class IVFIndex:
+    """Coarse quantizer: centroids live on the driver (tiny — nlist x dim
+    doubles), assignments live in the table as a ``centroid_id`` column."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.vec_col = vec_col
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    def assign_expr(self) -> Column:
+        """centroid_id as a column expression: argmin over centroid
+        distances, computed from literal centroid arrays — pure JVM,
+        applies to batch *and* streaming ingest.
+
+        Uses the identity argmin ||v-c|| = argmax (v.c - ||c||^2/2), so
+        each centroid costs one dot product.
+        """
+        scored = [
+            F.struct(
+                (
+                    dot_product(self.vec_col, F.lit(c.tolist()).cast("array<double>"))
+                    - float(c @ c) / 2.0
+                ).alias("score"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(self.centroids)
+        ]
+        return F.array_max(F.array(*scored))["cid"]
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("centroid_id", self.assign_expr())
+
+    def probes_for(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
+        q = np.asarray(query_vector, dtype=np.float64)
+        d = ((self.centroids - q) ** 2).sum(axis=1)
+        return np.argsort(d)[: min(nprobe, self.nlist)].tolist()
+
+    def search(
+        self,
+        indexed: DataFrame,
+        query_vector: Sequence[float],
+        k: int = 10,
+        nprobe: int = 4,
+        metric: str = "cosine",
+        **knn_kwargs,
+    ) -> DataFrame:
+        """Probe-bucket pruning + exact top-k inside (reference X2 with
+        over-fetch policy replaced by nprobe). ``indexed`` must carry the
+        ``centroid_id`` column; the isin predicate partition-prunes when
+        the table is partitioned/bucketed by it."""
+        probes = self.probes_for(query_vector, nprobe)
+        pruned = indexed.where(F.col("centroid_id").isin(probes))
+        return knn_query(pruned, query_vector, k=k, metric=metric, **knn_kwargs)
+
+    def search_batch(
+        self,
+        indexed: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        metric: str = "cosine",
+        query_vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        **knn_kwargs,
+    ) -> DataFrame:
+        """Batch ANN: assign each query its nprobe probe cells (driver-side
+        on the collected query block — queries are the small side), then
+        an equi-join on centroid_id generates candidates; exact top-k per
+        query re-ranks. The shuffle key is the centroid, so candidate
+        generation is a standard hash join, never a cross join."""
+        spark = indexed.sparkSession
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        probe_rows = [
+            (int(r[0]), int(c))
+            for r in qrows
+            for c in self.probes_for(r[1], nprobe)
+        ]
+        probes_df = spark.createDataFrame(
+            probe_rows, f"{query_id_col} long, centroid_id int"
+        )
+        from mlx_vector_db_spark.functions.vector import l2_norm, score_for_metric
+        from mlx_vector_db_spark.operators.knn import _annotate, _order
+        from mlx_vector_db_spark.operators.topk import top_k_per_group
+
+        id_col = knn_kwargs.get("id_col", "id")
+        vec_col = knn_kwargs.get("vec_col", "embedding")
+        norm_col = knn_kwargs.get("norm_col")
+        # (query x probe-cell) pairs, broadcast: the equi-join key against
+        # the big table is centroid_id, so each query only ever meets the
+        # rows inside its own probe cells.
+        qside = F.broadcast(
+            queries.join(probes_df, on=query_id_col).select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+                F.col("centroid_id"),
+                *(
+                    [l2_norm(query_vec_col).alias("_qnorm")]
+                    if metric == "cosine"
+                    else []
+                ),
+            )
+        )
+        joined = indexed.join(qside, on="centroid_id")
+        v_norm = F.col(norm_col) if (norm_col and metric == "cosine") else None
+        q_norm = F.col("_qnorm") if metric == "cosine" else None
+        raw = score_for_metric(metric, vec_col, F.col("_qvec"), a_norm=v_norm, b_norm=q_norm)
+        scored = _annotate(metric, joined, raw)
+        topk = top_k_per_group(
+            scored, ["query_id"], _order(metric, F.col("score"), id_col), int(k)
+        )
+        return topk.select(
+            "query_id", id_col, "score", "similarity", "distance", "rank"
+        )
+
+
+def build_ivf(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> tuple[DataFrame, IVFIndex]:
+    """Batch index build (reference X1's replacement): k-means on a
+    sample, centroid assignment as a projected column. Returns
+    (indexed_df, index). Train on a sample at scale — centroids need
+    thousands of points per cell, not the full table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    feats = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    index = IVFIndex(centroids, vec_col=vec_col)
+    return index.assign(df), index
+
+
+def lsh_bucket_expr(
+    planes: np.ndarray, vec_col: str = "embedding"
+) -> Column:
+    """Random-hyperplane (cosine) LSH bucket id: bit i = sign(v . h_i).
+    Pure column expression — one dot product per plane."""
+    bits = [
+        F.when(
+            dot_product(vec_col, F.lit(p.tolist()).cast("array<double>")) > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    planes = make_planes(dim, n_planes, seed)
+    return df.withColumn("bucket_id", lsh_bucket_expr(planes, vec_col)), planes
+
+
+def lsh_probe_buckets(
+    query_vector: Sequence[float], planes: np.ndarray, multiprobe: int = 1
+) -> list[int]:
+    """The query's bucket plus single-bit-flip neighbors ranked by how
+    close the query sits to each hyperplane (standard multiprobe LSH)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    margins = planes @ q
+    base = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
+    out = [base]
+    if multiprobe > 0:
+        closest = np.argsort(np.abs(margins))
+        for i in closest[: int(multiprobe)]:
+            out.append(base ^ (1 << int(i)))
+    return out

@@ -1,0 +1,339 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md §7.3 milestone 6) — the suite a
+100 TB corpus pipeline needs:
+
+- :func:`exact_dedup` — hash-groupBy on a canonical fingerprint. One
+  shuffle on the hash; the keeper rule (min id) is an aggregate, so it
+  map-side combines.
+- :func:`minhash_lsh_pairs` / :func:`minhash_dedup` — shingle -> K
+  minhashes -> band buckets -> candidate pairs inside buckets -> exact
+  Jaccard verify. The band join is a self-equi-join on (band, band_hash):
+  at scale this is THE standard near-dedup shuffle shape; no cross join
+  ever materializes. Minhashing itself is pure column expressions
+  (xxhash64 seeded per hash function) — JVM-side, no Python.
+- :func:`simhash` / :func:`simhash_pairs` — 64-bit simhash with banded
+  Hamming blocking (pigeonhole: hamming <= d pairs must share one of
+  d+1 bands).
+- :func:`jaccard_pairs` — exact n-gram Jaccard within caller-supplied
+  blocks (for small/blocked data; LSH is the scale path).
+- :func:`embedding_neardup_pairs` — cosine near-duplicates over an
+  embedding column; exact all-pairs within blocks, with an optional
+  random-hyperplane bucket column as the blocker at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.text import doc_fingerprint, shingles
+from mlx_vector_db_spark.functions.vector import cosine_similarity
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "minhash_dedup",
+    "simhash",
+    "simhash_pairs",
+    "jaccard_pairs",
+    "embedding_neardup_pairs",
+]
+
+# a large 61-bit Mersenne prime keeps (a*h+b) % P well distributed while
+# fitting in a long without overflow issues after the % below
+_MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical documents by canonical fingerprint.
+
+    Output: ``fingerprint, n_copies, keeper_id`` (min id wins —
+    deterministic). Filtering the corpus to keepers is then a semi-join
+    on (fingerprint, keeper_id).
+    """
+    return (
+        df.select(
+            doc_fingerprint(text_col).alias("fingerprint"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("_id").alias("keeper_id"),
+        )
+    )
+
+
+def minhash_signature(
+    text_col: str | Column,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> Column:
+    """MinHash signature as an ``array<bigint>`` column expression.
+
+    Each hash function k is ``min over shingles of xxhash64(shingle,
+    seed+k) mod P`` — xxhash64 is a JVM built-in, so the whole signature
+    computes inside whole-stage codegen; no Python worker is involved.
+    """
+    sh = shingles(text_col, shingle_n)
+
+    def min_hash_k(k: int) -> Column:
+        # real closure: a default-arg lambda would change the lambda's
+        # arity and PySpark would bind the element index to it
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: F.pmod(
+                        F.xxhash64(s, F.lit(seed + k)), F.lit(_MERSENNE_P)
+                    ),
+                )
+            ),
+            F.lit(_MERSENNE_P),  # empty text -> sentinel signature
+        )
+
+    return F.array(*[min_hash_k(k) for k in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Plan shape (the 100 TB shape):
+      1. signature: narrow projection, no shuffle;
+      2. explode to ``bands`` rows/doc, hash each band slice;
+      3. self-join on (band, band_hash) with ``id < id``  — candidate
+         generation; only same-bucket rows meet, so the shuffle key is
+         the bucket, never the corpus;
+      4. exact Jaccard on distinct shingle sets for candidates only.
+
+    Output: ``id_a, id_b, jaccard`` with ``jaccard >= threshold``.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_text",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col("_id").alias("id_a"), F.col("_text").alias("text_a"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col("_id").alias("id_b"), F.col("_text").alias("text_b"),
+    )
+    cand = (
+        left.join(right, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = shingles("text_a", shingle_n)
+    sh_b = shingles("text_b", shingle_n)
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Corpus minus near-duplicates: for every near-dup pair, the larger
+    id is dropped (greedy min-id keeper — one pass, deterministic; full
+    connected-components clustering is a later-round iterative op)."""
+    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **kwargs)
+    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, on=id_col, how="left_anti")
+
+
+def simhash(text_col: str | Column, shingle_n: int = 2, seed: int = 7) -> Column:
+    """64-bit SimHash as a bigint column expression.
+
+    Each shingle votes +1/-1 per bit of its xxhash64; the sign of each
+    bit-sum forms the fingerprint. Implemented as a per-bit aggregate
+    over the shingle array — pure JVM expressions.
+    """
+    sh = shingles(text_col, shingle_n)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
+
+    def bit_value(bit: int) -> Column:
+        vote = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        # bit 63 is the long's sign bit: setting it adds -2^63 in two's
+        # complement (1 << 63 itself doesn't fit a JVM long literal)
+        weight = -(1 << 63) if bit == 63 else (1 << bit)
+        return F.when(vote > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bits = [bit_value(bit) for bit in range(64)]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """SimHash near-dup pairs with banded blocking.
+
+    Pigeonhole: two fingerprints within Hamming distance d agree exactly
+    on at least one of d+1 disjoint bit bands, so candidates are a
+    self-equi-join per band — never a cross join.
+    Output: ``id_a, id_b, hamming`` (<= max_hamming).
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        simhash(text_col, shingle_n, seed).alias("_fp"),
+    )
+    bands = fp.select(
+        "_id",
+        "_fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_fp"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = bands.select("band", "band_key", F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
+    right = bands.select("band", "band_key", F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
+    return (
+        left.join(right, on=["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs, all-pairs within ``block_col`` groups
+    (or globally when ``block_col`` is None — small data only; use
+    :func:`minhash_lsh_pairs` at scale)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, shingle_n).alias("_sh"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    on = ["_blk"] if block_col else None
+    left = base.select(*(["_blk"] if block_col else []), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    right = base.select(*(["_blk"] if block_col else []), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    joined = left.join(right, on=on) if on else left.crossJoin(right)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Without ``bucket_col``: exact all-pairs (self cross join) — correct
+    at any size but O(N^2); fine for verification scale. With
+    ``bucket_col`` (e.g. an LSH/IVF assignment from operators.ann): the
+    join key is the bucket, which is the scale path — recall depends on
+    the bucketer, so keep the exact variant as the audit oracle.
+    Output: ``id_a, id_b, cosine`` (>= threshold).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        *([F.col(bucket_col).alias("_blk")] if bucket_col else []),
+    )
+    on = ["_blk"] if bucket_col else None
+    left = base.select(*(["_blk"] if bucket_col else []), F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"))
+    right = base.select(*(["_blk"] if bucket_col else []), F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"))
+    joined = left.join(right, on=on) if on else left.crossJoin(right)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("vec_a", "vec_b"))
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,138 @@
+"""Dedup suite vs pure-Python oracles: exact groups, MinHash-LSH recall +
+precision (exact-verified), SimHash pigeonhole, Jaccard, embedding cosine.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from mlx_vector_db_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _mutate(text: str, n_edits: int, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    words = text.split()
+    for _ in range(n_edits):
+        i = int(rng.integers(0, len(words)))
+        words[i] = f"w{int(rng.integers(0, 1000))}"
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    docs = []
+    docs.append((0, BASE))
+    docs.append((1, BASE))                      # exact dup of 0
+    docs.append((2, _mutate(BASE, 2, 1)))       # near dup of 0
+    docs.append((3, _mutate(BASE, 3, 2)))       # near dup of 0
+    rng = np.random.default_rng(9)
+    for i in range(4, 20):                      # unrelated docs
+        docs.append((i, " ".join(f"tok{int(rng.integers(0, 5000))}" for _ in range(40))))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus):
+    return spark.createDataFrame(corpus, "doc_id long, text string").cache()
+
+
+def py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        w = t.split()
+        if len(w) < n:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    if not sa | sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(corpus_df):
+    out = {r["fingerprint"]: r for r in D.exact_dedup(corpus_df).collect()}
+    dup_groups = [r for r in out.values() if r["n_copies"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_copies"] == 2 and dup_groups[0]["keeper_id"] == 0
+    assert sum(r["n_copies"] for r in out.values()) == 20
+
+
+def test_minhash_pairs_recall_and_precision(corpus_df, corpus):
+    got = D.minhash_lsh_pairs(corpus_df, threshold=0.5).collect()
+    got_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    texts = dict(corpus)
+    true_pairs = {
+        (a, b): py_jaccard(texts[a], texts[b])
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if py_jaccard(texts[a], texts[b]) >= 0.5
+    }
+    # precision is exact (pairs are verify-filtered with true jaccard):
+    for pair, j in got_pairs.items():
+        assert j == pytest.approx(true_pairs[pair], abs=1e-9)
+    # recall: high-similarity pairs must all be found at these params
+    strong = {p for p, j in true_pairs.items() if j >= 0.7}
+    assert strong <= set(got_pairs)
+
+
+def test_minhash_dedup_removes_dupes(corpus_df):
+    kept = D.minhash_dedup(corpus_df, threshold=0.5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids
+    assert 1 not in ids            # exact dup dropped
+    assert len(ids) < 20
+    # unrelated docs survive
+    assert set(range(4, 20)) <= ids
+
+
+def test_simhash_exact_dup_distance_zero(corpus_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_pairs(corpus_df, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+    for (a, b), h in pairs.items():
+        assert h <= 8
+
+
+def test_jaccard_pairs_exact(corpus_df, corpus):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.jaccard_pairs(corpus_df, threshold=0.3).collect()}
+    texts = dict(corpus)
+    exp = {
+        (a, b): py_jaccard(texts[a], texts[b])
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if py_jaccard(texts[a], texts[b]) >= 0.3
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.random((30, 16)).astype(np.float32)
+    vecs[7] = vecs[3]                     # identical
+    vecs[9] = vecs[3] + 0.01 * rng.random(16).astype(np.float32)  # near
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           D.embedding_neardup_pairs(df, threshold=0.999).collect()}
+    assert (3, 7) in got and got[(3, 7)] == pytest.approx(1.0, abs=1e-9)
+    assert (3, 9) in got and (7, 9) in got
+    # oracle: no other pair reaches 0.999
+    v64 = vecs.astype(np.float64)
+    n = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    S = n @ n.T
+    exp = {
+        (a, b)
+        for a, b in itertools.combinations(range(30), 2)
+        if S[a, b] >= 0.999
+    }
+    assert set(got) == exp
