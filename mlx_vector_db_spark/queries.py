@@ -1,0 +1,585 @@
+"""Declared query catalog — the driver-facing surface of the engine.
+
+Every entry pairs a Spark DataFrame plan (built from this package's
+operators) with an equivalent ANSI-SQL oracle that DuckDB runs on the
+same parquet tables; the driver hash-compares the two at sf=0.01
+(CORRECTNESS_r{N}.json). Ops whose semantics SQL can't express (LSH
+banding, chunking, k-means ANN) are declared without an oracle and get
+the weaker rows-only check.
+
+Determinism rules used throughout (both sides identically):
+- float aggregates are rounded with digits chosen per magnitude of the
+  accumulated value, so cross-engine summation-order noise (~1e-5 abs on
+  a 1e9-scale sum) stays far below the rounding step;
+- every rank/count is cast to the same integer width on both sides;
+- all orderings carry an id tie-break;
+- dates are emitted as 'YYYY-MM-DD' strings, timestamps as epoch
+  seconds (bigint) — no engine-specific temporal encodings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.text import (
+    detect_language,
+    doc_fingerprint,
+    text_quality,
+)
+from mlx_vector_db_spark.functions.vector import l2_norm
+from mlx_vector_db_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from mlx_vector_db_spark.operators.knn import knn_join
+from mlx_vector_db_spark.functions.text import chunk_documents
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+N_KNN_QUERIES = 5
+KNN_K = 10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_ts(ev: DataFrame, col: str = "ts") -> F.Column:
+    """The events table stores TIMESTAMP(NANOS), which Spark's parquet
+    reader only exposes as raw nanos (session sets
+    spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
+    timestamp explicitly; sub-microsecond precision is irrelevant for
+    windowing."""
+    from pyspark.sql import types as T
+
+    if isinstance(ev.schema[col].dataType, T.LongType):
+        return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+    return F.col(col)
+
+
+# --------------------------------------------------------------------------
+# vector search (reference core: J1/J2/A1/P1/F1-F5)
+# --------------------------------------------------------------------------
+
+def _knn(spark: SparkSession, sf_dir: str, metric: str, label: int | None = None):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(
+        emb,
+        queries,
+        k=KNN_K,
+        metric=metric,
+        filter_metadata={"label": label} if label is not None else None,
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {nq}
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings {where}
+), scored AS (
+  SELECT q.query_id, v.vec_id, {score} AS s
+  FROM q CROSS JOIN v
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s {dir}, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, rnk::INTEGER AS rank, round(s, 6) AS score
+FROM ranked WHERE rnk <= {k}
+"""
+
+_COSINE_SQL = (
+    "list_inner_product(v.ev, q.qv)"
+    " / (greatest(sqrt(list_inner_product(v.ev, v.ev)), 1e-8)"
+    "    * greatest(sqrt(list_inner_product(q.qv, q.qv)), 1e-8))"
+)
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Batch cosine top-k (reference J2+A1+F1)."""
+    return _knn(spark, sf_dir, "cosine")
+
+
+def q_knn_euclidean(spark, sf_dir):
+    """Batch euclidean top-k (reference F2; ascending order)."""
+    return _knn(spark, sf_dir, "euclidean")
+
+
+def q_knn_dot(spark, sf_dir):
+    """Batch dot-product top-k (reference F3)."""
+    return _knn(spark, sf_dir, "dot_product")
+
+
+def q_knn_cosine_filtered(spark, sf_dir):
+    """Pre-filter semantics: top-k of the label=3 subset (reference P1)."""
+    return _knn(spark, sf_dir, "cosine", label=3)
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-label store stats (reference A2/A3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(l2_norm("embedding")), 6).alias("avg_norm"),
+        )
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (pipeline extension)."""
+    pairs = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# relational surface (generic operators the DataFrame engine exposes)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide multi-aggregate groupBy."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 0).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 0).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-10 (broadcast the dimension
+    side; TakeOrderedAndProject for the limit)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way snowflake join, small dims broadcast."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue")
+        )
+    )
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    """Window top-k per group (reference A1/W1 generalized)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("_rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("_rev"), F.asc("c_custkey"))
+    return (
+        cust.join(rev, cust.c_custkey == rev.o_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round("_rev", 2).alias("revenue"),
+            "rank",
+        )
+    )
+
+
+def q_orders_rollup(spark, sf_dir):
+    """ROLLUP aggregate (beyond-reference OLAP surface; null grouping
+    markers coalesced to 'ALL' so both engines emit identical labels)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window counts over the events table (batch expression of
+    the streaming windowed agg; the streaming variant lives in
+    mlx_vector_db_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("ts", events_ts(ev))
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text pipeline
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    """Token/quality stats per document (pipeline extension)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text_quality("text")
+    return docs.select(
+        "doc_id",
+        q["n_chars"].cast("long").alias("n_chars"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(q["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def q_lang_detect(spark, sf_dir):
+    """Marker-lexicon language ID (pipeline extension)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language("text").alias("lang_pred"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by canonical fingerprint."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_text_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (j >= 0.5). All-pairs here —
+    the LSH variant (rows-only below) is the scale path."""
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks)
+# --------------------------------------------------------------------------
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates, exact-verified (banding isn't
+    SQL-expressible; precision is — every returned pair carries its true
+    Jaccard, covered by q_text_jaccard_pairs' oracle)."""
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3)."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Reference chunker over the documents table (golden-tested against
+    the pure-Python oracle in tests/test_text.py)."""
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=400, overlap=50)
+
+
+def q_ivf_knn(spark, sf_dir):
+    """IVF ANN search (recall-tested vs exact in tests/test_ann.py)."""
+    from mlx_vector_db_spark.operators.ann import build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    indexed, index = build_ivf(emb, nlist=16, seed=42)
+    queries = emb.where(F.col("id") < N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    return index.search_batch(indexed, queries, k=KNN_K, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# catalog
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "knn_cosine_topk": q_knn_cosine,
+    "knn_euclidean_topk": q_knn_euclidean,
+    "knn_dot_topk": q_knn_dot,
+    "knn_cosine_filtered": q_knn_cosine_filtered,
+    "embedding_stats": q_embedding_stats,
+    "embedding_neardup": q_embedding_neardup,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "orders_rollup": q_orders_rollup,
+    "events_hourly": q_events_hourly,
+    "text_stats": q_text_stats,
+    "lang_detect": q_lang_detect,
+    "dedup_exact": q_dedup_exact,
+    "text_jaccard_pairs": q_text_jaccard_pairs,
+    # rows-only (no SQL oracle):
+    "minhash_neardup_pairs": q_minhash_pairs,
+    "simhash_neardup_pairs": q_simhash_pairs,
+    "chunk_documents": q_chunk_documents,
+    "ivf_knn": q_ivf_knn,
+}
+
+_JACCARD_SHINGLES_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) = 0 THEN []
+              WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(words) - 1),
+                     i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
+         END AS sh
+  FROM w
+)
+"""
+
+_TEXT_NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+_LANG_SETS = {
+    "en": "('the','and','of','to','is','in','that','it','with','for')",
+    "de": "('der','die','das','und','ist','nicht','ein','mit','auf','zu')",
+    "fr": "('le','la','les','et','est','un','une','des','que','pour')",
+    "es": "('el','la','los','las','es','un','una','que','por','para')",
+}
+
+ORACLES: dict[str, str] = {
+    "knn_cosine_topk": _KNN_ORACLE.format(
+        nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
+    ),
+    "knn_euclidean_topk": _KNN_ORACLE.format(
+        nq=N_KNN_QUERIES, k=KNN_K, where="",
+        score="list_distance(v.ev, q.qv)", dir="ASC",
+    ),
+    "knn_dot_topk": _KNN_ORACLE.format(
+        nq=N_KNN_QUERIES, k=KNN_K, where="",
+        score="list_inner_product(v.ev, q.qv)", dir="DESC",
+    ),
+    "knn_cosine_filtered": _KNN_ORACLE.format(
+        nq=N_KNN_QUERIES, k=KNN_K, where="WHERE label = 3",
+        score=_COSINE_SQL, dir="DESC",
+    ),
+    "embedding_stats": """
+        SELECT label, count(*)::BIGINT AS n_vectors,
+               round(avg(sqrt(list_inner_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[]))), 6) AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
+    "embedding_neardup": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(a.e, b.e)
+                     / (greatest(sqrt(list_inner_product(a.e, a.e)), 1e-8)
+                        * greatest(sqrt(list_inner_product(b.e, b.e)), 1e-8)), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.e, b.e)
+              / (greatest(sqrt(list_inner_product(a.e, a.e)), 1e-8)
+                 * greatest(sqrt(list_inner_product(b.e, b.e)), 1e-8)) >= 0.5
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 0) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND l_shipdate > TIMESTAMP '1997-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "top_customers_per_nation": """
+        WITH rev AS (
+          SELECT o_custkey, sum(o_totalprice) AS r FROM orders GROUP BY o_custkey
+        ), ranked AS (
+          SELECT n_name, c_custkey, r,
+                 row_number() OVER (PARTITION BY n_name ORDER BY r DESC, c_custkey) AS rnk
+          FROM customer JOIN rev ON c_custkey = o_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, c_custkey, round(r, 2) AS revenue, rnk::INTEGER AS rank
+        FROM ranked WHERE rnk <= 3
+    """,
+    "orders_rollup": """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 0) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "events_hourly": """
+        SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "text_stats": """
+        WITH w AS (
+          SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words
+          FROM documents
+        )
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               len(words)::BIGINT AS n_tokens,
+               round(list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                     / len(words), 6) AS mean_token_len,
+               round(len(list_filter(words, x -> lower(x) IN
+                       ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+                     / len(words), 6) AS stopword_ratio
+        FROM w
+    """,
+    "lang_detect": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_transform(string_split_regex(trim(text), '\\s+'),
+                                x -> lower(x)) AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 len(list_filter(words, x -> x IN {_LANG_SETS['de']}))::DOUBLE
+                   / greatest(len(words), 1) AS s_de,
+                 len(list_filter(words, x -> x IN {_LANG_SETS['en']}))::DOUBLE
+                   / greatest(len(words), 1) AS s_en,
+                 len(list_filter(words, x -> x IN {_LANG_SETS['es']}))::DOUBLE
+                   / greatest(len(words), 1) AS s_es,
+                 len(list_filter(words, x -> x IN {_LANG_SETS['fr']}))::DOUBLE
+                   / greatest(len(words), 1) AS s_fr
+          FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    """,
+    "dedup_exact": f"""
+        SELECT {_TEXT_NORM_SQL} AS fingerprint,
+               count(*)::BIGINT AS n_copies,
+               min(doc_id) AS keeper_id
+        FROM documents
+        GROUP BY 1
+    """,
+    "text_jaccard_pairs": _JACCARD_SHINGLES_SQL
+    + """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+}

@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate: run every declared
+query on Spark AND its DuckDB oracle at sf0.01, compare row count,
+column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_medium):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_medium}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        # guard against -0.0 vs 0.0 and repr noise beyond rounding
+        return f"{val + 0.0:.9g}"
+    return str(val)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"query_id", "vec_id", "rank", "score"}
+
+
+def test_every_oracle_key_has_query():
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q)
+
+
+ORACLE_NAMES = sorted(E.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, ddb, sf_medium, name):
+    sdf = E.queries()[name](spark, sf_medium)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(E.oracle_sql()[name])
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(ddb_rows), f"{name}: row counts differ"
+    assert _rowset(spark_cols, spark_rows) == _rowset(ddb_cols, ddb_rows), (
+        f"{name}: values differ"
+    )
+
+
+ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_medium, name):
+    df = E.queries()[name](spark, sf_medium)
+    n = df.count()
+    assert n >= 0
+    if name in {"minhash_neardup_pairs", "simhash_neardup_pairs",
+                "chunk_documents", "ivf_knn"}:
+        assert n > 0, f"{name} expected non-empty output at sf0.01"
