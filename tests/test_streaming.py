@@ -1,0 +1,113 @@
+"""Structured Streaming: windowed counts match the batch oracle, dedup
+drops duplicate keys, streaming vector ingest appends through the store.
+Memory sink + processAllAvailable make the runs synchronous.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.queries import events_ts
+from mlx_vector_db_spark.store import VectorStoreCatalog
+from mlx_vector_db_spark.streaming import (
+    read_events_stream,
+    streaming_dedup,
+    streaming_ingest_vectors,
+    windowed_event_counts,
+)
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def test_windowed_counts_match_batch(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    # append mode only emits windows the watermark has passed; with a
+    # single file the final windows stay open, so use update->complete
+    # semantics via a second pass in batch for the oracle and compare on
+    # the closed prefix
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    exp_all = {
+        (r["ws"], r["event_type"]): (r["n"], r["s"])
+        for r in (
+            ev.withColumn("event_time", events_ts(ev))
+            .groupBy(
+                F.date_trunc("hour", "event_time").alias("ws"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        ).collect()
+    }
+    assert got, "no closed windows emitted"
+    for key, (n, s) in got.items():
+        assert exp_all[key][0] == n
+        assert exp_all[key][1] == pytest.approx(s)
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    dup = stream.unionByName(stream)  # every event twice
+    # dedup is exactly-once only within the lateness horizon; the two
+    # copies arrive in different micro-batches, so the horizon must span
+    # the data (30 days) for the duplicate of the newest event too
+    out = streaming_dedup(dup, keys=["event_id"], watermark="2000 hours")
+    _run_to_memory(out.select("event_id"), "dedup_out")
+    rows = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    ev_n = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    assert rows["n"] == rows["d"] == ev_n
+
+
+def test_streaming_ingest_vectors(spark, tmp_path):
+    rng = np.random.default_rng(1)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batches = []
+    for b in range(3):
+        rows = [
+            (b * 10 + i, rng.random(8).astype(np.float32).tolist())
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "id long, embedding array<float>")
+        df.coalesce(1).write.mode("append").parquet(str(src))
+        batches.append(rows)
+
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("stream", "m", dimension=8)
+    stream = (
+        spark.readStream.schema("id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_ingest_vectors(stream, store, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert store.count() == 30
+    # progress surface exists (reference T1 analog)
+    assert q.lastProgress is not None
+    # ingested rows are queryable
+    first_vec = batches[0][0][1]
+    hit = store.query(first_vec, k=1).first()
+    assert hit["id"] == 0
