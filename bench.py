@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of all benchmarked queries. The
+``queries`` map carries per-query seconds plus a ``knn_batch_qps``
+throughput figure (batched queries/sec — the BASELINE.md comparison
+point; the reference reports serial single-query QPS, we report the
+batch-throughput equivalent per SURVEY.md §6 caveats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mlx_vector_db_spark.queries import QUERIES  # noqa: E402
+from mlx_vector_db_spark.session import get_spark  # noqa: E402
+
+#: the per-round benchmark set: the vector hot path (both physical
+#: strategies), the heaviest relational plans, and the pipeline ops
+BENCH_QUERIES = [
+    "knn_cosine_topk",
+    "knn_cosine_filtered",
+    "ivf_knn",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "top_customers_per_nation",
+    "events_hourly",
+    "text_stats",
+    "dedup_exact",
+    "minhash_neardup_pairs",
+    "chunk_documents",
+]
+
+
+def _consume(df) -> None:
+    """Force full execution of every output column without collecting to
+    the driver (a bare count() would let Catalyst prune projection-only
+    plans down to nothing)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _consume(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # batched-throughput figure: every embedding row queries the whole
+    # table at once (N x N scoring + per-query top-10), the batch
+    # equivalent of the reference's QPS benchmarks
+    from mlx_vector_db_spark.operators.knn import knn_join_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_q = emb.count()
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    t0 = time.perf_counter()
+    _consume(
+        knn_join_blocked(emb, queries, k=10, vec_col="embedding", id_col="vec_id")
+    )
+    dt = time.perf_counter() - t0
+    timings["knn_batch_all_vs_all"] = round(dt, 3)
+    timings["knn_batch_qps"] = round(n_q / dt, 1)
+    total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: the properties that make the operators
+scale (pushdown, pruning, map-side top-k, broadcasts) asserted on the
+real physical plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.operators.knn import knn_join, knn_query
+from mlx_vector_db_spark.plans import explain_str
+from mlx_vector_db_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+
+def test_knn_query_is_take_ordered_with_pushed_filter(emb):
+    q0 = emb.first()["embedding"]
+    plan = explain_str(
+        knn_query(
+            emb, q0, k=5, vec_col="embedding", id_col="vec_id",
+            filter_metadata={"label": 3},
+        )
+    )
+    assert "TakeOrderedAndProject" in plan      # no shuffle for single-query top-k
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)]" in plan
+    assert "Exchange" not in plan               # scan -> project -> heap, no shuffle
+
+
+def test_knn_join_uses_window_group_limit_and_broadcast(emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = explain_str(
+        knn_join(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
+    )
+    # partial group-limit before the shuffle = map-side top-k
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastNestedLoopJoin" in plan    # query side broadcast
+
+
+def test_top_orders_plan_broadcasts_and_take_ordered(spark, sf_small):
+    plan = explain_str(QUERIES["top_orders"](spark, sf_small))
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan          # nothing big-big here
+
+
+def test_text_stats_scan_is_column_pruned(spark, sf_small):
+    plan = explain_str(QUERIES["text_stats"](spark, sf_small))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_pricing_summary_partial_aggregate(spark, sf_small):
+    plan = explain_str(QUERIES["pricing_summary"](spark, sf_small))
+    # map-side combine before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_store_query_prunes_columns(spark, tmp_path):
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, tmp_path / "s")
+    st = cat.create_store("u", "m", dimension=4, promoted_keys={"category": "string"})
+    st.add_vectors([[0.1, 0.2, 0.3, 0.4]] * 8, [{"category": "A"}] * 8)
+    plan = explain_str(st.query([0.1, 0.2, 0.3, 0.4], k=2, filter_metadata={"category": "A"}))
+    assert "PushedFilters: [IsNotNull(category), EqualTo(category,A)]" in plan
