@@ -51,6 +51,20 @@ class IVFIndex:
         self.centroids = np.asarray(centroids, dtype=np.float64)
         self.vec_col = vec_col
 
+    def to_dict(self) -> dict:
+        """JSON-serializable form (reference persists its index beside the
+        data, performance/hnsw_index.py:105-129; ours is a KB-sized
+        centroid list instead of a binary graph)."""
+        return {
+            "type": "ivf",
+            "vec_col": self.vec_col,
+            "centroids": self.centroids.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IVFIndex":
+        return cls(np.asarray(d["centroids"], dtype=np.float64), d["vec_col"])
+
     @property
     def nlist(self) -> int:
         return len(self.centroids)

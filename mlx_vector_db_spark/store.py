@@ -66,7 +66,10 @@ _PROMOTED_TYPES = {
 @dataclass
 class StoreConfig:
     """Per-store schema contract (reference MLXVectorStoreConfig,
-    service/optimized_vector_store.py:51-57)."""
+    service/optimized_vector_store.py:51-57). ``index`` mirrors the
+    reference's ``enable_hnsw`` flag but holds the serialized
+    index-as-columns state (IVF centroids) instead of a side-car
+    binary."""
 
     user_id: str
     model_id: str
@@ -74,6 +77,7 @@ class StoreConfig:
     metric: str = "cosine"
     promoted_keys: dict[str, str] = field(default_factory=dict)  # name -> type
     created_at: float = 0.0
+    index: dict | None = None
 
     def __post_init__(self) -> None:
         if not (1 <= self.dimension <= MAX_DIMENSION):
@@ -103,6 +107,11 @@ class VectorStoreCatalog:
 
     def _config_path(self, user_id: str, model_id: str) -> Path:
         return self._meta_dir / f"{user_id}__{model_id}.json"
+
+    def _save_config(self, cfg: StoreConfig) -> None:
+        self._config_path(cfg.user_id, cfg.model_id).write_text(
+            json.dumps(asdict(cfg), indent=2)
+        )
 
     def create_store(
         self,
@@ -177,6 +186,7 @@ class VectorStore:
     def __init__(self, catalog: VectorStoreCatalog, config: StoreConfig):
         self.catalog = catalog
         self.config = config
+        self._ivf_cache = None
         self.data_dir = (
             catalog.root
             / f"user_id={config.user_id}"
@@ -197,7 +207,19 @@ class VectorStore:
         fields.append(
             T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True)
         )
+        if self.config.index:
+            fields.append(T.StructField("centroid_id", T.IntegerType(), True))
         return T.StructType(fields)
+
+    def _ivf(self):
+        """The deserialized IVF index, or None."""
+        if not self.config.index:
+            return None
+        from mlx_vector_db_spark.operators.ann import IVFIndex
+
+        if self._ivf_cache is None:
+            self._ivf_cache = IVFIndex.from_dict(self.config.index)
+        return self._ivf_cache
 
     def _empty(self) -> DataFrame:
         return self.catalog.spark.createDataFrame([], self.schema)
@@ -255,7 +277,12 @@ class VectorStore:
                         "meta": {k: str(v) for k, v in md.items()},
                     }
                 )
-            in_fields = [f for f in self.schema.fields if f.name != "norm"]
+            # norm and index columns are engine-computed, never caller input
+            in_fields = [
+                f
+                for f in self.schema.fields
+                if f.name not in ("norm", "centroid_id")
+            ]
             df = spark.createDataFrame(rows, T.StructType(in_fields))
 
         # plan-level validation: every embedding must have the store dim
@@ -275,6 +302,12 @@ class VectorStore:
         for key, tname in self.config.promoted_keys.items():
             if key not in out.columns:
                 out = out.withColumn(key, F.lit(None).cast(_PROMOTED_TYPES[tname]))
+        ivf = self._ivf()
+        if ivf is not None and "centroid_id" not in out.columns:
+            # incremental index maintenance: assignment is a projection
+            # over the new batch only — never a rebuild (the reference
+            # rebuilt its whole HNSW graph per add, :110-113)
+            out = out.withColumn("centroid_id", ivf.assign_expr().cast("int"))
         ordered = [f.name for f in self.schema.fields]
         n_added = df.count()
         # Size output files by row count instead of inheriting the input's
@@ -288,6 +321,42 @@ class VectorStore:
         out.select(*ordered).write.mode("append").parquet(str(self.data_dir))
         return n_added
 
+    # -- index (reference X1-X3, rebuilt as index-as-columns) --------------
+
+    def build_index(
+        self,
+        nlist: int = 16,
+        sample_fraction: float | None = None,
+        seed: int = 42,
+    ) -> None:
+        """Batch IVF index build: k-means centroids persisted in the
+        store config (KB-sized, the analog of hnsw_index.bin —
+        performance/hnsw_index.py:105-129), assignments rewritten into
+        the table as a ``centroid_id`` column. Run once per store (or
+        periodically); subsequent adds assign incrementally."""
+        from mlx_vector_db_spark.operators.ann import build_ivf
+
+        df = self.to_df().drop("centroid_id") if self.config.index else self.to_df()
+        if df.isEmpty():
+            raise ValueError("cannot build an index on an empty store")
+        indexed, index = build_ivf(
+            df, nlist=nlist, sample_fraction=sample_fraction, seed=seed
+        )
+        self.config.index = index.to_dict()
+        self._ivf_cache = index
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        indexed.withColumn("centroid_id", F.col("centroid_id").cast("int")).select(
+            [f.name for f in self.schema.fields]
+        ).write.mode("overwrite").parquet(str(staging))
+        shutil.rmtree(self.data_dir, ignore_errors=True)
+        staging.rename(self.data_dir)
+        self.catalog._save_config(self.config)
+
+    def drop_index(self) -> None:
+        self.config.index = None
+        self._ivf_cache = None
+        self.catalog._save_config(self.config)
+
     # -- query -------------------------------------------------------------
 
     def query(
@@ -296,15 +365,35 @@ class VectorStore:
         k: int = 10,
         filter_metadata: Mapping[str, Any] | None = None,
         metric: str | None = None,
+        use_index: bool = True,
+        nprobe: int = 4,
     ) -> DataFrame:
         """Single k-NN query (reference §3.1). Empty store -> empty result,
-        not an error (service/optimized_vector_store.py:117)."""
+        not an error (service/optimized_vector_store.py:117).
+
+        Routing mirrors the reference (:121-145): if an index exists and
+        ``use_index``, prune to the query's probe cells first; any index
+        failure falls back silently to the exact scan. With a filter
+        present the probe set is widened (the reference over-fetches
+        ``k*10`` candidates, :123; cell-pruned search widens nprobe
+        instead — same recall intent, but we keep pre-filter semantics:
+        the filter applies *before* top-k inside the probed cells)."""
         self._check_dim(query_vector)
+        df = self.to_df()
+        metric = metric or self.config.metric
+        if use_index and self.config.index:
+            try:
+                ivf = self._ivf()
+                eff_nprobe = nprobe * 4 if filter_metadata else nprobe
+                probes = ivf.probes_for(query_vector, eff_nprobe)
+                df = df.where(F.col("centroid_id").isin(probes))
+            except Exception:  # index trouble -> exact path (reference :142-145)
+                df = self.to_df()
         return knn_query(
-            self.to_df(),
+            df,
             query_vector,
             k=k,
-            metric=metric or self.config.metric,
+            metric=metric,
             filter_metadata=filter_metadata,
             norm_col="norm",
         )
@@ -398,7 +487,7 @@ class VectorStore:
             "vector_count": self.count(),
             "dimension": self.config.dimension,
             "metric": self.config.metric,
-            "index_type": "none",
+            "index_type": (self.config.index or {}).get("type", "none"),
             "files": len(list(self.data_dir.glob("*.parquet")))
             if self.data_dir.exists()
             else 0,
