@@ -299,6 +299,118 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_rolling_avg(spark, sf_dir):
+    """Rolling average over a row frame (reference A4's incremental mean,
+    main.py:140-148, generalized to a proper window frame). Walk order
+    is event_id (deterministic across engines; the raw ns timestamps
+    lose sub-microsecond precision in Spark)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg_5"),
+    )
+
+
+def q_events_histogram(spark, sf_dir):
+    """Fixed-width histogram buckets (reference A5,
+    monitoring/metrics.py:90-122 builds latency buckets the same way)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("int").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("bucket_low", (F.col("bucket") * 50.0))
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: a >30-minute gap starts a new session (lag +
+    running sum of boundaries — the standard batch shape; the streaming
+    variant is session_window in mlx_vector_db_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_sec", F.unix_timestamp(events_ts(ev)))
+    w_order = Window.partitionBy("user_id").orderBy("event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(w_order) > 1800, 1
+        ).otherwise(F.lit(0)),
+    )
+    with_sid = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_sec").alias("session_start"),
+            F.max("ts_sec").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot event counts to one column per type (explicit value list —
+    at scale an open-ended pivot would need a first pass for the
+    domain)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+    )
+    for t in types:
+        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0)).cast("long")).drop(t)
+    return out
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-semantics via EXCEPT (reference has no set ops at all —
+    SURVEY.md §2.7; Spark's except is distinct-set semantics, same as
+    SQL EXCEPT)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ordered = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.subtract(ordered)  # EXCEPT (distinct) semantics
+
+
+def q_priority_intersect(spark, sf_dir):
+    """INTERSECT: order priorities that appear in both F- and O-status
+    orders."""
+    orders = _t(spark, sf_dir, "orders")
+    f_side = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o_side = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f_side.intersect(o_side)
+
+
+def q_brand_price_median(spark, sf_dir):
+    """Exact median + min/max per brand (percentile with linear
+    interpolation — identical definition in both engines)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.round(F.expr("percentile(p_retailprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+            F.count("*").alias("n_parts"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # text pipeline
 # --------------------------------------------------------------------------
@@ -387,6 +499,13 @@ QUERIES: dict[str, QueryFn] = {
     "top_customers_per_nation": q_top_customers_per_nation,
     "orders_rollup": q_orders_rollup,
     "events_hourly": q_events_hourly,
+    "events_rolling_avg": q_events_rolling_avg,
+    "events_histogram": q_events_histogram,
+    "events_sessionize": q_events_sessionize,
+    "events_pivot": q_events_pivot,
+    "customers_without_orders": q_customers_without_orders,
+    "priority_intersect": q_priority_intersect,
+    "brand_price_median": q_brand_price_median,
     "text_stats": q_text_stats,
     "lang_detect": q_lang_detect,
     "dedup_exact": q_dedup_exact,
@@ -524,6 +643,69 @@ ORACLES: dict[str, str] = {
                round(sum(value), 4) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "events_rolling_avg": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg_5
+        FROM events
+    """,
+    "events_histogram": """
+        SELECT floor(value / 50.0)::INTEGER AS bucket,
+               count(*)::BIGINT AS n_events,
+               floor(value / 50.0) * 50.0 AS bucket_low
+        FROM events
+        GROUP BY 1, 3
+    """,
+    "events_sessionize": """
+        WITH base AS (
+          -- floor() before the cast: duckdb's double->bigint cast ROUNDS,
+          -- spark's unix_timestamp truncates
+          SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS ts_sec
+          FROM events
+        ), gaps AS (
+          SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER
+                 (PARTITION BY user_id ORDER BY event_id) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM base
+        ), sids AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM gaps
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               count(*)::BIGINT AS n_events,
+               min(ts_sec) AS session_start,
+               max(ts_sec) AS session_end,
+               round(sum(value), 4) AS session_value
+        FROM sids GROUP BY user_id, session_id::BIGINT
+    """,
+    "events_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')::BIGINT    AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')::BIGINT    AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')::BIGINT   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')::BIGINT     AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders
+    """,
+    "priority_intersect": """
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "brand_price_median": """
+        SELECT p_brand,
+               round(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
+               round(min(p_retailprice), 2) AS min_price,
+               round(max(p_retailprice), 2) AS max_price,
+               count(*)::BIGINT AS n_parts
+        FROM part GROUP BY p_brand
     """,
     "text_stats": """
         WITH w AS (
