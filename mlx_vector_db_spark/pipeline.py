@@ -1,0 +1,193 @@
+"""Text embedding pipeline: documents -> chunks -> embeddings -> store ->
+retrieval (the reference's MLXLMPipeline, SURVEY.md §3.3, rebuilt on
+DataFrames).
+
+Reference flow (integrations/mlx_lm_pipeline.py):
+``index_documents`` chunks each document (:646-694), embeds chunks in
+batches of 32 (tokenize -> model forward -> masked mean-pool ->
+L2-normalize, :323-397), and adds them to the vector store with chunk
+metadata (:667-676). ``retrieve_context`` embeds the query and runs the
+§3.1 search path with threshold + context packing (:725-765).
+
+Spark rebuild: chunking is the Pandas-UDF explode (functions.text),
+embedding is a ``mapInPandas`` stage with a pluggable encoder (Arrow
+batches in, float32 vectors out — the UDF shape any real model server /
+sentence-transformers backend drops into), and the store append is the
+normal VectorStore path, so embeddings inherit norms + index columns.
+
+No ML runtime ships in this container, so the default encoder is
+:class:`HashingEncoder` — the feature-hashing trick (token -> bucket via
+xxhash, L2-normalized counts). It is deterministic, dependency-free,
+and semantically meaningful (shared vocabulary => cosine similarity),
+which makes the end-to-end retrieval tests real rather than mocked.
+:func:`masked_mean_pool` implements the reference's pooling kernel (F6)
+for backends that return token-level states.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.text import chunk_documents
+from mlx_vector_db_spark.operators.rag import format_rag_prompt, retrieve_context
+from mlx_vector_db_spark.store import VectorStore
+
+#: an encoder maps a list of texts to an (N, dim) float32 matrix
+Encoder = Callable[[list[str]], np.ndarray]
+
+
+def masked_mean_pool(hidden: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Attention-masked mean pooling (reference F6,
+    integrations/mlx_lm_pipeline.py:81-101): ``sum(h*mask) /
+    max(sum(mask), 1e-9)`` over the sequence axis.
+
+    hidden: (batch, seq, dim); mask: (batch, seq) of 0/1.
+    """
+    m = mask[..., None].astype(np.float64)
+    summed = (hidden.astype(np.float64) * m).sum(axis=1)
+    counts = np.maximum(m.sum(axis=1), 1e-9)
+    return (summed / counts).astype(np.float32)
+
+
+class HashingEncoder:
+    """Feature-hashing text encoder (deterministic, dependency-free).
+
+    token -> bucket = sha1(token) mod dim, signed by one hash bit;
+    vector = L2-normalized signed counts. The classic hashing-trick
+    embedding — a real (if simple) semantic encoder: texts sharing
+    vocabulary get high cosine similarity.
+    """
+
+    def __init__(self, dim: int = 128):
+        self.dim = int(dim)
+
+    def _token_bucket(self, tok: str) -> tuple[int, float]:
+        h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+        return h % self.dim, 1.0 if (h >> 62) & 1 else -1.0
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            for tok in (t or "").lower().split():
+                j, sign = self._token_bucket(tok)
+                out[i, j] += sign
+        norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-8)
+        return (out / norms).astype(np.float32)
+
+
+def embed_texts(
+    df: DataFrame,
+    encoder: Encoder,
+    dim: int,
+    text_col: str = "chunk_text",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Add an ``embedding array<float>`` column via mapInPandas.
+
+    The encoder sees lists of at most ``batch_size`` texts (the
+    reference encodes in batches of 32, :508-562); Arrow moves the
+    batches, Python only runs the model call. Output schema = input
+    columns + embedding — downstream store append works unchanged.
+    """
+    fields = df.schema.fields
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+        + ["embedding array<float>"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts = pdf[text_col].fillna("").tolist()
+            vecs: list[np.ndarray] = []
+            for i in range(0, len(texts), batch_size):
+                vecs.append(encoder(texts[i : i + batch_size]))
+            emb = np.vstack(vecs)
+            if emb.shape != (len(texts), dim):
+                raise ValueError(
+                    f"encoder returned {emb.shape}, expected ({len(texts)}, {dim})"
+                )
+            yield pdf.assign(embedding=[v.tolist() for v in emb])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+class TextPipeline:
+    """End-to-end document indexing + retrieval over a VectorStore
+    (reference MLXLMPipeline surface)."""
+
+    def __init__(
+        self,
+        store: VectorStore,
+        encoder: Encoder | None = None,
+    ):
+        self.store = store
+        self.encoder = encoder or HashingEncoder(store.config.dimension)
+        self.dim = store.config.dimension
+
+    def index_documents(
+        self,
+        docs: DataFrame,
+        chunk_size: int = 400,
+        overlap: int = 50,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        source_col: str | None = "source",
+    ) -> int:
+        """documents -> chunks -> embeddings -> store append. Returns the
+        number of chunks indexed (reference returns the same counters,
+        :687-694)."""
+        chunks = chunk_documents(
+            docs, chunk_size=chunk_size, overlap=overlap,
+            text_col=text_col, id_col=id_col,
+        )
+        if source_col and source_col in docs.columns:
+            src = docs.select(
+                F.col(id_col).alias("document_id"),
+                F.col(source_col).alias("document_source"),
+            )
+            chunks = chunks.join(src, on="document_id", how="left")
+        embedded = embed_texts(chunks, self.encoder, self.dim)
+        return self.store.add_vectors(embedded)
+
+    def search_similar_texts(
+        self, query: str, k: int = 10, **query_kwargs
+    ) -> DataFrame:
+        """Embed the query driver-side (one string) and run the store's
+        §3.1 search path."""
+        qvec = self.encoder([query])[0].tolist()
+        return self.store.query(qvec, k=k, **query_kwargs)
+
+    def retrieve_context(
+        self,
+        query: str,
+        k: int = 5,
+        min_similarity: float = 0.7,
+        max_context_length: int = 2000,
+    ) -> DataFrame:
+        """Reference retrieve_context semantics (over-fetch 2k,
+        threshold, greedy skip-pack) over the store's chunk table."""
+        qvec = self.encoder([query])[0].tolist()
+        return retrieve_context(
+            self.store.to_df(),
+            qvec,
+            k=k,
+            min_similarity=min_similarity,
+            max_context_length=max_context_length,
+            metric=self.store.config.metric,
+            norm_col="norm",
+        )
+
+    def answer_prompt(self, query: str, **kwargs) -> str:
+        """retrieve + format (reference format_rag_prompt, :767-791)."""
+        ctx = self.retrieve_context(query, **kwargs).orderBy("context_rank").collect()
+        return format_rag_prompt(
+            ctx, query, text_col="chunk_text", source_col="document_source"
+        )

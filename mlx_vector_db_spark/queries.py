@@ -470,6 +470,32 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=400, overlap=50)
 
 
+def q_rag_pipeline(spark, sf_dir):
+    """End-to-end §3.3 lifecycle (rows-only): index the documents table
+    into a scratch store (chunk -> hash-encode -> append) and retrieve
+    context for the first document's text. Covered value-exactly by the
+    pipeline tests; declared here so the driver exercises the full path."""
+    import tempfile
+
+    from mlx_vector_db_spark.pipeline import HashingEncoder, TextPipeline
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, tempfile.mkdtemp(prefix="ragq-"))
+    store = cat.create_store(
+        "ragq", "hash64", dimension=64,
+        promoted_keys={"document_id": "long", "chunk_index": "int",
+                       "chunk_text": "string", "chunk_length": "int",
+                       "document_source": "string"},
+    )
+    pipe = TextPipeline(store, HashingEncoder(64))
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    pipe.index_documents(docs, chunk_size=400, overlap=50)
+    target = docs.where(F.col("doc_id") == 0).first()
+    return pipe.retrieve_context(
+        target["text"], k=5, min_similarity=0.1, max_context_length=4000
+    )
+
+
 def q_ivf_knn(spark, sf_dir):
     """IVF ANN search (recall-tested vs exact in tests/test_ann.py)."""
     from mlx_vector_db_spark.operators.ann import build_ivf
@@ -515,6 +541,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_pairs": q_simhash_pairs,
     "chunk_documents": q_chunk_documents,
     "ivf_knn": q_ivf_knn,
+    "rag_pipeline": q_rag_pipeline,
 }
 
 _JACCARD_SHINGLES_SQL = """

@@ -84,5 +84,5 @@ def test_rows_only_queries_run(spark, sf_medium, name):
     n = df.count()
     assert n >= 0
     if name in {"minhash_neardup_pairs", "simhash_neardup_pairs",
-                "chunk_documents", "ivf_knn"}:
+                "chunk_documents", "ivf_knn", "rag_pipeline"}:
         assert n > 0, f"{name} expected non-empty output at sf0.01"

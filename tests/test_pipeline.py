@@ -1,0 +1,121 @@
+"""End-to-end text pipeline: chunk -> embed -> store -> retrieve, plus
+the pooling kernel and encoder determinism. Mirrors the reference's §3.3
+lifecycle on the real documents table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.pipeline import (
+    HashingEncoder,
+    TextPipeline,
+    embed_texts,
+    masked_mean_pool,
+)
+from mlx_vector_db_spark.store import VectorStoreCatalog
+
+DIM = 64
+
+
+def test_masked_mean_pool_matches_numpy_oracle():
+    rng = np.random.default_rng(2)
+    hidden = rng.random((3, 5, 4)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 0, 0], [1, 0, 0, 0, 0], [0, 0, 0, 0, 0]])
+    got = masked_mean_pool(hidden, mask)
+    exp0 = hidden[0, :3].mean(axis=0)
+    assert got[0] == pytest.approx(exp0, abs=1e-6)
+    assert got[1] == pytest.approx(hidden[1, 0], abs=1e-6)
+    # fully masked row: denominator floored at 1e-9, result ~0 not NaN
+    assert not np.isnan(got[2]).any() and np.abs(got[2]).max() < 1e-3
+
+
+def test_hashing_encoder_properties():
+    enc = HashingEncoder(DIM)
+    a = enc(["the quick brown fox", "the quick brown fox", "totally different words"])
+    assert a.shape == (3, DIM) and a.dtype == np.float32
+    # deterministic + unit norm
+    assert np.allclose(a[0], a[1])
+    assert np.linalg.norm(a[0]) == pytest.approx(1.0, abs=1e-5)
+    # shared vocabulary => higher cosine than disjoint vocabulary
+    sim_same = float(a[0] @ a[1])
+    sim_diff = float(a[0] @ a[2])
+    assert sim_same == pytest.approx(1.0, abs=1e-5) and sim_diff < 0.5
+
+
+def test_embed_texts_batching(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(100)], "id long, chunk_text string"
+    )
+    out = embed_texts(df, HashingEncoder(16), dim=16, batch_size=7)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    # same text encodes identically regardless of batch boundary
+    one = embed_texts(df.where("id = 13"), HashingEncoder(16), dim=16).first()
+    full = [r for r in rows if r["id"] == 13][0]
+    assert one["embedding"] == full["embedding"]
+
+
+def test_embed_texts_bad_encoder_shape(spark):
+    df = spark.createDataFrame([(0, "x")], "id long, chunk_text string")
+    bad = lambda texts: np.zeros((len(texts), 3), dtype=np.float32)  # noqa: E731
+    with pytest.raises(Exception, match="expected"):
+        embed_texts(df, bad, dim=16).collect()
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path, sf_small):
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store(
+        "rag", "hash64", dimension=DIM, metric="cosine",
+        promoted_keys={
+            "document_id": "long",
+            "chunk_index": "int",
+            "chunk_text": "string",
+            "chunk_length": "int",
+            "document_source": "string",
+        },
+    )
+    return TextPipeline(store, HashingEncoder(DIM))
+
+
+def test_index_and_retrieve_real_documents(spark, pipeline, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(100)
+    n_chunks = pipeline.index_documents(docs, chunk_size=300, overlap=30)
+    assert n_chunks >= 100
+    assert pipeline.store.count() == n_chunks
+
+    # retrieval: querying with a document's own text must surface one of
+    # that document's chunks at rank 1 (hashing encoder => exact
+    # vocabulary match dominates)
+    target = docs.where("doc_id = 7").first()
+    hits = pipeline.search_similar_texts(target["text"], k=3).collect()
+    assert hits[0]["document_id"] == 7
+    assert hits[0]["similarity"] > 0.8
+
+    ctx = pipeline.retrieve_context(
+        target["text"], k=2, min_similarity=0.2, max_context_length=2000
+    ).collect()
+    assert ctx and all(r["similarity"] >= 0.2 for r in ctx)
+
+    prompt = pipeline.answer_prompt(
+        target["text"][:60], k=2, min_similarity=0.0, max_context_length=1500
+    )
+    assert "Question:" in prompt and "[Source 1:" in prompt
+
+
+def test_indexed_chunks_inherit_store_features(spark, pipeline, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(30)
+    pipeline.index_documents(docs)
+    df = pipeline.store.to_df()
+    # norms precomputed on the embedding column
+    row = df.first()
+    assert row["norm"] == pytest.approx(1.0, abs=1e-5)  # encoder normalizes
+    # metadata filter works on promoted chunk columns
+    res = pipeline.search_similar_texts(
+        "anything", k=5, filter_metadata={"document_id": 3}
+    ).collect()
+    assert res and all(r["document_id"] == 3 for r in res)
