@@ -1,0 +1,91 @@
+"""Connected components over a near-duplicate pair graph.
+
+Near-dup pair lists (MinHash/SimHash/embedding cosine) only relate
+*pairs*; real corpus dedup needs transitive clusters — if A~B and B~C,
+all three are one group and one keeper survives (SURVEY.md §7.3's
+"semantic dedup via connected components"). The greedy pairwise drop in
+``minhash_dedup`` can over-delete vs the cluster rule; this operator
+computes exact components.
+
+Algorithm: iterative min-label propagation ("hash-to-min" style) — each
+node starts labeled with itself; every round, each node adopts the
+minimum label in its neighborhood; stop when no label changes. Rounds
+needed = graph diameter, which for near-dup graphs is tiny (dup clusters
+are cliques or short chains), so the loop converges in 2-4 shuffles.
+Each round is one groupBy-min plus a join — all shuffle keys are node
+ids, no driver-side graph ever materializes, so the pattern holds at
+billions of edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_keepers"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node that appears in ``pairs``, where
+    ``component`` is the minimum node id reachable from it.
+
+    Deterministic; isolated nodes (not in any pair) are simply absent —
+    callers treat missing as "its own component".
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # initial label: the node's own id and every neighbor's id, collapsed
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
+        .select(F.col("src").alias("node"), "component")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # each node proposes its current label to every neighbor
+        proposals = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "component")
+            .union(labels)
+        )
+        new_labels = proposals.groupBy("node").agg(
+            F.min("component").alias("component")
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus filtered to one keeper (min id) per near-dup component.
+
+    Unlike the greedy pairwise rule, transitive chains collapse to one
+    survivor: A~B, B~C => only A remains even though A!~C directly.
+    """
+    comp = connected_components(pairs)
+    doomed = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(doomed, on=id_col, how="left_anti")
