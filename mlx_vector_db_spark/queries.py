@@ -501,7 +501,9 @@ def q_ivf_knn(spark, sf_dir):
     from mlx_vector_db_spark.operators.ann import build_ivf
 
     emb = _t(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
-    indexed, index = build_ivf(emb, nlist=16, seed=42)
+    # maxIter=8: at bench scale MLlib's per-iteration job overhead
+    # dominates; centroid quality converges in a few iterations here
+    indexed, index = build_ivf(emb, nlist=16, seed=42, max_iter=8)
     queries = emb.where(F.col("id") < N_KNN_QUERIES).select(
         F.col("id").alias("query_id"), "embedding"
     )
