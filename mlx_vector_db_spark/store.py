@@ -224,9 +224,14 @@ class VectorStore:
     def _empty(self) -> DataFrame:
         return self.catalog.spark.createDataFrame([], self.schema)
 
+    def _cell_partitioned(self) -> bool:
+        return bool((self.config.index or {}).get("partitioned"))
+
     def to_df(self) -> DataFrame:
         """The store as a DataFrame (scan, with pushdown-capable columns)."""
-        if not self.data_dir.exists() or not any(self.data_dir.glob("*.parquet")):
+        if not self.data_dir.exists() or not any(
+            self.data_dir.glob("**/*.parquet")
+        ):
             return self._empty()
         return self.catalog.spark.read.schema(self.schema).parquet(str(self.data_dir))
 
@@ -318,7 +323,10 @@ class VectorStore:
         rows_per_file = 500_000
         n_files = max(1, -(-n_added // rows_per_file))
         out = out.repartition(n_files) if n_files > 1 else out.coalesce(1)
-        out.select(*ordered).write.mode("append").parquet(str(self.data_dir))
+        writer = out.select(*ordered).write.mode("append")
+        if self._cell_partitioned():
+            writer = writer.partitionBy("centroid_id")
+        writer.parquet(str(self.data_dir))
         return n_added
 
     # -- index (reference X1-X3, rebuilt as index-as-columns) --------------
@@ -328,12 +336,21 @@ class VectorStore:
         nlist: int = 16,
         sample_fraction: float | None = None,
         seed: int = 42,
+        partition_by_cell: bool = False,
     ) -> None:
         """Batch IVF index build: k-means centroids persisted in the
         store config (KB-sized, the analog of hnsw_index.bin —
         performance/hnsw_index.py:105-129), assignments rewritten into
         the table as a ``centroid_id`` column. Run once per store (or
-        periodically); subsequent adds assign incrementally."""
+        periodically); subsequent adds assign incrementally.
+
+        ``partition_by_cell=True`` additionally lays the data out as
+        Hive partitions on ``centroid_id``: probe queries then prune at
+        the *directory* level (``PartitionFilters`` in the scan, zero IO
+        for unprobed cells) — the strongest form of the
+        index-as-columns idea, at the cost of one shuffle at build time
+        and nlist-way fan-out of files.
+        """
         from mlx_vector_db_spark.operators.ann import build_ivf
 
         df = self.to_df().drop("centroid_id") if self.config.index else self.to_df()
@@ -343,11 +360,20 @@ class VectorStore:
             df, nlist=nlist, sample_fraction=sample_fraction, seed=seed
         )
         self.config.index = index.to_dict()
+        self.config.index["partitioned"] = bool(partition_by_cell)
         self._ivf_cache = index
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-        indexed.withColumn("centroid_id", F.col("centroid_id").cast("int")).select(
-            [f.name for f in self.schema.fields]
-        ).write.mode("overwrite").parquet(str(staging))
+        out = indexed.withColumn(
+            "centroid_id", F.col("centroid_id").cast("int")
+        ).select([f.name for f in self.schema.fields])
+        if partition_by_cell:
+            # one file per cell at this scale; a real deployment sizes
+            # files per cell with a repartition on centroid_id first
+            out.repartition("centroid_id").write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(str(staging))
+        else:
+            out.write.mode("overwrite").parquet(str(staging))
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
         self.catalog._save_config(self.config)
@@ -447,9 +473,12 @@ class VectorStore:
         doomed = knn.apply_metadata_filter(doomed, filter_metadata)
         keep = df.join(doomed.select("id"), on="id", how="left_anti")
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-        keep.select([f.name for f in self.schema.fields]).write.mode(
+        writer = keep.select([f.name for f in self.schema.fields]).write.mode(
             "overwrite"
-        ).parquet(str(staging))
+        )
+        if self._cell_partitioned():
+            writer = writer.partitionBy("centroid_id")
+        writer.parquet(str(staging))
         after = self.catalog.spark.read.parquet(str(staging)).count()
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
@@ -468,10 +497,35 @@ class VectorStore:
         if df.isEmpty():
             return 0
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-        df.coalesce(target_files).write.mode("overwrite").parquet(str(staging))
+        if self._cell_partitioned():
+            df.repartition("centroid_id").write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(str(staging))
+        else:
+            df.coalesce(target_files).write.mode("overwrite").parquet(str(staging))
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
-        return len(list(self.data_dir.glob("*.parquet")))
+        return len(list(self.data_dir.glob("**/*.parquet")))
+
+    # -- SQL surface -------------------------------------------------------
+
+    def create_view(self, name: str | None = None) -> str:
+        """Register the store as a SQL temp view (plus the vec_* SQL
+        functions), so plain SQL text queries work:
+
+            SELECT id, vec_cosine(embedding, array(...)) AS s
+            FROM <view> ORDER BY s DESC LIMIT 10
+
+        NB: Spark 4 forbids SQL UDFs directly inside ORDER BY — compute
+        the score in the SELECT list and order by its alias (as above).
+        The reference has no SQL surface at all; this is free on Spark.
+        """
+        from mlx_vector_db_spark.functions.vector import register_sql_functions
+
+        view = name or f"{self.config.user_id}_{self.config.model_id}"
+        self.to_df().createOrReplaceTempView(view)
+        register_sql_functions(self.catalog.spark)
+        return view
 
     # -- stats -------------------------------------------------------------
 
@@ -488,7 +542,8 @@ class VectorStore:
             "dimension": self.config.dimension,
             "metric": self.config.metric,
             "index_type": (self.config.index or {}).get("type", "none"),
-            "files": len(list(self.data_dir.glob("*.parquet")))
+            "cell_partitioned": self._cell_partitioned(),
+            "files": len(list(self.data_dir.glob("**/*.parquet")))
             if self.data_dir.exists()
             else 0,
         }
