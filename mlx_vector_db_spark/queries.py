@@ -411,6 +411,69 @@ def q_brand_price_median(spark, sf_dir):
     )
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window aggregate (1h window, 30m slide) — every event
+    lands in two windows; batch expression of the streaming sliding
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", events_ts(ev))
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def q_events_range_frame(spark, sf_dir):
+    """RANGE window frame: per user, sum of value over the trailing hour
+    (range on the epoch-seconds ordering column, not a row count)."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_sec", F.unix_timestamp(events_ts(ev)))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_hour_value"),
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    """Exact distinct aggregation (the approx variants exist too but
+    can't hash-match across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_knn_scored(spark, sf_dir):
+    """Cosine top-5 with the canonical similarity/distance conversion
+    columns (F5) — puts the conversion rules themselves under the
+    driver's value-hash gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb, queries, k=5, metric="cosine",
+                   vec_col="embedding", id_col="vec_id")
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("similarity", 6).alias("similarity"),
+        F.round("distance", 6).alias("distance"),
+    )
+
+
 # --------------------------------------------------------------------------
 # text pipeline
 # --------------------------------------------------------------------------
@@ -534,6 +597,10 @@ QUERIES: dict[str, QueryFn] = {
     "customers_without_orders": q_customers_without_orders,
     "priority_intersect": q_priority_intersect,
     "brand_price_median": q_brand_price_median,
+    "events_sliding": q_events_sliding,
+    "events_range_frame": q_events_range_frame,
+    "distinct_users": q_distinct_users,
+    "knn_scored_conversions": q_knn_scored,
     "text_stats": q_text_stats,
     "lang_detect": q_lang_detect,
     "dedup_exact": q_dedup_exact,
@@ -735,6 +802,61 @@ ORACLES: dict[str, str] = {
                round(max(p_retailprice), 2) AS max_price,
                count(*)::BIGINT AS n_parts
         FROM part GROUP BY p_brand
+    """,
+    "events_sliding": """
+        WITH base AS (
+          -- NB: duckdb's // on DOUBLE is plain division; go through
+          -- BIGINT for true integer division
+          SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events
+        ), starts AS (
+          SELECT event_type, es,
+                 unnest([(es // 1800) * 1800,
+                         (es // 1800) * 1800 - 1800]) AS window_start
+          FROM base
+        )
+        SELECT window_start, event_type, count(*)::BIGINT AS n_events
+        FROM starts
+        WHERE es >= window_start AND es < window_start + 3600
+        GROUP BY 1, 2
+    """,
+    "events_range_frame": """
+        WITH base AS (
+          SELECT event_id, user_id, value, floor(epoch(ts))::BIGINT AS ts_sec
+          FROM events
+        )
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+                 AS trailing_hour_value
+        FROM base
+    """,
+    "distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "knn_scored_conversions": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3
+        ), v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        ), scored AS (
+          SELECT q.query_id, v.vec_id,
+                 list_inner_product(v.ev, q.qv)
+                 / (greatest(sqrt(list_inner_product(v.ev, v.ev)), 1e-8)
+                    * greatest(sqrt(list_inner_product(q.qv, q.qv)), 1e-8)) AS s
+          FROM q CROSS JOIN v
+        ), ranked AS (
+          SELECT query_id, vec_id, s,
+                 row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+          FROM scored
+        )
+        SELECT query_id, vec_id, rnk::INTEGER AS rank,
+               round(s, 6) AS similarity,
+               round(1.0 - s, 6) AS distance
+        FROM ranked WHERE rnk <= 5
     """,
     "text_stats": """
         WITH w AS (
