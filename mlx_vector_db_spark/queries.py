@@ -47,6 +47,10 @@ KNN_K = 10
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver passes its own SparkSession: make sure the nanos-
+    # timestamp escape hatch is on regardless of how it was built
+    # (events.parquet is TIMESTAMP(NANOS); runtime-settable conf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
