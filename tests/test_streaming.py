@@ -111,3 +111,62 @@ def test_streaming_ingest_vectors(spark, tmp_path):
     first_vec = batches[0][0][1]
     hit = store.query(first_vec, k=1).first()
     assert hit["id"] == 0
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: running per-user totals accumulate across
+    micro-batches and the final emission matches the batch oracle."""
+    import numpy as np
+    from mlx_vector_db_spark.streaming.stateful import running_user_totals
+
+    rng = np.random.default_rng(4)
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows_all = []
+    for b in range(3):
+        rows = [
+            (b * 100 + i, int(rng.integers(0, 5)), float(rng.random() * 10))
+            for i in range(50)
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        rows_all += rows
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the LAST emission per user holds the full running totals
+    final = {
+        r["user_id"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_events DESC) rn "
+            "FROM running_totals) WHERE rn = 1"
+        ).collect()
+    }
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0.0, float("-inf")])
+    for _, u, v in rows_all:
+        exp[u][0] += 1
+        exp[u][1] += v
+        exp[u][2] = max(exp[u][2], v)
+    assert set(final) == set(exp)
+    for u, (n, tot, mx) in exp.items():
+        assert final[u]["n_events"] == n
+        assert final[u]["total_value"] == pytest.approx(tot, abs=1e-9)
+        assert final[u]["max_value"] == pytest.approx(mx, abs=1e-9)
+    # state really accumulated across batches (3 emissions per user)
+    n_emissions = spark.sql("SELECT count(*) FROM running_totals").first()[0]
+    assert n_emissions > len(exp)
