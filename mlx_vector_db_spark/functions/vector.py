@@ -141,6 +141,32 @@ def distance_for_metric(metric: str, raw: Column) -> Column:
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: ``struct(qvec
+    array<tinyint>, scale double)`` with ``scale = max|x| / 127``.
+
+    4x storage vs float32 — at 100 TB that is the difference between a
+    scan-bound and an IO-comfortable similarity sweep. Zero vectors get
+    scale 0 and an all-zero code. Dequantized scores differ from float
+    scores by O(scale) per component (see test tolerance); the intended
+    use is quantized first-pass scoring + exact re-rank of the top
+    candidates (same shape as the ANN over-fetch policy).
+    """
+    arr = _as_double(a)
+    scale = F.array_max(F.transform(arr, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(arr, lambda x: F.round(x / scale).cast("tinyint")),
+    ).otherwise(F.transform(arr, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(q.alias("qvec"), scale.cast("double").alias("scale"))
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8`: ``array<double>``."""
+    col = F.col(q) if isinstance(q, str) else q
+    return F.transform(col["qvec"], lambda x: x.cast("double") * col["scale"])
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Expose the vector functions to SQL text queries.
 

@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed tables (saveAsTable) need a warehouse; keep it out of
+        # the repo working tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mlx_vector_db_spark-warehouse"),
+        )
         # the events table carries TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as raw nanos and convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -98,3 +98,42 @@ def test_sql_registered_functions(spark):
     assert row["c"] == pytest.approx(1.0, abs=1e-8)
     assert row["d"] == pytest.approx(5.0)
     assert row["p"] == pytest.approx(11.0)
+
+
+def test_int8_quantization_roundtrip_and_scoring(spark):
+    """Quantized cosine tracks float cosine within quantization error,
+    and top-k over real embeddings is stable under int8 first-pass."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(
+        "vec_id",
+        "embedding",
+        V.quantize_int8("embedding").alias("q8"),
+    )
+    deq = q.select(
+        "vec_id",
+        V.cosine_similarity("embedding", "embedding").alias("self_f"),
+        V.cosine_similarity(
+            V.dequantize_int8("q8"), V.dequantize_int8("q8")
+        ).alias("self_q"),
+        V.euclidean_distance("embedding", V.dequantize_int8("q8")).alias("err"),
+        V.l2_norm("embedding").alias("norm"),
+    )
+    rows = deq.collect()
+    for r in rows:
+        assert r["self_q"] == pytest.approx(1.0, abs=1e-9)
+        # per-component error <= scale/2 => vector error <= scale*sqrt(d)/2
+        assert r["err"] < r["norm"] * 0.01 + 1e-6
+
+    # top-10 by quantized scores vs float scores: strong overlap
+    target = emb.where("vec_id = 0").first()["embedding"]
+    fl = spark.createDataFrame([(list(target),)], "t array<float>")
+    base = q.crossJoin(fl)
+    both = base.select(
+        "vec_id",
+        V.cosine_similarity("embedding", "t").alias("s_float"),
+        V.cosine_similarity(V.dequantize_int8("q8"), "t").alias("s_q8"),
+    ).collect()
+    top_f = [r["vec_id"] for r in sorted(both, key=lambda r: (-r["s_float"], r["vec_id"]))[:10]]
+    top_q = [r["vec_id"] for r in sorted(both, key=lambda r: (-r["s_q8"], r["vec_id"]))[:10]]
+    assert len(set(top_f) & set(top_q)) >= 8
+    assert top_f[0] == top_q[0] == 0
