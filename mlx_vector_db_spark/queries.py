@@ -478,6 +478,23 @@ def q_knn_scored(spark, sf_dir):
     )
 
 
+def q_events_json(spark, sf_dir):
+    """JSON payload extraction (the events props column is a JSON
+    string — the open-metadata pattern): parse, bucket the extracted
+    key, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # text pipeline
 # --------------------------------------------------------------------------
@@ -603,6 +620,7 @@ QUERIES: dict[str, QueryFn] = {
     "brand_price_median": q_brand_price_median,
     "events_sliding": q_events_sliding,
     "events_range_frame": q_events_range_frame,
+    "events_json_extract": q_events_json,
     "distinct_users": q_distinct_users,
     "knn_scored_conversions": q_knn_scored,
     "text_stats": q_text_stats,
@@ -833,6 +851,17 @@ ORACLES: dict[str, str] = {
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
                  AS trailing_hour_value
         FROM base
+    """,
+    "events_json_extract": """
+        WITH base AS (
+          SELECT event_type, value, json_extract(props, '$.k')::INTEGER AS k
+          FROM events
+        )
+        SELECT event_type, k % 10 AS k_mod,
+               count(*)::BIGINT AS n_events,
+               round(avg(value), 6) AS avg_value
+        FROM base WHERE k IS NOT NULL
+        GROUP BY event_type, k % 10
     """,
     "distinct_users": """
         SELECT event_type,
