@@ -63,7 +63,10 @@ def events_ts(ev: DataFrame, col: str = "ts") -> F.Column:
     from pyspark.sql import types as T
 
     if isinstance(ev.schema[col].dataType, T.LongType):
-        return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+        # integral `div`, NOT `/`: epoch nanos (~1.7e18) exceed a
+        # double's 2^53 exact-integer range, so float division is off
+        # by up to a microsecond
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
     return F.col(col)
 
 
@@ -495,6 +498,27 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: attach to every event the user's most recent
+    purchase at-or-before it (operators.asof — union + forward-fill,
+    one shuffle; oracle is duckdb's native ASOF JOIN)."""
+    from mlx_vector_db_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", F.unix_micros(events_ts(ev)))
+    left = ev.select("event_id", "user_id", "ts_us")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(left, purchases, on="ts_us", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value_right", 4).alias("last_purchase_value"),
+        F.col("ts_us_right").alias("last_purchase_ts"),
+    )
+
+
 # --------------------------------------------------------------------------
 # text pipeline
 # --------------------------------------------------------------------------
@@ -621,6 +645,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sliding": q_events_sliding,
     "events_range_frame": q_events_range_frame,
     "events_json_extract": q_events_json,
+    "events_asof_purchase": q_events_asof,
     "distinct_users": q_distinct_users,
     "knn_scored_conversions": q_knn_scored,
     "text_stats": q_text_stats,
@@ -862,6 +887,21 @@ ORACLES: dict[str, str] = {
                round(avg(value), 6) AS avg_value
         FROM base WHERE k IS NOT NULL
         GROUP BY event_type, k % 10
+    """,
+    "events_asof_purchase": """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, value,
+                 epoch_ns(ts) // 1000 AS ts_us
+          FROM events
+        ), purchases AS (
+          SELECT user_id, ts_us, value FROM ev WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id, e.user_id,
+               round(p.value, 4) AS last_purchase_value,
+               p.ts_us AS last_purchase_ts
+        FROM ev e
+        ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
     """,
     "distinct_users": """
         SELECT event_type,

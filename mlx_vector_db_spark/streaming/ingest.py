@@ -76,9 +76,8 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .load(events_path)
     )
-    return raw.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integral div: epoch nanos exceed a double's exact-integer range
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
