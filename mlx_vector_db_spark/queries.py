@@ -519,6 +519,30 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+#: overlapping price bands for the range-join catalog query (a point can
+#: fall in several) — mirrored literally in the SQL oracle
+_PRICE_BANDS = [(0, 0.0, 800.0), (1, 500.0, 1300.0), (2, 1200.0, 2000.0)]
+
+
+def q_part_price_bands(spark, sf_dir):
+    """Range join: parts matched to every overlapping price band
+    (operators.rangejoin — bucketize + equi-join + refine; oracle is a
+    plain range-predicate join)."""
+    from mlx_vector_db_spark.operators.rangejoin import range_join
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band_id int, lo double, hi double"
+    )
+    out = range_join(part, bands, "p_retailprice", "lo", "hi",
+                     bucket_width=400.0)
+    return out.select(
+        "p_partkey",
+        "band_id",
+        F.round("p_retailprice", 2).alias("price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # text pipeline
 # --------------------------------------------------------------------------
@@ -646,6 +670,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_range_frame": q_events_range_frame,
     "events_json_extract": q_events_json,
     "events_asof_purchase": q_events_asof,
+    "part_price_bands": q_part_price_bands,
     "distinct_users": q_distinct_users,
     "knn_scored_conversions": q_knn_scored,
     "text_stats": q_text_stats,
@@ -902,6 +927,14 @@ ORACLES: dict[str, str] = {
         FROM ev e
         ASOF LEFT JOIN purchases p
           ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+    """,
+    "part_price_bands": """
+        WITH bands(band_id, lo, hi) AS (
+          VALUES (0, 0.0, 800.0), (1, 500.0, 1300.0), (2, 1200.0, 2000.0)
+        )
+        SELECT p_partkey, band_id, round(p_retailprice, 2) AS price
+        FROM part JOIN bands
+          ON p_retailprice >= lo AND p_retailprice <= hi
     """,
     "distinct_users": """
         SELECT event_type,
