@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "region_revenue",
     "top_customers_per_nation",
     "events_hourly",
+    "events_sliding",
+    "events_asof_purchase",
     "text_stats",
     "dedup_exact",
     "minhash_neardup_pairs",
