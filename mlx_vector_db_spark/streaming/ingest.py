@@ -106,6 +106,28 @@ def windowed_event_counts(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows: per user, events closer than ``gap``
+    merge into one session (the streaming twin of the batch
+    lag+cumsum sessionization in queries.q_events_sessionize)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -170,3 +170,41 @@ def test_stateful_running_totals(spark, tmp_path):
     # state really accumulated across batches (3 emissions per user)
     n_emissions = spark.sql("SELECT count(*) FROM running_totals").first()[0]
     assert n_emissions > len(exp)
+
+
+def test_session_window_matches_batch_sessionization(spark, sf_small):
+    """Native session_window sessions match the batch lag+cumsum
+    sessionization on closed sessions (same 30-minute gap rule)."""
+    from mlx_vector_db_spark.streaming.ingest import session_windows
+    from mlx_vector_db_spark.queries import q_events_sessionize
+
+    stream = read_events_stream(spark, sf_small)
+    q = (
+        session_windows(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        # batch sessionization keys on floored epoch seconds
+        (r["user_id"], int(r["session_start"].timestamp())): (
+            r["n_events"],
+            round(r["session_value"], 4),
+        )
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got, "no closed sessions emitted"
+    exp = {
+        (r["user_id"], int(r["session_start"])): (r["n_events"], r["session_value"])
+        for r in q_events_sessionize(spark, sf_small).collect()
+    }
+    # every closed streaming session matches a batch session exactly
+    matched = 0
+    for key, val in got.items():
+        if key in exp:
+            assert exp[key] == val
+            matched += 1
+    assert matched >= len(got) * 0.9  # tail sessions may still be open
