@@ -78,6 +78,10 @@ class StoreConfig:
     promoted_keys: dict[str, str] = field(default_factory=dict)  # name -> type
     created_at: float = 0.0
     index: dict | None = None
+    #: store an int8 code column beside the float embeddings; queries can
+    #: then run a quantized first pass that scans ~1/4 of the vector
+    #: bytes (columnar pruning) and exact-re-rank only the candidates
+    quantize: bool = False
 
     def __post_init__(self) -> None:
         if not (1 <= self.dimension <= MAX_DIMENSION):
@@ -121,6 +125,7 @@ class VectorStoreCatalog:
         metric: str = "cosine",
         promoted_keys: Mapping[str, str] | None = None,
         exist_ok: bool = False,
+        quantize: bool = False,
     ) -> "VectorStore":
         path = self._config_path(user_id, model_id)
         if path.exists():
@@ -134,6 +139,7 @@ class VectorStoreCatalog:
             metric=metric,
             promoted_keys=dict(promoted_keys or {}),
             created_at=time.time(),
+            quantize=quantize,
         )
         path.write_text(json.dumps(asdict(cfg), indent=2))
         return VectorStore(self, cfg)
@@ -207,6 +213,19 @@ class VectorStore:
         fields.append(
             T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True)
         )
+        if self.config.quantize:
+            fields.append(
+                T.StructField(
+                    "q8",
+                    T.StructType(
+                        [
+                            T.StructField("qvec", T.ArrayType(T.ByteType())),
+                            T.StructField("scale", T.DoubleType()),
+                        ]
+                    ),
+                    True,
+                )
+            )
         if self.config.index:
             fields.append(T.StructField("centroid_id", T.IntegerType(), True))
         return T.StructType(fields)
@@ -282,11 +301,12 @@ class VectorStore:
                         "meta": {k: str(v) for k, v in md.items()},
                     }
                 )
-            # norm and index columns are engine-computed, never caller input
+            # norm, code, and index columns are engine-computed, never
+            # caller input
             in_fields = [
                 f
                 for f in self.schema.fields
-                if f.name not in ("norm", "centroid_id")
+                if f.name not in ("norm", "centroid_id", "q8")
             ]
             df = spark.createDataFrame(rows, T.StructType(in_fields))
 
@@ -304,6 +324,10 @@ class VectorStore:
             )
         out = out.withColumn("embedding", F.col("embedding").cast("array<float>"))
         out = out.withColumn("norm", l2_norm("embedding"))
+        if self.config.quantize and "q8" not in out.columns:
+            from mlx_vector_db_spark.functions.vector import quantize_int8
+
+            out = out.withColumn("q8", quantize_int8("embedding"))
         for key, tname in self.config.promoted_keys.items():
             if key not in out.columns:
                 out = out.withColumn(key, F.lit(None).cast(_PROMOTED_TYPES[tname]))
@@ -393,6 +417,8 @@ class VectorStore:
         metric: str | None = None,
         use_index: bool = True,
         nprobe: int = 4,
+        use_quantized: bool = True,
+        overfetch: int = 4,
     ) -> DataFrame:
         """Single k-NN query (reference §3.1). Empty store -> empty result,
         not an error (service/optimized_vector_store.py:117).
@@ -415,8 +441,53 @@ class VectorStore:
                 df = df.where(F.col("centroid_id").isin(probes))
             except Exception:  # index trouble -> exact path (reference :142-145)
                 df = self.to_df()
+        if use_quantized and self.config.quantize:
+            try:
+                return self._query_quantized_first_pass(
+                    df, query_vector, k, metric, filter_metadata, overfetch
+                )
+            except Exception:  # fall back to the exact single-pass scan
+                pass
         return knn_query(
             df,
+            query_vector,
+            k=k,
+            metric=metric,
+            filter_metadata=filter_metadata,
+            norm_col="norm",
+        )
+
+    def _query_quantized_first_pass(
+        self, df, query_vector, k, metric, filter_metadata, overfetch
+    ) -> DataFrame:
+        """Two-pass search: (1) score the int8 codes — the scan reads
+        only ``id``/``q8`` (+ filter columns), ~1/4 of the vector bytes —
+        and keep ``k * overfetch`` candidates; (2) semi-join the float
+        embeddings of just those candidates and exact-re-rank to k.
+        Quantization error is O(scale) per component, so with a modest
+        over-fetch the exact top-k survives the first pass (tested)."""
+        from mlx_vector_db_spark.functions.vector import dequantize_int8
+        from mlx_vector_db_spark.operators.knn import (
+            _annotate,
+            _order,
+            apply_metadata_filter,
+        )
+
+        filtered = apply_metadata_filter(df, filter_metadata)
+        q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+        from mlx_vector_db_spark.functions.vector import score_for_metric
+
+        approx = score_for_metric(metric, dequantize_int8("q8"), q)
+        cands = (
+            filtered.select("id", F.col("q8"))
+            .withColumn("_s", approx)
+            .orderBy(*_order(metric, F.col("_s"), "id"))
+            .limit(int(k) * int(overfetch))
+            .select("id")
+        )
+        subset = df.join(cands, on="id", how="left_semi")
+        return knn_query(
+            subset,
             query_vector,
             k=k,
             metric=metric,
