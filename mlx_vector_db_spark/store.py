@@ -502,20 +502,42 @@ class VectorStore:
         filter_metadata: Mapping[str, Any] | None = None,
         metric: str | None = None,
         blocked: bool = False,
+        use_quantized: bool = False,
+        overfetch: int = 4,
     ) -> DataFrame:
         """Batch k-NN (the reference's declared-but-missing
         ``store.batch_query`` — call sites api/routes/vectors.py:291 with
         no implementation; SURVEY.md §2.11 — implemented properly here).
 
         ``blocked=True`` selects the Arrow block-matmul path for wide
-        query batches / huge stores.
+        query batches / huge stores. ``use_quantized=True`` (quantized
+        stores only) runs the int8 first pass per query and exact-
+        re-ranks the union of candidates — the batch twin of the
+        two-pass single query.
         """
+        metric = metric or self.config.metric
+        df = self.to_df()
+        if use_quantized and self.config.quantize:
+            from mlx_vector_db_spark.functions.vector import dequantize_int8
+
+            first = knn_join(
+                df.select(
+                    "id", dequantize_int8("q8").alias("embedding"),
+                    *[c for c in df.columns if c not in ("id", "embedding", "q8", "norm")],
+                ),
+                queries,
+                k=k * int(overfetch),
+                metric=metric,
+                filter_metadata=filter_metadata,
+            )
+            cand_ids = first.select("id").distinct()
+            df = df.join(cand_ids, on="id", how="left_semi")
         fn = knn_join_blocked if blocked else knn_join
         return fn(
-            self.to_df(),
+            df,
             queries,
             k=k,
-            metric=metric or self.config.metric,
+            metric=metric,
             filter_metadata=filter_metadata,
             **({} if blocked else {"norm_col": "norm"}),
         )

@@ -75,3 +75,16 @@ def test_unquantized_store_ignores_flag(spark, tmp_path):
     st.add_vectors([[float(i)] * 8 for i in range(1, 6)])
     got = st.query([1.0] * 8, k=2, use_quantized=True).collect()
     assert len(got) == 2  # plain exact path, no q8 column required
+
+
+def test_batch_two_pass_matches_exact(spark, qstore):
+    qdf = spark.createDataFrame(
+        [(i, qstore._vecs[i].tolist()) for i in range(5)],
+        "query_id long, embedding array<float>",
+    )
+    two = qstore.batch_query(qdf, k=5, use_quantized=True).collect()
+    one = qstore.batch_query(qdf, k=5, use_quantized=False).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["id"]) for r in rows)
+    assert key(two) == key(one)
+    top1 = {r["query_id"]: r["id"] for r in two if r["rank"] == 1}
+    assert top1 == {i: i for i in range(5)}
