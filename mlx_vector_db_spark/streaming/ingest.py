@@ -146,20 +146,41 @@ def streaming_ingest_vectors(
     store,
     checkpoint_dir: str,
     query_name: str = "vector_ingest",
+    operations_log: str | None = None,
 ):
     """Append a streaming DataFrame of vectors into a VectorStore.
 
     Each micro-batch goes through the store's normal add path (norm
     projection + append) — chunked ingestion (reference S6) with
-    exactly-once bookkeeping from the checkpoint instead of a bespoke
-    operations log. Returns the StreamingQuery; poll
-    ``query.lastProgress`` for the reference's progress surface.
+    exactly-once bookkeeping from the checkpoint. Returns the
+    StreamingQuery; poll ``query.lastProgress`` for live progress.
+
+    ``operations_log``: optional parquet directory receiving one row
+    per processed batch — the durable analog of the reference's
+    in-memory operations dict (api/routes/batch_v1.py:103-172), which
+    vanished on restart; this one is a queryable table.
     """
+    import time as _time
 
     def _add(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.add_vectors(batch_df)
+        n = store.add_vectors(batch_df)
+        if operations_log:
+            spark = batch_df.sparkSession
+            spark.createDataFrame(
+                [
+                    (
+                        query_name,
+                        int(epoch_id),
+                        int(n),
+                        float(_time.time()),
+                        f"{store.config.user_id}_{store.config.model_id}",
+                    )
+                ],
+                "operation string, batch_id long, rows_added long, "
+                "completed_at double, store string",
+            ).coalesce(1).write.mode("append").parquet(operations_log)
 
     return (
         stream.writeStream.foreachBatch(_add)

@@ -101,12 +101,19 @@ def test_streaming_ingest_vectors(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    q = streaming_ingest_vectors(stream, store, str(tmp_path / "ckpt"))
+    q = streaming_ingest_vectors(
+        stream, store, str(tmp_path / "ckpt"),
+        operations_log=str(tmp_path / "ops"),
+    )
     q.processAllAvailable()
     q.stop()
     assert store.count() == 30
     # progress surface exists (reference T1 analog)
     assert q.lastProgress is not None
+    # durable operations log: one row per batch, totals add up
+    ops = spark.read.parquet(str(tmp_path / "ops"))
+    assert ops.count() == 3
+    assert sum(r["rows_added"] for r in ops.collect()) == 30
     # ingested rows are queryable
     first_vec = batches[0][0][1]
     hit = store.query(first_vec, k=1).first()
