@@ -306,6 +306,21 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_orders_cube(spark, sf_dir):
+    """CUBE aggregate — all grouping-set combinations (rollup's sibling;
+    null markers coalesced as in q_orders_rollup)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+        )
+    )
+
+
 def q_events_rolling_avg(spark, sf_dir):
     """Rolling average over a row frame (reference A4's incremental mean,
     main.py:140-148, generalized to a proper window frame). Walk order
@@ -658,6 +673,7 @@ QUERIES: dict[str, QueryFn] = {
     "region_revenue": q_region_revenue,
     "top_customers_per_nation": q_top_customers_per_nation,
     "orders_rollup": q_orders_rollup,
+    "orders_cube": q_orders_cube,
     "events_hourly": q_events_hourly,
     "events_rolling_avg": q_events_rolling_avg,
     "events_histogram": q_events_histogram,
@@ -803,6 +819,13 @@ ORACLES: dict[str, str] = {
                round(sum(o_totalprice), 0) AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "orders_cube": """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*)::BIGINT AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
     "events_hourly": """
         SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
