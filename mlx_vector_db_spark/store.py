@@ -169,6 +169,64 @@ class VectorStoreCatalog:
             for p in sorted(self._meta_dir.glob("*.json"))
         ]
 
+    def query_all(
+        self,
+        query_vector: Sequence[float],
+        k: int = 10,
+        user_id: str | None = None,
+        metric: str = "cosine",
+        filter_metadata: Mapping[str, Any] | None = None,
+    ) -> DataFrame:
+        """Federated k-NN across every store (optionally one tenant's):
+        per-store top-k in ONE plan over the partitioned fleet layout.
+
+        The reference can only query one store per call (its stores are
+        separate files); here the fleet is one logical table, so this is
+        a scan with partition pruning on ``user_id`` plus a top-k window
+        per (user_id, model_id) — per-store results in a single job.
+        Stores whose dimension differs from the query are skipped (their
+        scores would be meaningless).
+        """
+        dim = len(query_vector)
+        stores = [
+            c
+            for c in self.list_stores()
+            if c.dimension == dim and (user_id is None or c.user_id == user_id)
+        ]
+        if not stores:
+            return self.spark.createDataFrame(
+                [], "user_id string, model_id string, id long, score double, rank int"
+            )
+        from mlx_vector_db_spark.functions.vector import score_for_metric
+        from mlx_vector_db_spark.operators.knn import _order, apply_metadata_filter
+        from mlx_vector_db_spark.operators.topk import top_k_per_group
+
+        parts = []
+        for cfg in stores:
+            st = VectorStore(self, cfg)
+            df = st.to_df().select(
+                F.lit(cfg.user_id).alias("user_id"),
+                F.lit(cfg.model_id).alias("model_id"),
+                "id",
+                "embedding",
+                *(["meta"] if "meta" in st.to_df().columns else []),
+            )
+            parts.append(df)
+        fleet = parts[0]
+        for p in parts[1:]:
+            fleet = fleet.unionByName(p, allowMissingColumns=True)
+        fleet = apply_metadata_filter(fleet, filter_metadata)
+        q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+        scored = fleet.withColumn(
+            "score", score_for_metric(metric, "embedding", q)
+        )
+        return top_k_per_group(
+            scored,
+            ["user_id", "model_id"],
+            _order(metric, F.col("score"), "id"),
+            int(k),
+        ).select("user_id", "model_id", "id", "score", "rank")
+
     def fleet_stats(self) -> dict[str, Any]:
         """Fleet-wide totals (reference api/routes/vectors.py:121-141 loops
         stores in Python; here it is one partition-pruned aggregate scan)."""

@@ -156,3 +156,25 @@ def test_fleet_stats(catalog):
 
 def test_health_check(store):
     assert store.health_check()["healthy"] is True
+
+
+def test_fleet_query_all(catalog):
+    """Federated per-store top-k in one plan; dimension-mismatched
+    stores are skipped."""
+    a = catalog.create_store("t1", "m1", dimension=8)
+    b = catalog.create_store("t1", "m2", dimension=8)
+    c = catalog.create_store("t2", "m1", dimension=8)
+    other = catalog.create_store("t9", "odd", dimension=4)
+    base = [float(x) for x in range(8)]
+    a.add_vectors([base, [9.0] * 8])
+    b.add_vectors([[x + 0.1 for x in base]])
+    c.add_vectors([[x + 5 for x in base]])
+    other.add_vectors([[1.0] * 4])
+
+    res = catalog.query_all(base, k=1).collect()
+    got = {(r["user_id"], r["model_id"]): (r["id"], r["rank"]) for r in res}
+    assert set(got) == {("t1", "m1"), ("t1", "m2"), ("t2", "m1")}
+    assert got[("t1", "m1")] == (0, 1)  # exact match wins in its store
+
+    only_t1 = catalog.query_all(base, k=1, user_id="t1").collect()
+    assert {r["user_id"] for r in only_t1} == {"t1"}
