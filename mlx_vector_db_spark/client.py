@@ -109,6 +109,24 @@ class VectorDBClient:
         n = store.add_vectors(vectors, metadata)
         return {"status": "success", "vectors_added": n}
 
+    def upsert_vectors(
+        self,
+        user_id: str,
+        model_id: str,
+        vectors: Sequence[Sequence[float]],
+        ids: Sequence[int],
+        metadata: Sequence[Mapping[str, Any]] | None = None,
+    ) -> dict[str, Any]:
+        """Merge-by-id (no reference analog — its mutation surface stops
+        at append; see VectorStore.upsert_vectors)."""
+        store = self.catalog.get_store(user_id, model_id)
+        updated, inserted = store.upsert_vectors(vectors, metadata, ids=ids)
+        return {
+            "status": "success",
+            "vectors_updated": updated,
+            "vectors_inserted": inserted,
+        }
+
     def query(
         self,
         user_id: str,

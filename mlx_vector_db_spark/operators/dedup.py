@@ -24,7 +24,7 @@ Beyond the reference's surface (SURVEY.md §7.3 milestone 6) — the suite a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import doc_fingerprint, shingles
@@ -109,6 +109,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -121,6 +122,15 @@ def minhash_lsh_pairs(
       4. exact Jaccard on distinct shingle sets for candidates only.
 
     Output: ``id_a, id_b, jaccard`` with ``jaccard >= threshold``.
+
+    ``max_bucket_size`` caps degenerate LSH buckets: an adversarial (or
+    just boilerplate-heavy) corpus can put B docs in one (band, hash)
+    bucket, and the self-join then emits B² candidate rows — at 100 TB a
+    single hot bucket is an OOM-sized straggler task. Buckets above the
+    cap are dropped *before* the join, bounding per-bucket fan-out at
+    max_bucket_size²; a pair sharing a dropped bucket is still found
+    through any of its other ``bands-1`` bands, so recall degrades
+    gracefully rather than the job dying.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
@@ -163,6 +173,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        # count shares the join's (band, band_hash) clustering, so the
+        # window adds no extra shuffle beyond what the self-join needs
+        bucket_w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
+            .where(F.col("_bsz") <= F.lit(int(max_bucket_size)))
+            .drop("_bsz")
+        )
     # candidate ids only — the (possibly large) text joins back once per
     # candidate pair, not once per (doc, band)
     left = banded.select("band", "band_hash", F.col("_id").alias("id_a"))
@@ -283,6 +302,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with banded blocking.
 
@@ -290,6 +310,13 @@ def simhash_pairs(
     on at least one of d+1 disjoint bit bands, so candidates are a
     self-equi-join per band — never a cross join.
     Output: ``id_a, id_b, hamming`` (<= max_hamming).
+
+    ``max_bucket_size`` drops oversized (band, band_key) buckets before
+    the self-join (e.g. all empty/boilerplate docs share fingerprint 0
+    and land in every band's same bucket — B² blowup); see
+    minhash_lsh_pairs for the rationale. Unlike MinHash, a dropped
+    SimHash bucket *can* lose pairs whose only agreeing band it was —
+    the cap trades bounded worst-case cost for that recall edge.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -308,6 +335,13 @@ def simhash_pairs(
             )
         ).alias("band", "band_key"),
     )
+    if max_bucket_size is not None:
+        bucket_w = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
+            .where(F.col("_bsz") <= F.lit(int(max_bucket_size)))
+            .drop("_bsz")
+        )
     left = bands.select("band", "band_key", F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
     right = bands.select("band", "band_key", F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
     return (

@@ -314,28 +314,25 @@ class VectorStore:
 
     # -- ingest ------------------------------------------------------------
 
-    def add_vectors(
+    def _prepare_batch(
         self,
         vectors: Sequence[Sequence[float]] | DataFrame,
         metadata: Sequence[Mapping[str, Any]] | None = None,
         ids: Sequence[int] | None = None,
-    ) -> int:
-        """Append vectors (+ aligned metadata) — reference U1
-        (service/optimized_vector_store.py:96-114) without the
-        whole-store rewrite.
-
-        Accepts either a prepared DataFrame with at least an
-        ``embedding array<float>`` column, or python lists (the wire
-        format, service/models.py:38). Dimension and vector/metadata
-        alignment are validated like the reference (models.py:41-46),
-        but as plan-level checks, not row loops.
-        """
+        require_ids: bool = False,
+    ) -> DataFrame:
+        """Normalize caller input (wire-format lists or a DataFrame) into
+        a schema-complete batch: validated dimension, defaulted id/meta,
+        float32 embedding, precomputed norm, optional q8 code and
+        incremental centroid assignment. Shared by append and upsert."""
         spark = self.catalog.spark
         dim = self.config.dimension
         if isinstance(vectors, DataFrame):
             df = vectors
             if "embedding" not in df.columns:
                 raise ValueError("DataFrame input must have an 'embedding' column")
+            if require_ids and "id" not in df.columns:
+                raise ValueError("upsert requires an 'id' column (the merge key)")
         else:
             n = len(vectors)
             if metadata is not None and len(metadata) != n:
@@ -344,6 +341,8 @@ class VectorStore:
                 )
             if ids is not None and len(ids) != n:
                 raise ValueError(f"vectors ({n}) and ids ({len(ids)}) lengths differ")
+            if require_ids and ids is None:
+                raise ValueError("upsert requires explicit ids (the merge key)")
             base = self.count() if ids is None else 0
             rows = []
             for i, vec in enumerate(vectors):
@@ -395,8 +394,26 @@ class VectorStore:
             # over the new batch only — never a rebuild (the reference
             # rebuilt its whole HNSW graph per add, :110-113)
             out = out.withColumn("centroid_id", ivf.assign_expr().cast("int"))
-        ordered = [f.name for f in self.schema.fields]
-        n_added = df.count()
+        return out.select(*[f.name for f in self.schema.fields])
+
+    def add_vectors(
+        self,
+        vectors: Sequence[Sequence[float]] | DataFrame,
+        metadata: Sequence[Mapping[str, Any]] | None = None,
+        ids: Sequence[int] | None = None,
+    ) -> int:
+        """Append vectors (+ aligned metadata) — reference U1
+        (service/optimized_vector_store.py:96-114) without the
+        whole-store rewrite.
+
+        Accepts either a prepared DataFrame with at least an
+        ``embedding array<float>`` column, or python lists (the wire
+        format, service/models.py:38). Dimension and vector/metadata
+        alignment are validated like the reference (models.py:41-46),
+        but as plan-level checks, not row loops.
+        """
+        out = self._prepare_batch(vectors, metadata, ids)
+        n_added = out.count()
         # Size output files by row count instead of inheriting the input's
         # partitioning: a 500-row python batch otherwise fans out into one
         # tiny file per shuffle partition (small-file problem), while a
@@ -405,11 +422,58 @@ class VectorStore:
         rows_per_file = 500_000
         n_files = max(1, -(-n_added // rows_per_file))
         out = out.repartition(n_files) if n_files > 1 else out.coalesce(1)
-        writer = out.select(*ordered).write.mode("append")
+        writer = out.write.mode("append")
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
         writer.parquet(str(self.data_dir))
         return n_added
+
+    def upsert_vectors(
+        self,
+        vectors: Sequence[Sequence[float]] | DataFrame,
+        metadata: Sequence[Mapping[str, Any]] | None = None,
+        ids: Sequence[int] | None = None,
+    ) -> tuple[int, int]:
+        """MERGE INTO store ON id — update matching rows, insert the
+        rest. The reference's mutation surface stops at append + the
+        never-implemented delete (SURVEY.md §2.7 U4); upsert is the
+        missing third primitive every vector DB exposes.
+
+        Emulated Spark-first as ``existing ⟕anti new  ∪  new`` with an
+        atomic staging swap (on a table format this would be a native
+        ``MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+        INSERT``). The anti-join shuffles on ``id`` only; at 100 TB the
+        rewrite cost is bounded by touched partitions under a
+        cell-partitioned layout, and the source batch is typically
+        broadcast-sized.
+
+        Duplicate ids within the source batch are rejected (the same
+        multiple-source-rows-matched rule native MERGE enforces).
+        Returns ``(n_updated, n_inserted)``.
+        """
+        new = self._prepare_batch(vectors, metadata, ids, require_ids=True).cache()
+        dup = new.groupBy("id").count().where(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError(
+                "duplicate ids in upsert batch: multiple source rows would "
+                "match the same target row"
+            )
+        existing = self.to_df()
+        before = existing.count()
+        n_new = new.count()
+        kept = existing.join(new.select("id"), on="id", how="left_anti")
+        merged = kept.unionByName(new)
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        writer = merged.write.mode("overwrite")
+        if self._cell_partitioned():
+            writer = writer.partitionBy("centroid_id")
+        writer.parquet(str(staging))
+        after = self.catalog.spark.read.parquet(str(staging)).count()
+        shutil.rmtree(self.data_dir, ignore_errors=True)
+        staging.rename(self.data_dir)
+        new.unpersist()
+        inserted = after - before
+        return n_new - inserted, inserted
 
     # -- index (reference X1-X3, rebuilt as index-as-columns) --------------
 

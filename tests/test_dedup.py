@@ -136,3 +136,37 @@ def test_embedding_neardup(spark):
         if S[a, b] >= 0.999
     }
     assert set(got) == exp
+
+
+def test_minhash_max_bucket_size_caps_degenerate_buckets(spark):
+    # 30 identical docs = one degenerate bucket per band (435 pairs);
+    # plus one near-dup pair that lives in small buckets.
+    clones = [(i, BASE) for i in range(30)]
+    near = [(100, _mutate(BASE * 2, 2, 5)), (101, _mutate(BASE * 2, 2, 5))]
+    rng = np.random.default_rng(11)
+    other = [
+        (200 + i, " ".join(f"tok{int(rng.integers(0, 5000))}" for _ in range(40)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(clones + near + other, "doc_id long, text string")
+
+    uncapped = D.minhash_lsh_pairs(df, threshold=0.8)
+    got_uncapped = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert (100, 101) in got_uncapped
+    assert sum(1 for a, b in got_uncapped if a < 30 and b < 30) == 435
+
+    capped = D.minhash_lsh_pairs(df, threshold=0.8, max_bucket_size=5)
+    got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got_capped          # small buckets untouched
+    assert not any(a < 30 and b < 30 for a, b in got_capped)  # blowup gone
+
+
+def test_simhash_max_bucket_size(spark):
+    clones = [(i, BASE) for i in range(20)]
+    other = "completely different prose about ships and harbors " * 6
+    near = [(100, other), (101, other)]
+    df = spark.createDataFrame(clones + near, "doc_id long, text string")
+    capped = D.simhash_pairs(df, max_hamming=3, max_bucket_size=4)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a < 20 and b < 20 for a, b in got)
+    assert (100, 101) in got

@@ -178,3 +178,42 @@ def test_fleet_query_all(catalog):
 
     only_t1 = catalog.query_all(base, k=1, user_id="t1").collect()
     assert {r["user_id"] for r in only_t1} == {"t1"}
+
+
+def test_upsert_updates_and_inserts(store):
+    # replace id=10's embedding with id=0's vector, and add a brand-new id
+    v0 = store._test_vecs[0].tolist()
+    updated, inserted = store.upsert_vectors(
+        [v0, RNG.random(DIM).astype(np.float32).tolist()],
+        [{"category": "Z"}, {"category": "Z"}],
+        ids=[10, 999],
+    )
+    assert (updated, inserted) == (1, 1)
+    assert store.count() == 51
+    row = store.to_df().where("id = 10").collect()[0]
+    assert row["category"] == "Z"
+    assert np.allclose(row["embedding"], v0, atol=1e-6)
+    # the updated row now ties with id=0 on a self-query
+    top = store.query(v0, k=2).collect()
+    assert {r["id"] for r in top} == {0, 10}
+
+
+def test_upsert_requires_ids_and_rejects_dup_ids(store):
+    with pytest.raises(ValueError, match="merge key"):
+        store.upsert_vectors([[0.0] * DIM])
+    with pytest.raises(ValueError, match="duplicate ids"):
+        store.upsert_vectors([[0.0] * DIM, [1.0] * DIM], ids=[7, 7])
+    assert store.count() == 50  # nothing partially applied
+
+
+def test_client_upsert(catalog):
+    from mlx_vector_db_spark.client import VectorDBClient
+
+    client = VectorDBClient(catalog.spark, str(catalog.root))
+    client.create_store("cu", "cm", dimension=4)
+    client.add_vectors("cu", "cm", [[1, 0, 0, 0], [0, 1, 0, 0]])
+    out = client.upsert_vectors(
+        "cu", "cm", [[0, 0, 1, 0], [0, 0, 0, 1]], ids=[1, 5]
+    )
+    assert out["vectors_updated"] == 1 and out["vectors_inserted"] == 1
+    assert client.count_vectors("cu", "cm").vectors == 3
