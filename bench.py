@@ -67,6 +67,14 @@ def main() -> None:
               "customer", "supplier", "part", "nation", "region"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     QUERIES["knn_cosine_topk"](spark, sf_dir).count()
+    # spin up one Python worker per core so pandas-UDF queries measure
+    # compute, not daemon fork/Arrow-init (workers are reused after):
+    # the chunker repartitions to defaultParallelism internally, so a
+    # tiny slice touches every worker slot
+    from mlx_vector_db_spark.functions.text import chunk_documents
+
+    docs_warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(256)
+    chunk_documents(docs_warm, chunk_size=400, overlap=50).count()
 
     timings: dict[str, float] = {}
     total = 0.0

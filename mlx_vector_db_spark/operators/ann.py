@@ -75,19 +75,28 @@ class IVFIndex:
         applies to batch *and* streaming ingest.
 
         Uses the identity argmin ||v-c|| = argmax (v.c - ||c||^2/2), so
-        each centroid costs one dot product.
-        """
-        scored = [
-            F.struct(
-                (
-                    dot_product(self.vec_col, F.lit(c.tolist()).cast("array<double>"))
-                    - float(c @ c) / 2.0
-                ).alias("score"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(self.centroids)
-        ]
-        return F.array_max(F.array(*scored))["cid"]
+        each centroid costs one dot product. The centroid loop is one
+        ``transform`` lambda over a literal nlist x dim matrix — a single
+        shared dot-product subtree, not nlist inlined copies (nlist
+        copies made Catalyst analysis + codegen the dominant cost of
+        every plan touching the index)."""
+        cmat = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c]).alias("c")
+                for c in self.centroids
+            ]
+        )
+        half_sq = F.array(*[F.lit(float(c @ c) / 2.0) for c in self.centroids])
+        scored = F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                (dot_product(F.col(self.vec_col), c) - F.element_at(half_sq, i + 1)).alias(
+                    "score"
+                ),
+                i.alias("cid"),
+            ),
+        )
+        return F.array_max(scored)["cid"]
 
     def assign(self, df: DataFrame) -> DataFrame:
         return df.withColumn("centroid_id", self.assign_expr())
@@ -175,6 +184,41 @@ class IVFIndex:
         )
 
 
+def _kmeans_numpy(
+    X: np.ndarray, k: int, seed: int, max_iter: int = 20, tol: float = 1e-6
+) -> np.ndarray:
+    """Lloyd's k-means with k-means++ init, vectorized numpy. Runs on the
+    driver over the (bounded) training sample — zero Spark jobs per
+    iteration, vs MLlib's several, which dominate wall time for the
+    KB-to-MB-sized training sets IVF coarse quantizers use."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    k = min(k, n)
+    centroids = np.empty((k, X.shape[1]), dtype=np.float64)
+    centroids[0] = X[rng.integers(n)]
+    d2 = ((X - centroids[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        total = d2.sum()
+        probs = d2 / total if total > 0 else None
+        centroids[j] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((X - centroids[j]) ** 2).sum(axis=1))
+    half_sq = 0.5 * (centroids**2).sum(axis=1)
+    for _ in range(max_iter):
+        assign = (X @ centroids.T - half_sq).argmax(axis=1)
+        new = np.vstack(
+            [
+                X[assign == j].mean(axis=0) if (assign == j).any() else centroids[j]
+                for j in range(k)
+            ]
+        )
+        shift = float(((new - centroids) ** 2).sum())
+        centroids = new
+        half_sq = 0.5 * (centroids**2).sum(axis=1)
+        if shift < tol:
+            break
+    return centroids
+
+
 def build_ivf(
     df: DataFrame,
     nlist: int = 16,
@@ -182,18 +226,29 @@ def build_ivf(
     sample_fraction: float | None = None,
     seed: int = 42,
     max_iter: int = 20,
+    max_train_rows: int = 262_144,
 ) -> tuple[DataFrame, IVFIndex]:
-    """Batch index build (reference X1's replacement): k-means on a
-    sample, centroid assignment as a projected column. Returns
-    (indexed_df, index). Train on a sample at scale — centroids need
-    thousands of points per cell, not the full table."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Batch index build (reference X1's replacement): k-means centroids
+    trained driver-side on a bounded sample, centroid assignment as a
+    projected column. Returns (indexed_df, index).
 
+    Training on a sample is the 100 TB design, not a shortcut: a coarse
+    quantizer needs ~thousands of points per cell, so ``max_train_rows``
+    caps the driver transfer no matter the table size (parquet count is
+    metadata-only; the sample is one scan). The *distributed* work —
+    assigning every row — stays a pure JVM column expression."""
     train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
-    feats = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    n = train.count()
+    if n == 0:
+        raise ValueError("cannot build an IVF index over an empty table")
+    if n > max_train_rows:
+        frac = min(1.0, 1.2 * max_train_rows / n)
+        train = train.sample(frac, seed=seed).limit(max_train_rows)
+    X = np.asarray(
+        [r[0] for r in train.select(F.col(vec_col).cast("array<double>")).collect()],
+        dtype=np.float64,
+    )
+    centroids = _kmeans_numpy(X, nlist, seed=seed, max_iter=max_iter)
     index = IVFIndex(centroids, vec_col=vec_col)
     return index.assign(df), index
 

@@ -27,8 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mlx_vector_db_spark.functions.text import doc_fingerprint, shingles
+from mlx_vector_db_spark.functions.text import doc_fingerprint, shingles, tokens
 from mlx_vector_db_spark.functions.vector import cosine_similarity
+from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
 __all__ = [
     "exact_dedup",
@@ -44,6 +45,48 @@ __all__ = [
 # a large 61-bit Mersenne prime keeps (a*h+b) % P well distributed while
 # fitting in a long without overflow issues after the % below
 _MERSENNE_P = (1 << 61) - 1
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    """Universal-hash family coefficients (a_k, b_k). Each of the K
+    minhash functions is ``(a_k * h + b_k) mod P`` over ONE 32-bit base
+    hash of the shingle — 1 string hash + K integer multiply-adds per
+    shingle, instead of K full string hashes (which dominated the
+    signature stage ~K-fold). a_k < 2^30 and h < 2^32 keep a*h+b inside
+    signed-64 with no overflow."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = [int(x) | 1 for x in rng.integers(1, 1 << 30, size=num_hashes)]
+    b = [int(x) for x in rng.integers(0, _MERSENNE_P, size=num_hashes)]
+    return a, b
+
+
+def _fold32(col: Column) -> Column:
+    """Fold a 64-bit shingle hash to the 32-bit MinHash register width
+    (standard; the universal family decorrelates the K functions)."""
+    return col.bitwiseAND(F.lit((1 << 32) - 1))
+
+
+def _hashed_shingles(col: Column | str, n: int, seed: int | None = None) -> Column:
+    """Distinct 64-bit shingle hashes WITHOUT materializing shingle
+    strings: xxhash64 hashes each token slice (an array column) in
+    place. Building the joined n-gram strings (~shingle-count string
+    allocations per document) was the dominant cost of the signature
+    stage, not the hashing or the min-aggregation. Tokenization matches
+    :func:`mlx_vector_db_spark.functions.text.shingles` (short texts
+    yield their whole token sequence as one shingle)."""
+    toks = tokens(col)
+    k = F.lit(int(n))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        (lambda i: F.xxhash64(F.slice(toks, i + 1, k)))
+        if seed is None
+        else (lambda i: F.xxhash64(F.slice(toks, i + 1, k), F.lit(seed))),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) == 0, F.array().cast("array<bigint>")).otherwise(grams)
+    )
 
 
 def exact_dedup(
@@ -76,11 +119,13 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature as an ``array<bigint>`` column expression.
 
-    Each hash function k is ``min over shingles of xxhash64(shingle,
-    seed+k) mod P`` — xxhash64 is a JVM built-in, so the whole signature
-    computes inside whole-stage codegen; no Python worker is involved.
+    Each hash function k is ``min over shingles of (a_k * h(shingle) +
+    b_k) mod P`` where h is one shared 32-bit base hash — all JVM
+    built-ins inside whole-stage codegen; no Python worker is involved,
+    and the shingle string is hashed once, not K times.
     """
-    sh = shingles(text_col, shingle_n)
+    a, b = _minhash_coeffs(num_hashes, seed)
+    hashed = F.transform(_hashed_shingles(text_col, shingle_n), _fold32)
 
     def min_hash_k(k: int) -> Column:
         # real closure: a default-arg lambda would change the lambda's
@@ -88,9 +133,9 @@ def minhash_signature(
         return F.coalesce(
             F.array_min(
                 F.transform(
-                    sh,
-                    lambda s: F.pmod(
-                        F.xxhash64(s, F.lit(seed + k)), F.lit(_MERSENNE_P)
+                    hashed,
+                    lambda h: F.pmod(
+                        h * F.lit(a[k]) + F.lit(b[k]), F.lit(_MERSENNE_P)
                     ),
                 )
             ),
@@ -141,14 +186,16 @@ def minhash_lsh_pairs(
     # minhash_signature inlines the shingle subtree K times —
     # CollapseProject defeats common-subexpression reuse across
     # higher-order functions — which measured ~60x slower at sf0.1.)
-    exploded = df.select(
+    a, b = _minhash_coeffs(num_hashes, seed)
+    base = rebalance_for_compute(df, id_col, text_col)
+    exploded = base.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(shingles(text_col, shingle_n)).alias("_s"),
-    )
+        F.explode_outer(_hashed_shingles(text_col, shingle_n)).alias("_hs"),
+    ).select("_id", _fold32(F.col("_hs")).alias("_h"))
     sig = exploded.groupBy("_id").agg(
         *[
             F.coalesce(
-                F.min(F.pmod(F.xxhash64("_s", F.lit(seed + k)), F.lit(_MERSENNE_P))),
+                F.min(F.pmod(F.col("_h") * F.lit(a[k]) + F.lit(b[k]), F.lit(_MERSENNE_P))),
                 F.lit(_MERSENNE_P),
             ).alias(f"_h{k}")
             for k in range(num_hashes)
@@ -192,8 +239,12 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = df.select(
-        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
+    # exact verify over hashed shingle sets: integer array_intersect /
+    # array_union, identical Jaccard up to 64-bit hash collisions (the
+    # string-set variant with a DuckDB oracle lives in jaccard_pairs)
+    sh = base.select(
+        F.col(id_col).alias("_sid"),
+        _hashed_shingles(text_col, shingle_n).alias("_sh"),
     )
     cand = (
         cand.join(sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a")), on="id_a")
@@ -230,8 +281,7 @@ def simhash(text_col: str | Column, shingle_n: int = 2, seed: int = 7) -> Column
     bit-sum forms the fingerprint. Implemented as a per-bit aggregate
     over the shingle array — pure JVM expressions.
     """
-    sh = shingles(text_col, shingle_n)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
+    hashed = _hashed_shingles(text_col, shingle_n, seed=seed)
 
     def bit_value(bit: int) -> Column:
         vote = F.aggregate(
@@ -271,10 +321,10 @@ def simhash_signatures(
     bit-vote aggregates (same single-pass shape as the MinHash
     signature; the :func:`simhash` expression form recomputes the
     shingle subtree per bit and is only sensible for tiny inputs)."""
-    exploded = df.select(
+    exploded = rebalance_for_compute(df, id_col, text_col).select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(shingles(text_col, shingle_n)).alias("_s"),
-    ).select("_id", F.xxhash64("_s", F.lit(seed)).alias("_h"))
+        F.explode_outer(_hashed_shingles(text_col, shingle_n, seed=seed)).alias("_h"),
+    )
     votes = exploded.groupBy("_id").agg(
         *[
             F.sum(
@@ -365,7 +415,9 @@ def jaccard_pairs(
     """Exact n-gram Jaccard pairs, all-pairs within ``block_col`` groups
     (or globally when ``block_col`` is None — small data only; use
     :func:`minhash_lsh_pairs` at scale)."""
-    base = df.select(
+    base = rebalance_for_compute(
+        df, id_col, text_col, *([block_col] if block_col else [])
+    ).select(
         F.col(id_col).alias("_id"),
         shingles(text_col, shingle_n).alias("_sh"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),

@@ -1,0 +1,31 @@
+"""Parallelism guard for CPU-bound per-row operators.
+
+Compute-heavy projections (shingling, hashing, chunking) inherit the
+scan's partitioning. A table packed into fewer files than the session
+has cores — a single-file local table, or an over-compacted dimension
+at scale — serializes that work onto a handful of tasks regardless of
+cluster size. The guard shuffles the *narrow* projection (a few MB of
+id + text) out to the default parallelism only when the input is
+under-partitioned; any real wide scan (a 100 TB table is thousands of
+splits) passes through untouched, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["rebalance_for_compute"]
+
+
+def rebalance_for_compute(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Project ``df`` down to ``cols`` (all columns when omitted) and,
+    if the plan has fewer partitions than ``defaultParallelism``, round-
+    robin repartition it to that width so the downstream per-row compute
+    uses every core. Inspecting the partition count plans the query but
+    launches no job."""
+    narrow = df.select(*cols) if cols else df
+    sc = narrow.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return narrow
