@@ -564,7 +564,9 @@ def q_part_price_bands(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     """Token/quality stats per document (pipeline extension)."""
-    docs = _t(spark, sf_dir, "documents")
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
     q = text_quality("text")
     return docs.select(
         "doc_id",
@@ -577,7 +579,9 @@ def q_text_stats(spark, sf_dir):
 
 def q_lang_detect(spark, sf_dir):
     """Marker-lexicon language ID (pipeline extension)."""
-    docs = _t(spark, sf_dir, "documents")
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return docs.select("doc_id", detect_language("text").alias("lang_pred"))
 
 
@@ -593,6 +597,85 @@ def q_text_jaccard_pairs(spark, sf_dir):
         _t(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_orders_late_exists(spark, sf_dir):
+    """Correlated EXISTS as a semi-join with a non-equi conjunct (TPC-H
+    Q4 shape on our schema): orders with any line item shipped after the
+    order date, counted per priority. The semi-join keys on l_orderkey,
+    so the shuffle is the standard hash-join shuffle; the date predicate
+    rides along as a join residual."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    hit = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q_customer_balance_tiles(spark, sf_dir):
+    """Rank-family windows (ntile / percent_rank / cume_dist) per market
+    segment; (c_acctbal, c_custkey) ordering makes every rank
+    deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+def q_lineitem_quantity_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+    )
+
+
+def q_parts_above_avg(spark, sf_dir):
+    """Scalar subquery (parts above the global average price) expressed
+    as a broadcast cross-join of a 1-row aggregate — the Spark-native
+    uncorrelated-subquery plan."""
+    p = _t(spark, sf_dir, "part")
+    avg_df = p.agg(F.avg("p_retailprice").alias("_avg"))
+    return (
+        p.crossJoin(F.broadcast(avg_df))
+        .where(F.col("p_retailprice") > F.col("_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def q_user_journey(spark, sf_dir):
+    """first_value / last_value over an unbounded frame: each user's
+    first and last event type plus their event count, one row per user
+    ((ts, event_id) ordering is duplicate-proof)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type", events_ts(ev).alias("_ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("_ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        base.withColumn("first_event", F.first("event_type").over(w))
+        .withColumn("last_event", F.last("event_type").over(full))
+        .withColumn("n_events", F.count("*").over(full))
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select("user_id", "first_event", "last_event", "n_events")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -693,6 +776,11 @@ QUERIES: dict[str, QueryFn] = {
     "lang_detect": q_lang_detect,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_pairs": q_text_jaccard_pairs,
+    "orders_late_exists": q_orders_late_exists,
+    "customer_balance_tiles": q_customer_balance_tiles,
+    "lineitem_quantity_quantiles": q_lineitem_quantity_quantiles,
+    "parts_above_avg": q_parts_above_avg,
+    "user_journey": q_user_journey,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -1043,5 +1131,49 @@ ORACLES: dict[str, str] = {
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    "orders_late_exists": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "customer_balance_tiles": """
+        SELECT c_custkey, c_mktsegment,
+               ntile(4) OVER w AS tile,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "lineitem_quantity_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+               round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+               round(quantile_cont(l_quantity, 0.75), 6) AS q75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "parts_above_avg": """
+        SELECT p_brand, count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        GROUP BY p_brand
+    """,
+    "user_journey": """
+        SELECT user_id, first_event, last_event, n_events FROM (
+          SELECT user_id,
+                 first_value(event_type) OVER w AS first_event,
+                 last_value(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS last_event,
+                 count(*) OVER (PARTITION BY user_id) AS n_events,
+                 row_number() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) WHERE rn = 1
     """,
 }

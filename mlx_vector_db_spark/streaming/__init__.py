@@ -3,6 +3,7 @@ from mlx_vector_db_spark.streaming.ingest import (
     read_events_stream,
     streaming_dedup,
     streaming_ingest_vectors,
+    streaming_upsert_vectors,
     windowed_event_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "read_events_stream",
     "streaming_dedup",
     "streaming_ingest_vectors",
+    "streaming_upsert_vectors",
     "windowed_event_counts",
 ]

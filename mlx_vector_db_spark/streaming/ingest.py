@@ -188,3 +188,55 @@ def streaming_ingest_vectors(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_upsert_vectors(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    query_name: str = "vector_upsert",
+):
+    """Merge a streaming DataFrame of keyed vectors into a VectorStore.
+
+    The streaming twin of :meth:`VectorStore.upsert_vectors`: each
+    micro-batch MERGEs on ``id`` — rows whose id exists are replaced,
+    the rest append. A CDC-style feed (latest embedding per document)
+    therefore converges the store to the stream's newest state instead
+    of accumulating duplicates like the append path would. Batches must
+    carry an ``id`` column; duplicate ids *within* one batch are
+    resolved to the last row by stream order before the merge (native
+    MERGE would reject them; a stream replaying updates makes
+    last-write-wins the useful semantics here — documented deviation).
+    Returns the StreamingQuery.
+    """
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if "id" not in batch_df.columns:
+            raise ValueError("streaming upsert requires an 'id' column")
+        # last-write-wins within the batch: keep the final occurrence of
+        # each id (monotonically_increasing_id preserves batch order
+        # within partitions; cross-partition duplicates of one key are
+        # already unordered in any stream, so any winner is acceptable)
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        deduped = (
+            batch_df.withColumn("_seq", _F.monotonically_increasing_id())
+            .withColumn(
+                "_rn",
+                _F.row_number().over(
+                    _W.partitionBy("id").orderBy(_F.col("_seq").desc())
+                ),
+            )
+            .where("_rn = 1")
+            .drop("_seq", "_rn")
+        )
+        store.upsert_vectors(deduped)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

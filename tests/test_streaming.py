@@ -215,3 +215,40 @@ def test_session_window_matches_batch_sessionization(spark, sf_small):
             assert exp[key] == val
             matched += 1
     assert matched >= len(got) * 0.9  # tail sessions may still be open
+
+
+def test_streaming_upsert_vectors(spark, tmp_path):
+    from mlx_vector_db_spark.streaming import streaming_upsert_vectors
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    # batch 0: ids 0..9 with marker value 0.0; batch 1 rewrites ids 0..4
+    # with marker 1.0 and adds ids 10..11 (one id duplicated in-batch —
+    # last write wins)
+    b0 = [(i, [float(i), 0.0]) for i in range(10)]
+    b1 = [(i, [float(i), 1.0]) for i in range(5)] + [
+        (10, [10.0, 1.0]),
+        (11, [99.0, 0.5]),
+        (11, [11.0, 1.0]),  # later duplicate must win
+    ]
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, "id long, embedding array<float>").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("ups", "m", dimension=2)
+    stream = (
+        spark.readStream.schema("id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_upsert_vectors(stream, store, str(tmp_path / "ckpt-ups"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["id"]: list(r["embedding"]) for r in store.to_df().collect()}
+    assert len(rows) == 12                      # converged: no duplicates
+    assert rows[3] == [3.0, 1.0]                # updated by batch 1
+    assert rows[7] == [7.0, 0.0]                # untouched
+    assert rows[11] == [11.0, 1.0]              # in-batch last write won
