@@ -36,75 +36,27 @@ from mlx_vector_db_spark.operators.knn import knn_join, knn_query
 
 __all__ = [
     "IVFIndex",
+    "LSHIndex",
+    "index_from_dict",
     "build_ivf",
+    "build_lsh",
     "lsh_bucket_expr",
     "add_lsh_buckets",
     "lsh_probe_buckets",
 ]
 
 
-class IVFIndex:
-    """Coarse quantizer: centroids live on the driver (tiny — nlist x dim
-    doubles), assignments live in the table as a ``centroid_id`` column."""
+class _CellIndex:
+    """Shared machinery for cell-pruning indexes: a tiny driver-side
+    parameter block (centroids or hyperplanes), a per-row cell id as a
+    plain column, and search = prune-to-probe-cells + exact top-k
+    inside. Subclasses define ``assign_expr`` / ``probes_for`` /
+    ``to_dict``."""
 
-    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
-        self.centroids = np.asarray(centroids, dtype=np.float64)
-        self.vec_col = vec_col
-
-    def to_dict(self) -> dict:
-        """JSON-serializable form (reference persists its index beside the
-        data, performance/hnsw_index.py:105-129; ours is a KB-sized
-        centroid list instead of a binary graph)."""
-        return {
-            "type": "ivf",
-            "vec_col": self.vec_col,
-            "centroids": self.centroids.tolist(),
-        }
-
-    @classmethod
-    def from_dict(cls, d: dict) -> "IVFIndex":
-        return cls(np.asarray(d["centroids"], dtype=np.float64), d["vec_col"])
-
-    @property
-    def nlist(self) -> int:
-        return len(self.centroids)
-
-    def assign_expr(self) -> Column:
-        """centroid_id as a column expression: argmin over centroid
-        distances, computed from literal centroid arrays — pure JVM,
-        applies to batch *and* streaming ingest.
-
-        Uses the identity argmin ||v-c|| = argmax (v.c - ||c||^2/2), so
-        each centroid costs one dot product. The centroid loop is one
-        ``transform`` lambda over a literal nlist x dim matrix — a single
-        shared dot-product subtree, not nlist inlined copies (nlist
-        copies made Catalyst analysis + codegen the dominant cost of
-        every plan touching the index)."""
-        cmat = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c]).alias("c")
-                for c in self.centroids
-            ]
-        )
-        half_sq = F.array(*[F.lit(float(c @ c) / 2.0) for c in self.centroids])
-        scored = F.transform(
-            cmat,
-            lambda c, i: F.struct(
-                (dot_product(F.col(self.vec_col), c) - F.element_at(half_sq, i + 1)).alias(
-                    "score"
-                ),
-                i.alias("cid"),
-            ),
-        )
-        return F.array_max(scored)["cid"]
+    vec_col: str
 
     def assign(self, df: DataFrame) -> DataFrame:
         return df.withColumn("centroid_id", self.assign_expr())
-
-    def probes_for(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
-        q = np.asarray(query_vector, dtype=np.float64)
-        d = ((self.centroids - q) ** 2).sum(axis=1)
-        return np.argsort(d)[: min(nprobe, self.nlist)].tolist()
 
     def search(
         self,
@@ -184,6 +136,129 @@ class IVFIndex:
         )
 
 
+class IVFIndex(_CellIndex):
+    """Coarse quantizer: centroids live on the driver (tiny — nlist x dim
+    doubles), assignments live in the table as a ``centroid_id`` column."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def to_dict(self) -> dict:
+        """JSON-serializable form (reference persists its index beside the
+        data, performance/hnsw_index.py:105-129; ours is a KB-sized
+        centroid list instead of a binary graph)."""
+        return {
+            "type": "ivf",
+            "vec_col": self.vec_col,
+            "centroids": self.centroids.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IVFIndex":
+        return cls(np.asarray(d["centroids"], dtype=np.float64), d["vec_col"])
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    def assign_expr(self) -> Column:
+        """centroid_id as a column expression: argmin over centroid
+        distances, computed from literal centroid arrays — pure JVM,
+        applies to batch *and* streaming ingest.
+
+        Uses the identity argmin ||v-c|| = argmax (v.c - ||c||^2/2), so
+        each centroid costs one dot product. The centroid loop is one
+        ``transform`` lambda over a literal nlist x dim matrix — a single
+        shared dot-product subtree, not nlist inlined copies (nlist
+        copies made Catalyst analysis + codegen the dominant cost of
+        every plan touching the index)."""
+        cmat = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c]).alias("c")
+                for c in self.centroids
+            ]
+        )
+        half_sq = F.array(*[F.lit(float(c @ c) / 2.0) for c in self.centroids])
+        scored = F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                (dot_product(F.col(self.vec_col), c) - F.element_at(half_sq, i + 1)).alias(
+                    "score"
+                ),
+                i.alias("cid"),
+            ),
+        )
+        return F.array_max(scored)["cid"]
+
+    def probes_for(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
+        q = np.asarray(query_vector, dtype=np.float64)
+        d = ((self.centroids - q) ** 2).sum(axis=1)
+        return np.argsort(d)[: min(nprobe, self.nlist)].tolist()
+
+
+class LSHIndex(_CellIndex):
+    """Random-hyperplane (cosine) LSH as the alternate cell index: the
+    driver-side parameter block is the plane matrix, the cell id is the
+    sign-bit bucket, probing is multiprobe bit-flips ranked by margin.
+    Data-independent (no training scan — build is a pure projection), at
+    the cost of less adaptive cells than IVF; the reference exposes an
+    analogous index-choice knob (enable_hnsw + params, README.md:304-311)."""
+
+    def __init__(self, planes: np.ndarray, vec_col: str = "embedding"):
+        self.planes = np.asarray(planes, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def to_dict(self) -> dict:
+        return {
+            "type": "lsh",
+            "vec_col": self.vec_col,
+            "planes": self.planes.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LSHIndex":
+        return cls(np.asarray(d["planes"], dtype=np.float64), d["vec_col"])
+
+    @property
+    def nlist(self) -> int:
+        return 1 << len(self.planes)
+
+    def assign_expr(self) -> Column:
+        return lsh_bucket_expr(self.planes, self.vec_col).cast("int")
+
+    def probes_for(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
+        """Query-directed multiprobe: rank candidate buckets by the total
+        hyperplane margin that must be crossed to reach them (sum of
+        |margin| over flipped bits) and take the nprobe cheapest — the
+        query's own bucket costs 0 and is always first; nprobe == nlist
+        degrades to the exact scan. Exhaustive mask ranking up to 2^16
+        buckets; beyond that, single-bit-flip ranking (still sound: any
+        unprobed bucket only costs recall, never correctness of what IS
+        scanned)."""
+        nprobe = max(1, min(int(nprobe), self.nlist))
+        q = np.asarray(query_vector, dtype=np.float64)
+        margins = self.planes @ q
+        n = len(self.planes)
+        base = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
+        if n <= 16:
+            masks = np.arange(1 << n, dtype=np.int64)
+            bits = (masks[:, None] >> np.arange(n)) & 1
+            costs = bits @ np.abs(margins)
+            order = np.argsort(costs, kind="stable")[:nprobe]
+            return [base ^ int(m) for m in masks[order]]
+        return lsh_probe_buckets(q, self.planes, multiprobe=nprobe - 1)[:nprobe]
+
+
+def index_from_dict(d: dict) -> _CellIndex:
+    """Deserialize a persisted cell index by its ``type`` tag."""
+    kinds = {"ivf": IVFIndex, "lsh": LSHIndex}
+    try:
+        return kinds[d["type"]].from_dict(d)
+    except KeyError:
+        raise ValueError(f"unknown index type: {d.get('type')!r}") from None
+
+
 def _kmeans_numpy(
     X: np.ndarray, k: int, seed: int, max_iter: int = 20, tol: float = 1e-6
 ) -> np.ndarray:
@@ -250,6 +325,20 @@ def build_ivf(
     )
     centroids = _kmeans_numpy(X, nlist, seed=seed, max_iter=max_iter)
     index = IVFIndex(centroids, vec_col=vec_col)
+    return index.assign(df), index
+
+
+def build_lsh(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, "LSHIndex"]:
+    """Batch LSH index build: no training pass at all (the planes are
+    data-independent), assignment is a pure projected column — the
+    cheapest possible index build at 100 TB. Returns (indexed_df, index)."""
+    index = LSHIndex(make_planes(dim, n_planes, seed), vec_col=vec_col)
     return index.assign(df), index
 
 

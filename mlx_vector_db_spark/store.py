@@ -289,13 +289,13 @@ class VectorStore:
         return T.StructType(fields)
 
     def _ivf(self):
-        """The deserialized IVF index, or None."""
+        """The deserialized cell index (IVF or LSH), or None."""
         if not self.config.index:
             return None
-        from mlx_vector_db_spark.operators.ann import IVFIndex
+        from mlx_vector_db_spark.operators.ann import index_from_dict
 
         if self._ivf_cache is None:
-            self._ivf_cache = IVFIndex.from_dict(self.config.index)
+            self._ivf_cache = index_from_dict(self.config.index)
         return self._ivf_cache
 
     def _empty(self) -> DataFrame:
@@ -483,12 +483,20 @@ class VectorStore:
         sample_fraction: float | None = None,
         seed: int = 42,
         partition_by_cell: bool = False,
+        kind: str = "ivf",
+        n_planes: int = 4,
     ) -> None:
-        """Batch IVF index build: k-means centroids persisted in the
-        store config (KB-sized, the analog of hnsw_index.bin —
+        """Batch cell-index build, persisted in the store config
+        (KB-sized, the analog of hnsw_index.bin —
         performance/hnsw_index.py:105-129), assignments rewritten into
         the table as a ``centroid_id`` column. Run once per store (or
         periodically); subsequent adds assign incrementally.
+
+        ``kind`` picks the access path (the reference's index-choice
+        knob, README.md:304-311): ``"ivf"`` trains k-means centroids on
+        a sample (adaptive cells, the default); ``"lsh"`` uses random
+        hyperplanes (``2**n_planes`` buckets) — zero training scan,
+        preferable when the corpus churns too fast to retrain.
 
         ``partition_by_cell=True`` additionally lays the data out as
         Hive partitions on ``centroid_id``: probe queries then prune at
@@ -497,14 +505,21 @@ class VectorStore:
         index-as-columns idea, at the cost of one shuffle at build time
         and nlist-way fan-out of files.
         """
-        from mlx_vector_db_spark.operators.ann import build_ivf
+        from mlx_vector_db_spark.operators.ann import build_ivf, build_lsh
 
         df = self.to_df().drop("centroid_id") if self.config.index else self.to_df()
         if df.isEmpty():
             raise ValueError("cannot build an index on an empty store")
-        indexed, index = build_ivf(
-            df, nlist=nlist, sample_fraction=sample_fraction, seed=seed
-        )
+        if kind == "ivf":
+            indexed, index = build_ivf(
+                df, nlist=nlist, sample_fraction=sample_fraction, seed=seed
+            )
+        elif kind == "lsh":
+            indexed, index = build_lsh(
+                df, dim=self.config.dimension, n_planes=n_planes, seed=seed
+            )
+        else:
+            raise ValueError(f"unknown index kind: {kind!r} (ivf or lsh)")
         self.config.index = index.to_dict()
         self.config.index["partitioned"] = bool(partition_by_cell)
         self._ivf_cache = index

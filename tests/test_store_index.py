@@ -98,3 +98,56 @@ def test_build_on_empty_store_raises(catalog):
     st = catalog.create_store("e", "m", dimension=DIM)
     with pytest.raises(ValueError, match="empty"):
         st.build_index()
+
+
+@pytest.fixture()
+def lsh_store(catalog):
+    st = catalog.create_store("lu", "lm", dimension=DIM)
+    vecs = RNG.random((300, DIM)).astype(np.float32) - 0.5
+    st.add_vectors(vecs.tolist())
+    st.build_index(kind="lsh", n_planes=4, seed=7)
+    st._vecs = vecs
+    return st
+
+
+def test_lsh_build_persists_and_reloads(catalog, lsh_store):
+    assert lsh_store.stats()["index_type"] == "lsh"
+    reloaded = catalog.get_store("lu", "lm")
+    assert reloaded.config.index["type"] == "lsh"
+    assert "centroid_id" in reloaded.to_df().columns
+    hit = reloaded.query(lsh_store._vecs[9].tolist(), k=1).first()
+    assert hit["id"] == 9  # own bucket always probed -> self-hit exact
+
+
+def test_lsh_full_probe_equals_exact(lsh_store):
+    q = lsh_store._vecs[42].tolist()
+    approx = [r["id"] for r in lsh_store.query(q, k=10, nprobe=16).collect()]
+    exact = [r["id"] for r in lsh_store.query(q, k=10, use_index=False).collect()]
+    assert approx == exact  # probing all 2^4 buckets degrades to exact
+
+
+def test_lsh_partial_probe_prunes(lsh_store):
+    from mlx_vector_db_spark.plans import explain_str
+
+    q = lsh_store._vecs[42].tolist()
+    res = lsh_store.query(q, k=5, nprobe=3)
+    plan = explain_str(res)
+    assert "centroid_id" in plan  # bucket predicate reached the scan
+    rows = res.collect()
+    assert rows and rows[0]["id"] == 42  # self-hit survives pruning
+
+
+def test_lsh_incremental_add_assigns_bucket(lsh_store):
+    lsh_store.add_vectors([lsh_store._vecs[0].tolist()])
+    row = lsh_store.to_df().orderBy(F.desc("id")).limit(1).first()
+    assert row["centroid_id"] is not None
+    # identical vector -> identical bucket as the original row
+    orig = lsh_store.to_df().where("id = 0").first()
+    assert row["centroid_id"] == orig["centroid_id"]
+
+
+def test_unknown_index_kind_raises(catalog):
+    st = catalog.create_store("ku", "km", dimension=DIM)
+    st.add_vectors([[0.0] * DIM])
+    with pytest.raises(ValueError, match="unknown index kind"):
+        st.build_index(kind="hnsw")
