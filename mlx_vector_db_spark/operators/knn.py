@@ -22,6 +22,11 @@ Spark-first execution, two physical strategies:
    shuffle into the final per-query top-k carries O(num_batches * M * k)
    rows instead of O(N * M). This mirrors a map-side combine for the
    top-k "aggregation".
+
+3. ``knn_join_chunked`` — huge-Q x huge-V: hash-partition the query set
+   into broadcastable chunks, one blocked sweep per chunk over the
+   cached vectors table, union. Every query is answered wholly inside
+   its chunk, so no cross-chunk merge exists.
 """
 
 from __future__ import annotations
@@ -44,7 +49,13 @@ from mlx_vector_db_spark.functions.vector import (
 )
 from mlx_vector_db_spark.operators.topk import top_k_per_group
 
-__all__ = ["knn_query", "knn_join", "knn_join_blocked", "apply_metadata_filter"]
+__all__ = [
+    "knn_query",
+    "knn_join",
+    "knn_join_blocked",
+    "knn_join_chunked",
+    "apply_metadata_filter",
+]
 
 
 def apply_metadata_filter(
@@ -302,3 +313,71 @@ def knn_join_blocked(
     return top_k_per_group(
         scored, ["query_id"], _order(met, F.col("score"), id_col), kk
     ).select("query_id", id_col, "score", "similarity", "distance", "rank")
+
+
+def knn_join_chunked(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    filter_metadata: Mapping[str, Any] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    chunk_size: int = 10_000,
+    cache_vectors: bool = True,
+) -> DataFrame:
+    """Exact k-NN when BOTH sides are too big for one pass — the grid
+    complement to :func:`knn_join_blocked` (which collects the whole
+    query set to the driver and dies on a huge-Q batch).
+
+    Queries are hash-bucketed on ``query_id`` into chunks of ~``chunk_size``
+    rows; each chunk is small enough to collect + broadcast, and is
+    answered by one blocked BLAS sweep over the (cached) vectors table.
+    Chunks partition the query set, so every query is fully answered
+    inside its own chunk — results union with no cross-chunk merge.
+    Cost model at scale: V is scanned ``ceil(Q / chunk_size)`` times, but
+    from cache/local disk after the first sweep, and each sweep's shuffle
+    is O(batches * chunk * k), never O(N * Q). The driver loop is over
+    chunk COUNT (Q/chunk_size iterations), not rows — each iteration is a
+    full distributed job.
+
+    Reference parity: same J2 batch-similarity semantics
+    (performance/mlx_optimized.py:59-88); the reference caps at one
+    in-memory (M,N) matmul and has no huge-Q story at all.
+    """
+    _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
+    n_queries = queries.count()
+    if n_queries == 0:
+        raise ValueError("empty query set")
+    n_chunks = max(1, -(-n_queries // int(chunk_size)))
+    if n_chunks == 1:
+        return knn_join_blocked(
+            vectors, queries, k, metric, filter_metadata,
+            vec_col, id_col, query_vec_col, query_id_col,
+        )
+    if metric not in ("cosine", "euclidean", "dot_product"):
+        raise ValueError(f"unknown metric {metric!r}")
+    filtered = apply_metadata_filter(vectors, filter_metadata).select(id_col, vec_col)
+    if cache_vectors:
+        filtered = filtered.persist()
+    bucket = F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_chunks))
+    parts = []
+    for b in range(n_chunks):
+        chunk = queries.where(bucket == b)
+        try:
+            parts.append(
+                knn_join_blocked(
+                    filtered, chunk, k, metric, None,
+                    vec_col, id_col, query_vec_col, query_id_col,
+                )
+            )
+        except ValueError as e:
+            if "empty query set" not in str(e):
+                raise
+            # hash bucket happened to be empty — nothing to answer here
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -151,3 +151,35 @@ def test_blocked_path_parity(spark, vectors, queries, metric):
 def test_knn_query_plan_is_take_ordered(spark, vectors, vec_np):
     plan = knn_query(vectors, vec_np[0].tolist(), k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_chunked_path_parity(spark, vectors, queries, metric):
+    from mlx_vector_db_spark.operators.knn import knn_join_chunked
+
+    a = knn_join(vectors, queries, k=K, metric=metric)
+    # chunk_size=3 forces ceil(7/3)=3 hash chunks, exercising the union
+    b = knn_join_chunked(vectors, queries, k=K, metric=metric, chunk_size=3)
+    pa = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in a.collect()}
+    pb = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in b.collect()}
+    assert pa.keys() == pb.keys()  # every query answered in exactly one chunk
+    for key in pa:
+        assert pa[key][0] == pb[key][0]
+        assert pa[key][1] == pytest.approx(pb[key][1], abs=1e-9)
+
+
+def test_chunked_single_chunk_delegates_to_blocked(spark, vectors, queries):
+    from mlx_vector_db_spark.operators.knn import knn_join_chunked
+
+    a = knn_join_blocked(vectors, queries, k=K)
+    b = knn_join_chunked(vectors, queries, k=K, chunk_size=1000)
+    assert sorted((r["query_id"], r["rank"], r["id"]) for r in a.collect()) == sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in b.collect()
+    )
+
+
+def test_chunked_empty_queries_raises(spark, vectors, queries):
+    from mlx_vector_db_spark.operators.knn import knn_join_chunked
+
+    with pytest.raises(ValueError, match="empty query set"):
+        knn_join_chunked(vectors, queries.where("query_id < 0"), k=K)
