@@ -205,8 +205,20 @@ class LSHIndex(_CellIndex):
     the cost of less adaptive cells than IVF; the reference exposes an
     analogous index-choice knob (enable_hnsw + params, README.md:304-311)."""
 
+    #: bucket ids live in an int centroid_id column; 2**30 buckets is far
+    #: past useful LSH granularity and bit 31+ would wrap the int cast
+    #: (non-ANSI), silently corrupting assignments — validate at every
+    #: construction site (build and deserialize both come through here).
+    MAX_PLANES = 30
+
     def __init__(self, planes: np.ndarray, vec_col: str = "embedding"):
         self.planes = np.asarray(planes, dtype=np.float64)
+        if len(self.planes) > self.MAX_PLANES:
+            raise ValueError(
+                f"n_planes must be <= {self.MAX_PLANES} (got {len(self.planes)}): "
+                "bucket ids are int32 cells; realistically keep <= 16 so the "
+                "exhaustive multiprobe ranking applies"
+            )
         self.vec_col = vec_col
 
     def to_dict(self) -> dict:
@@ -319,10 +331,11 @@ def build_ivf(
     if n > max_train_rows:
         frac = min(1.0, 1.2 * max_train_rows / n)
         train = train.sample(frac, seed=seed).limit(max_train_rows)
-    X = np.asarray(
-        [r[0] for r in train.select(F.col(vec_col).cast("array<double>")).collect()],
-        dtype=np.float64,
-    )
+    # Arrow transfer: collect() would materialize up to max_train_rows Row
+    # objects of boxed Python floats (multi-GB at 384-dim); toPandas moves
+    # the same sample as Arrow record batches, each cell a numpy array.
+    sample = train.select(F.col(vec_col).cast("array<double>").alias("_v")).toPandas()
+    X = np.vstack(sample["_v"].to_numpy()).astype(np.float64, copy=False)
     centroids = _kmeans_numpy(X, nlist, seed=seed, max_iter=max_iter)
     index = IVFIndex(centroids, vec_col=vec_col)
     return index.assign(df), index

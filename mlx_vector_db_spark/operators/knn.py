@@ -281,11 +281,20 @@ def knn_join_blocked(
             n = S.shape[0]
             take = min(kk, n)
             key = S if ascending else -S
-            # partial top-k per query within this Arrow batch
-            idx = np.argpartition(key, take - 1, axis=0)[:take, :]  # (take, M)
-            out_qid = np.repeat(qids, take)
-            qcols = np.repeat(np.arange(len(qids)), take)
-            rows = idx.T.reshape(-1)  # vector-row index per emitted candidate
+            # Partial top-k per query within this Arrow batch. np.partition
+            # yields the take-th-best score per query; emitting every row
+            # at-or-better-than that boundary keeps ALL score-ties at the k
+            # frontier, so the canonical global (score, id ASC) order — not
+            # argpartition's arbitrary internal order — decides which tied
+            # rows survive. Rows strictly better than the boundary number
+            # < take and are always included, so this is exact.
+            if take < n:
+                bound = np.partition(key, take - 1, axis=0)[take - 1, :]
+                mask = key <= bound[None, :]
+            else:
+                mask = np.ones(S.shape, dtype=bool)
+            rows, qcols = np.nonzero(mask)
+            out_qid = qids[qcols]
             if met == "euclidean":
                 # The matmul expansion loses ~1e-7 absolute precision near
                 # zero distance; recompute exact distances for the k*M
@@ -363,20 +372,32 @@ def knn_join_chunked(
     if cache_vectors:
         filtered = filtered.persist()
     bucket = F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_chunks))
-    parts = []
-    for b in range(n_chunks):
-        chunk = queries.where(bucket == b)
+
+    # Each chunk's plan-build pays a Spark job (the query-block collect
+    # inside knn_join_blocked); submit them from a thread pool so the
+    # per-chunk collects overlap instead of running back-to-back. With
+    # spark.scheduler.mode=FAIR the named pool also interleaves the
+    # stages; under default FIFO the concurrent submission alone overlaps
+    # scheduling gaps. The sweeps themselves still execute as one job
+    # when the union plan is consumed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = queries.sparkSession.sparkContext
+
+    def _chunk_plan(b: int) -> DataFrame | None:
+        sc.setLocalProperty("spark.scheduler.pool", "knn-chunks")
         try:
-            parts.append(
-                knn_join_blocked(
-                    filtered, chunk, k, metric, None,
-                    vec_col, id_col, query_vec_col, query_id_col,
-                )
+            return knn_join_blocked(
+                filtered, queries.where(bucket == b), k, metric, None,
+                vec_col, id_col, query_vec_col, query_id_col,
             )
         except ValueError as e:
             if "empty query set" not in str(e):
                 raise
-            # hash bucket happened to be empty — nothing to answer here
+            return None  # hash bucket happened to be empty
+
+    with ThreadPoolExecutor(max_workers=min(n_chunks, 8)) as pool:
+        parts = [p for p in pool.map(_chunk_plan, range(n_chunks)) if p is not None]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

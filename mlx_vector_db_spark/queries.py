@@ -14,7 +14,16 @@ Determinism rules used throughout (both sides identically):
 - every rank/count is cast to the same integer width on both sides;
 - all orderings carry an id tie-break;
 - dates are emitted as 'YYYY-MM-DD' strings, timestamps as epoch
-  seconds (bigint) — no engine-specific temporal encodings.
+  seconds (bigint) — no engine-specific temporal encodings;
+- negative zero: round() of a value whose sign differs across engines'
+  summation order (e.g. 1 - cosine at a self-match) can emit -0.0 on one
+  side and +0.0 on the other — equal values, different hash bits. Clamp
+  with `round(x, d) + 0.0` on BOTH sides (-0.0 + 0.0 = +0.0 under IEEE
+  round-to-nearest). Measured traps: greatest(x, 0.0) does NOT work
+  (-0.0 == 0.0, either may be returned) and DuckDB's abs(-0.0) is -0.0;
+- no array/map/struct columns in catalog output: the driver's
+  canonicalizer hashes scalar cells only (lists are unhashable there) —
+  project scalars, or explode.
 """
 
 from __future__ import annotations
@@ -492,7 +501,14 @@ def q_knn_scored(spark, sf_dir):
         "vec_id",
         F.col("rank").cast("int").alias("rank"),
         F.round("similarity", 6).alias("similarity"),
-        F.round("distance", 6).alias("distance"),
+        # `+ 0.0` clamps IEEE negative zero: a self-match cosine can land a
+        # hair above 1.0 in one engine's summation order, making round(1-s, 6)
+        # emit -0.0 there and +0.0 here — equal values, different hash bits.
+        # -0.0 + 0.0 is +0.0 under round-to-nearest (IEEE 754 §6.3), other
+        # values are unchanged, and neither engine folds the identity away.
+        # NB measured: greatest(x, 0.0) does NOT canonicalize (-0.0 == 0.0,
+        # either returned) and DuckDB's abs(-0.0) stays -0.0.
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
     )
 
 
@@ -721,8 +737,20 @@ def q_rag_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").limit(200)
     pipe.index_documents(docs, chunk_size=400, overlap=50)
     target = docs.where(F.col("doc_id") == 0).first()
-    return pipe.retrieve_context(
+    out = pipe.retrieve_context(
         target["text"], k=5, min_similarity=0.1, max_context_length=4000
+    )
+    # scalar deterministic columns only: the driver's canonicalizer hashes
+    # cell values and dies on array columns (store rows carry
+    # embedding array<float>); store-assigned ids are ingest-order-dependent,
+    # so key on (document_id, chunk_index) instead
+    return out.select(
+        "document_id",
+        "chunk_index",
+        "context_rank",
+        F.round("similarity", 6).alias("similarity"),
+        "chunk_length",
+        "chunk_text",
     )
 
 
@@ -1072,7 +1100,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT query_id, vec_id, rnk::INTEGER AS rank,
                round(s, 6) AS similarity,
-               round(1.0 - s, 6) AS distance
+               round(1.0 - s, 6) + 0.0 AS distance
         FROM ranked WHERE rnk <= 5
     """,
     "text_stats": """

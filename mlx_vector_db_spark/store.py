@@ -198,24 +198,58 @@ class VectorStoreCatalog:
                 [], "user_id string, model_id string, id long, score double, rank int"
             )
         from mlx_vector_db_spark.functions.vector import score_for_metric
-        from mlx_vector_db_spark.operators.knn import _order, apply_metadata_filter
+        from mlx_vector_db_spark.operators.knn import _order
         from mlx_vector_db_spark.operators.topk import top_k_per_group
 
         parts = []
         for cfg in stores:
             st = VectorStore(self, cfg)
-            df = st.to_df().select(
+            base = st.to_df()
+            # Promoted keys are popped OUT of the meta map at ingest, so a
+            # filter on a promoted key must see the promoted column here or
+            # it would fall through to meta and silently match nothing.
+            # Promoted columns ride along as strings: same-named keys may
+            # carry different declared types across stores (string union
+            # is always well-typed), and the filter below compares
+            # stringified values — identical semantics to the meta map.
+            promoted = [
+                # Python-style bool rendering ("True"/"False", matching the
+                # str(v) convention the meta map uses at ingest) — Spark's
+                # cast would give "true"/"false" and never match
+                F.when(F.col(k).isNull(), F.lit(None).cast("string"))
+                .when(F.col(k), "True")
+                .otherwise("False")
+                .alias(k)
+                if t == "boolean"
+                else F.col(k).cast("string").alias(k)
+                for k, t in cfg.promoted_keys.items()
+            ]
+            df = base.select(
                 F.lit(cfg.user_id).alias("user_id"),
                 F.lit(cfg.model_id).alias("model_id"),
                 "id",
                 "embedding",
-                *(["meta"] if "meta" in st.to_df().columns else []),
+                *promoted,
+                *(["meta"] if "meta" in base.columns else []),
             )
             parts.append(df)
         fleet = parts[0]
         for p in parts[1:]:
             fleet = fleet.unionByName(p, allowMissingColumns=True)
-        fleet = apply_metadata_filter(fleet, filter_metadata)
+        for key, value in (filter_metadata or {}).items():
+            # One rule across heterogeneous stores: a key may be promoted
+            # in one store and live in the meta map of another, so compare
+            # coalesce(promoted, meta[key]) against the stringified value
+            # (str(v) is the ingest convention for the meta map; promoted
+            # columns were stringified the same way above). Absent key or
+            # NULL -> no match, exactly the single-store semantics.
+            sval = str(value)
+            probe = (
+                F.coalesce(F.col(key), F.col("meta").getItem(key))
+                if key in {c for c in fleet.columns if c != "meta"}
+                else F.col("meta").getItem(key)
+            )
+            fleet = fleet.where(probe == F.lit(sval))
         q = F.lit([float(x) for x in query_vector]).cast("array<double>")
         scored = fleet.withColumn(
             "score", score_for_metric(metric, "embedding", q)
@@ -343,7 +377,11 @@ class VectorStore:
                 raise ValueError(f"vectors ({n}) and ids ({len(ids)}) lengths differ")
             if require_ids and ids is None:
                 raise ValueError("upsert requires explicit ids (the merge key)")
-            base = self.count() if ids is None else 0
+            # max(id)+1, NOT row count: after delete_vectors shrinks the
+            # store, count()-based ids would collide with surviving rows
+            # (and duplicate ids corrupt every id-keyed op: delete, upsert's
+            # anti-join, query results). One column-pruned agg scan.
+            base = self._next_id() if ids is None else 0
             rows = []
             for i, vec in enumerate(vectors):
                 md = dict(metadata[i]) if metadata is not None else {}
@@ -374,7 +412,14 @@ class VectorStore:
 
         out = df
         if "id" not in out.columns:
-            out = out.withColumn("id", F.monotonically_increasing_id())
+            # offset by the store's next free id: bare monotonic ids start
+            # at 0 and would collide with existing rows. monotonic ids are
+            # unique within the batch and >= 0, and the next batch's base
+            # is max(id)+1 of everything written, so uniqueness holds
+            # across appends (ids are sparse, which id-keyed ops permit).
+            out = out.withColumn(
+                "id", F.monotonically_increasing_id() + F.lit(self._next_id())
+            )
         if "meta" not in out.columns:
             out = out.withColumn(
                 "meta", F.create_map().cast("map<string,string>")
@@ -395,6 +440,12 @@ class VectorStore:
             # rebuilt its whole HNSW graph per add, :110-113)
             out = out.withColumn("centroid_id", ivf.assign_expr().cast("int"))
         return out.select(*[f.name for f in self.schema.fields])
+
+    def _next_id(self) -> int:
+        """Smallest id larger than every id ever visible in the store
+        (0 when empty) — the auto-assignment base."""
+        row = self.to_df().agg(F.max("id")).first()
+        return int(row[0]) + 1 if row and row[0] is not None else 0
 
     def add_vectors(
         self,

@@ -1,6 +1,9 @@
 from mlx_vector_db_spark.streaming.ingest import (
     EVENTS_SCHEMA,
+    ingest_batch,
+    job_status,
     read_events_stream,
+    read_operations_log,
     streaming_dedup,
     streaming_ingest_vectors,
     streaming_upsert_vectors,
@@ -9,7 +12,10 @@ from mlx_vector_db_spark.streaming.ingest import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "ingest_batch",
+    "job_status",
     "read_events_stream",
+    "read_operations_log",
     "streaming_dedup",
     "streaming_ingest_vectors",
     "streaming_upsert_vectors",

@@ -141,6 +141,82 @@ def streaming_dedup(
     )
 
 
+#: one row per committed micro-batch — the durable analog of the
+#: reference's in-memory operations dict (api/routes/batch_v1.py:103-172),
+#: which vanished on restart; this one is a queryable parquet table.
+OPERATIONS_LOG_SCHEMA = (
+    "operation string, batch_id long, rows_added long, "
+    "completed_at double, store string, status string"
+)
+
+
+def _logged_epochs(spark: SparkSession, operations_log: str, operation: str) -> set:
+    """batch_ids already committed to the operations log for this
+    operation (empty when the log doesn't exist yet)."""
+    import os
+
+    if not os.path.exists(operations_log):
+        return set()
+    rows = (
+        spark.read.schema(OPERATIONS_LOG_SCHEMA)
+        .parquet(operations_log)
+        .where(F.col("operation") == operation)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    return {int(r[0]) for r in rows}
+
+
+def ingest_batch(
+    store,
+    batch_df: DataFrame,
+    epoch_id: int,
+    query_name: str = "vector_ingest",
+    operations_log: str | None = None,
+    seen_epochs: set | None = None,
+) -> int:
+    """Idempotently append one (micro-)batch to a store.
+
+    foreachBatch is at-least-once: a batch retried after a failure
+    re-runs the append into plain Parquet (non-transactional), which
+    would duplicate vectors. With an ``operations_log``, the log is the
+    commit ledger: an ``epoch_id`` already logged for this operation is
+    skipped, so replays are no-ops and ingest is effectively
+    exactly-once at batch granularity. (The add itself and the log
+    append are still two non-atomic writes — a crash between them can
+    re-add one batch on restart; a table format with transactional
+    MERGE closes that last window. Without a log: at-least-once.)
+
+    Returns the number of rows added (0 for skipped replays).
+    """
+    if int(epoch_id) in (seen_epochs or ()):  # replayed batch: already committed
+        return 0
+    if batch_df.isEmpty():
+        return 0
+    import time as _time
+
+    n = store.add_vectors(batch_df)
+    if operations_log:
+        spark = batch_df.sparkSession
+        spark.createDataFrame(
+            [
+                (
+                    query_name,
+                    int(epoch_id),
+                    int(n),
+                    float(_time.time()),
+                    f"{store.config.user_id}_{store.config.model_id}",
+                    "completed",
+                )
+            ],
+            OPERATIONS_LOG_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(operations_log)
+    if seen_epochs is not None:
+        seen_epochs.add(int(epoch_id))
+    return n
+
+
 def streaming_ingest_vectors(
     stream: DataFrame,
     store,
@@ -151,42 +227,65 @@ def streaming_ingest_vectors(
     """Append a streaming DataFrame of vectors into a VectorStore.
 
     Each micro-batch goes through the store's normal add path (norm
-    projection + append) — chunked ingestion (reference S6) with
-    exactly-once bookkeeping from the checkpoint. Returns the
-    StreamingQuery; poll ``query.lastProgress`` for live progress.
-
-    ``operations_log``: optional parquet directory receiving one row
-    per processed batch — the durable analog of the reference's
-    in-memory operations dict (api/routes/batch_v1.py:103-172), which
-    vanished on restart; this one is a queryable table.
+    projection + append) — chunked ingestion (reference S6). Progress is
+    ``query.lastProgress`` live, plus (with ``operations_log``) a durable
+    per-batch commit table queryable via :func:`job_status` — and that
+    log doubles as the idempotency ledger making replayed batches no-ops
+    (see :func:`ingest_batch` for the exact delivery guarantee).
+    Returns the StreamingQuery.
     """
-    import time as _time
+    # snapshot the ledger once at (re)start: within this run only this
+    # callback appends to it, so the in-memory set stays authoritative
+    seen = (
+        _logged_epochs(stream.sparkSession, operations_log, query_name)
+        if operations_log
+        else set()
+    )
 
     def _add(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        n = store.add_vectors(batch_df)
-        if operations_log:
-            spark = batch_df.sparkSession
-            spark.createDataFrame(
-                [
-                    (
-                        query_name,
-                        int(epoch_id),
-                        int(n),
-                        float(_time.time()),
-                        f"{store.config.user_id}_{store.config.model_id}",
-                    )
-                ],
-                "operation string, batch_id long, rows_added long, "
-                "completed_at double, store string",
-            ).coalesce(1).write.mode("append").parquet(operations_log)
+        ingest_batch(
+            store, batch_df, epoch_id,
+            query_name=query_name,
+            operations_log=operations_log,
+            seen_epochs=seen,
+        )
 
     return (
         stream.writeStream.foreachBatch(_add)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()
+    )
+
+
+def read_operations_log(spark: SparkSession, operations_log: str) -> DataFrame:
+    """The raw per-batch commit table (schema-stable even when empty)."""
+    import os
+
+    if not os.path.exists(operations_log):
+        return spark.createDataFrame([], OPERATIONS_LOG_SCHEMA)
+    return spark.read.schema(OPERATIONS_LOG_SCHEMA).parquet(operations_log)
+
+
+def job_status(
+    spark: SparkSession, operations_log: str, operation: str | None = None
+) -> DataFrame:
+    """One row per operation: the reference's GET /batch/jobs/{id} status
+    surface (api/routes/batch_v1.py:103-172) as a queryable aggregate —
+    durable across restarts because the source is the parquet log, not a
+    process dict. Columns: operation, store, n_batches, rows_total,
+    started_at, last_update, status ('completed' iff every batch is)."""
+    log = read_operations_log(spark, operations_log)
+    if operation is not None:
+        log = log.where(F.col("operation") == operation)
+    return log.groupBy("operation", "store").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("rows_added").alias("rows_total"),
+        F.min("completed_at").alias("started_at"),
+        F.max("completed_at").alias("last_update"),
+        F.when(
+            F.count(F.when(F.col("status") != "completed", 1)) == 0, "completed"
+        ).otherwise("running").alias("status"),
     )
 
 

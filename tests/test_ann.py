@@ -125,3 +125,18 @@ def test_lsh_buckets_and_probes(spark, vectors, vec_np):
     cand = bucketed.where(F.col("bucket_id").isin(probes))
     hit = knn_query(cand, q.tolist(), k=1).first()
     assert hit["id"] == 42
+
+
+def test_lsh_plane_count_validated(spark, vectors):
+    """n_planes > 30 would wrap the int32 bucket cast (non-ANSI) and
+    silently corrupt assignments — rejected at construction, which covers
+    build_lsh and index deserialization alike."""
+    from mlx_vector_db_spark.operators.ann import LSHIndex, build_lsh
+
+    with pytest.raises(ValueError, match="n_planes"):
+        build_lsh(vectors, dim=DIM, n_planes=31)
+    with pytest.raises(ValueError, match="n_planes"):
+        LSHIndex.from_dict(
+            {"type": "lsh", "vec_col": "embedding",
+             "planes": np.zeros((31, DIM)).tolist()}
+        )

@@ -183,3 +183,25 @@ def test_chunked_empty_queries_raises(spark, vectors, queries):
 
     with pytest.raises(ValueError, match="empty query set"):
         knn_join_chunked(vectors, queries.where("query_id < 0"), k=K)
+
+
+def test_blocked_keeps_score_ties_at_k_boundary(spark):
+    """With duplicate vectors the per-batch partial top-k must keep ALL
+    score-ties at the k frontier, so the canonical (score, id ASC) order
+    — not argpartition's arbitrary internal order — picks the winners."""
+    from mlx_vector_db_spark.operators.knn import knn_join_blocked
+
+    dup = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, dup) for i in range(100)]  # every row ties on any metric
+    vectors = spark.createDataFrame(
+        rows, "id long, embedding array<float>"
+    ).repartition(8)  # several Arrow batches, each full of ties
+    queries = spark.createDataFrame([(0, dup)], "query_id long, embedding array<float>")
+    for metric in ("cosine", "dot_product", "euclidean"):
+        got = [
+            r["id"]
+            for r in knn_join_blocked(vectors, queries, k=5, metric=metric)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [0, 1, 2, 3, 4], metric

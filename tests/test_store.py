@@ -217,3 +217,51 @@ def test_client_upsert(catalog):
     )
     assert out["vectors_updated"] == 1 and out["vectors_inserted"] == 1
     assert client.count_vectors("cu", "cm").vectors == 3
+
+
+def test_auto_ids_never_collide_after_delete(catalog):
+    """Auto-assigned ids derive from max(id)+1, not row count — after a
+    delete shrinks the store, new rows must not reuse surviving ids
+    (duplicate ids would corrupt delete/upsert/query, all id-keyed)."""
+    st = catalog.create_store("aid", "m", dimension=4)
+    st.add_vectors([[float(i), 0, 0, 0] for i in range(10)])  # ids 0..9
+    assert st.delete_vectors(ids=list(range(5))) == 5         # keep 5..9
+    st.add_vectors([[float(i), 1, 0, 0] for i in range(3)])   # must be 10..12
+    ids = [r["id"] for r in st.to_df().select("id").collect()]
+    assert len(ids) == len(set(ids)) == 8
+    assert set(ids) == {5, 6, 7, 8, 9, 10, 11, 12}
+
+
+def test_auto_ids_dataframe_input_no_collision(catalog, spark):
+    """DataFrame input without an id column gets store-unique ids too
+    (monotonic ids are offset by the next free id, not started at 0)."""
+    st = catalog.create_store("aid2", "m", dimension=2)
+    st.add_vectors([[1.0, 0.0], [0.0, 1.0]])  # ids 0, 1
+    df = spark.createDataFrame(
+        [([2.0, 2.0],), ([3.0, 3.0],)], "embedding array<float>"
+    )
+    st.add_vectors(df)
+    ids = [r["id"] for r in st.to_df().select("id").collect()]
+    assert len(ids) == len(set(ids)) == 4
+    assert {0, 1} <= set(ids) and all(i >= 2 for i in set(ids) - {0, 1})
+
+
+def test_fleet_query_all_promoted_filter(catalog):
+    """filter_metadata keys that are PROMOTED in a store must still
+    filter the federated view (promoted keys are popped out of the meta
+    map at ingest, so the fleet view has to carry the promoted columns)."""
+    a = catalog.create_store(
+        "pf", "m1", dimension=4, promoted_keys={"category": "string"}
+    )
+    b = catalog.create_store("pf", "m2", dimension=4)  # meta-map only
+    a.add_vectors(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0]],
+        [{"category": "news"}, {"category": "spam"}],
+    )
+    b.add_vectors([[1.0, 0, 0, 0]], [{"category": "news"}])
+    res = catalog.query_all(
+        [1.0, 0, 0, 0], k=5, filter_metadata={"category": "news"}
+    ).collect()
+    got = {(r["user_id"], r["model_id"], r["id"]) for r in res}
+    # promoted store matched its news row; meta-map store matched too
+    assert got == {("pf", "m1", 0), ("pf", "m2", 0)}

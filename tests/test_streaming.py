@@ -252,3 +252,34 @@ def test_streaming_upsert_vectors(spark, tmp_path):
     assert rows[3] == [3.0, 1.0]                # updated by batch 1
     assert rows[7] == [7.0, 0.0]                # untouched
     assert rows[11] == [11.0, 1.0]              # in-batch last write won
+
+
+def test_ingest_batch_idempotent_and_job_status(spark, tmp_path):
+    """The operations log is the commit ledger: a replayed epoch_id is a
+    no-op (at-least-once foreachBatch -> effectively exactly-once), and
+    job_status exposes the durable per-operation aggregate the reference
+    kept in a process dict (api/routes/batch_v1.py:103-172)."""
+    from mlx_vector_db_spark.streaming import ingest_batch, job_status
+
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("idem", "m", dimension=4)
+    ops = str(tmp_path / "ops")
+    batch = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(5)],
+        "id long, embedding array<float>",
+    )
+    seen: set = set()
+    assert ingest_batch(store, batch, 0, "job1", ops, seen) == 5
+    # same epoch replayed (simulates a foreachBatch retry): no-op
+    assert ingest_batch(store, batch, 0, "job1", ops, seen) == 0
+    assert store.count() == 5
+    # a fresh run (restart) snapshots the ledger from disk and still skips
+    from mlx_vector_db_spark.streaming.ingest import _logged_epochs
+
+    assert ingest_batch(store, batch, 0, "job1", ops, _logged_epochs(spark, ops, "job1")) == 0
+    assert store.count() == 5
+    status = job_status(spark, ops).collect()
+    assert len(status) == 1
+    row = status[0]
+    assert row["operation"] == "job1" and row["status"] == "completed"
+    assert row["n_batches"] == 1 and row["rows_total"] == 5
