@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_neardup_pairs",
     "chunk_documents",
+    "embed_docs_384",
 ]
 
 

@@ -81,6 +81,67 @@ class HashingEncoder:
         return (out / norms).astype(np.float32)
 
 
+class RandomProjectionEncoder:
+    """Deterministic model-shaped encoder at sentence-transformer dim.
+
+    Mirrors the reference pipeline's encode stage structurally
+    (integrations/mlx_lm_pipeline.py:323-397: tokenize -> per-token
+    hidden state -> masked mean-pool -> L2-normalize) with a seeded
+    random-projection table standing in for model weights: each token
+    hashes to a row of a (n_buckets, dim) Gaussian table, a text is the
+    mean of its token rows, normalized. No ML runtime ships in this
+    container, but this proves the Arrow-batch mapInPandas contract at
+    realistic dim (384/768) — batch shape, schema, worker memory — and
+    is still semantically meaningful (shared vocabulary => cosine
+    similarity), so retrieval tests stay real.
+
+    The table (~6 MB at 384-dim) is regenerated from the seed lazily in
+    each Python worker instead of being pickled into the UDF closure.
+    """
+
+    def __init__(self, dim: int = 384, n_buckets: int = 4096, seed: int = 42):
+        self.dim = int(dim)
+        self.n_buckets = int(n_buckets)
+        self.seed = int(seed)
+        self._table: np.ndarray | None = None
+
+    def __getstate__(self):  # ship the seed, not the 6 MB table
+        return {"dim": self.dim, "n_buckets": self.n_buckets, "seed": self.seed}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._table = None
+
+    def _tbl(self) -> np.ndarray:
+        if self._table is None:
+            rng = np.random.default_rng(self.seed)
+            self._table = rng.standard_normal(
+                (self.n_buckets, self.dim)
+            ).astype(np.float32)
+        return self._table
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        table = self._tbl()
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            idx = np.fromiter(
+                (
+                    int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+                    % self.n_buckets
+                    for tok in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            # masked mean pool over the token axis (reference F6 shape)
+            out[i] = table[idx].mean(axis=0)
+        norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-8)
+        return (out / norms).astype(np.float32)
+
+
 def embed_texts(
     df: DataFrame,
     encoder: Encoder,

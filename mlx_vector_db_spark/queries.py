@@ -723,17 +723,19 @@ def q_rag_pipeline(spark, sf_dir):
     pipeline tests; declared here so the driver exercises the full path."""
     import tempfile
 
-    from mlx_vector_db_spark.pipeline import HashingEncoder, TextPipeline
+    from mlx_vector_db_spark.pipeline import RandomProjectionEncoder, TextPipeline
     from mlx_vector_db_spark.store import VectorStoreCatalog
 
     cat = VectorStoreCatalog(spark, tempfile.mkdtemp(prefix="ragq-"))
+    # 384-dim model-shaped encoder: exercises the mapInPandas embed
+    # contract at sentence-transformer dim, not toy hashing width
     store = cat.create_store(
-        "ragq", "hash64", dimension=64,
+        "ragq", "rp384", dimension=384,
         promoted_keys={"document_id": "long", "chunk_index": "int",
                        "chunk_text": "string", "chunk_length": "int",
                        "document_source": "string"},
     )
-    pipe = TextPipeline(store, HashingEncoder(64))
+    pipe = TextPipeline(store, RandomProjectionEncoder(384))
     docs = _t(spark, sf_dir, "documents").limit(200)
     pipe.index_documents(docs, chunk_size=400, overlap=50)
     target = docs.where(F.col("doc_id") == 0).first()
@@ -751,6 +753,24 @@ def q_rag_pipeline(spark, sf_dir):
         F.round("similarity", 6).alias("similarity"),
         "chunk_length",
         "chunk_text",
+    )
+
+
+def q_embed_docs_384(spark, sf_dir):
+    """Chunk + 384-dim encode of the documents table — the LLM-pipeline
+    embed stage at model dim through the Arrow mapInPandas contract. The
+    value gate rides on the chunker fixture: (document_id, chunk_index)
+    keys and the declared dim must line up row-for-row, which pins batch
+    shape and schema of the encode stage (vector VALUES are sha1+Gaussian
+    and not SQL-expressible; they're unit-tested in tests/test_pipeline)."""
+    from mlx_vector_db_spark.pipeline import RandomProjectionEncoder, embed_texts
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=400, overlap=50
+    )
+    emb = embed_texts(chunks, RandomProjectionEncoder(384), 384)
+    return emb.select(
+        "document_id", "chunk_index", F.size("embedding").alias("dim")
     )
 
 
@@ -995,6 +1015,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_knn": q_ivf_knn,
     "rag_pipeline": q_rag_pipeline,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+    "embed_docs_384": q_embed_docs_384,
     "ivf_recall_gate": q_ivf_recall_gate,
     "lsh_recall_gate": q_lsh_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
@@ -1426,4 +1447,10 @@ ORACLES: dict[str, str] = {
     """,
     "minhash_recall_gate": "SELECT TRUE AS passed",
     "simhash_exactness_gate": "SELECT TRUE AS passed",
+    # the encode stage must emit exactly one 384-wide vector per chunk:
+    # keys from the chunker golden fixture, dim as a constant
+    "embed_docs_384": """
+        SELECT document_id, chunk_index, 384 AS dim
+        FROM read_parquet('/root/repo/fixtures/chunk_documents_sf0.01.parquet')
+    """,
 }

@@ -119,3 +119,50 @@ def test_indexed_chunks_inherit_store_features(spark, pipeline, sf_small):
         "anything", k=5, filter_metadata={"document_id": 3}
     ).collect()
     assert res and all(r["document_id"] == 3 for r in res)
+
+
+def test_random_projection_encoder_properties():
+    """Model-shaped 384-dim encoder: deterministic across instances and
+    pickling (the table rebuilds from the seed in each worker), unit
+    norm, and semantically meaningful (shared vocabulary => higher
+    cosine than disjoint vocabulary)."""
+    import pickle
+
+    from mlx_vector_db_spark.pipeline import RandomProjectionEncoder
+
+    enc = RandomProjectionEncoder(384, seed=7)
+    texts = ["the quick brown fox", "the quick brown dog", "entirely different words here"]
+    a = enc(texts)
+    assert a.shape == (3, 384) and a.dtype == np.float32
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-5)
+    b = pickle.loads(pickle.dumps(RandomProjectionEncoder(384, seed=7)))(texts)
+    assert np.array_equal(a, b)
+    sim_near = float(a[0] @ a[1])
+    sim_far = float(a[0] @ a[2])
+    assert sim_near > sim_far
+    # empty text encodes to the zero-norm guard, not NaN
+    z = enc([""])
+    assert np.all(np.isfinite(z))
+
+
+def test_pipeline_end_to_end_384(spark, tmp_path, sf_small):
+    """TextPipeline at sentence-transformer dim: index + retrieve with
+    the RandomProjectionEncoder proves the Arrow batch contract at
+    realistic width (the reference embeds at model dim, not hash width)."""
+    from mlx_vector_db_spark.pipeline import RandomProjectionEncoder, TextPipeline
+
+    cat = VectorStoreCatalog(spark, tmp_path / "stores384")
+    store = cat.create_store(
+        "p384", "m", dimension=384,
+        promoted_keys={"document_id": "long", "chunk_index": "int",
+                       "chunk_text": "string", "chunk_length": "int"},
+    )
+    pipe = TextPipeline(store, RandomProjectionEncoder(384))
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+    n = pipe.index_documents(docs, source_col=None)
+    assert n == store.count() > 0
+    assert len(store.to_df().first()["embedding"]) == 384
+    target = docs.where(F.col("doc_id") == docs.first()["doc_id"]).first()
+    hits = pipe.search_similar_texts(target["text"], k=3).collect()
+    # the document's own chunk is the nearest neighbor of its text
+    assert hits and hits[0]["document_id"] == target["doc_id"]
