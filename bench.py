@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "knn_cosine_topk",
     "knn_cosine_filtered",
     "ivf_knn",
+    "pq_knn",
     "pricing_summary",
     "top_orders",
     "region_revenue",

@@ -1,0 +1,346 @@
+"""Product quantization (PQ) — compressed-domain similarity search.
+
+The next storage cliff past int8 (functions/vector.py quantize_int8):
+int8 cuts vector bytes 4x, PQ cuts them 16-64x. A D-dim vector is split
+into ``m`` subvectors; each subvector is replaced by the id of its
+nearest centroid in a per-subspace codebook of ``2**nbits`` entries
+(Jegou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — public method). A 384-dim float32 vector (1536 B)
+becomes ``m`` bytes: 32 B at m=32, a 48x cut. At 100 TB of embeddings
+that is the difference between scanning 100 TB and scanning ~2 TB.
+
+Search is asymmetric distance computation (ADC): the *query* stays
+exact; per query one (m, 2**nbits) lookup table of partial
+dot-products/squared-distances against every codebook entry is built
+driver-side (tiny: m*256 doubles), and a stored code scores as the sum
+of m table lookups — no decode, no float vector read. The approximate
+top ``k * overfetch`` candidates then re-rank exactly against the float
+embeddings (semi-join on id — reads float bytes for the candidates
+only), the same two-pass shape as the int8 path and the reference's
+over-fetch policy (service/optimized_vector_store.py:121-135).
+
+Spark-first split of the work:
+- **train**: driver-side numpy k-means per subspace over a bounded
+  Arrow-collected sample (identical policy to operators.ann.build_ivf —
+  a coarse codebook needs thousands of points, not the corpus).
+- **encode**: ``mapInPandas`` — each Arrow batch is reshaped to
+  (n, m, dsub) and assigned to codebook rows with one einsum per
+  subspace; output is a ``binary`` column of m bytes per row. Encoding
+  new data is a stateless projection: no rebuild, streaming-safe.
+- **ADC scan**: ``mapInPandas`` over (id, code) only — the scan never
+  touches the float column, so Parquet column pruning makes the first
+  pass IO ~= m bytes/row. Per-batch partial top-k keeps the shuffle at
+  O(batches * queries * k), the knn_join_blocked discipline.
+
+Residual mode: pass the IVF centroids (operators.ann.IVFIndex) to
+:func:`train_pq` / :meth:`PQCodebooks.encode` and codes quantize
+``v - centroid(v)`` instead of ``v`` — classic IVF-PQ. Residuals are
+smaller in norm, so the same codebook budget spends on finer detail;
+ADC then adds the exact ``dot(q, centroid)`` term per cell (one value
+per (query, cell), computed driver-side from the KB-sized centroid
+block).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.vector import metric_ascending
+from mlx_vector_db_spark.operators.ann import _kmeans_numpy
+from mlx_vector_db_spark.operators.knn import knn_join
+from mlx_vector_db_spark.operators.topk import top_k_per_group
+
+__all__ = ["PQCodebooks", "train_pq", "pq_search_batch"]
+
+
+class PQCodebooks:
+    """Per-subspace codebooks + encode/ADC kernels.
+
+    ``books`` has shape (m, ksub, dsub); serialized form is a small
+    JSON-able dict (m * ksub * dsub doubles — ~780 KB at 384-dim/m=48,
+    the same order as the reference's persisted HNSW metadata,
+    performance/hnsw_index.py:105-129)."""
+
+    def __init__(self, books: np.ndarray, vec_col: str = "embedding"):
+        books = np.asarray(books, dtype=np.float64)
+        if books.ndim != 3:
+            raise ValueError(f"books must be (m, ksub, dsub), got {books.shape}")
+        if books.shape[1] > 256:
+            raise ValueError("ksub > 256 does not fit byte codes")
+        self.books = books
+        self.vec_col = vec_col
+
+    # -- persistence -------------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return {
+            "type": "pq",
+            "vec_col": self.vec_col,
+            "books": self.books.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PQCodebooks":
+        return cls(np.asarray(d["books"], dtype=np.float64), d["vec_col"])
+
+    @property
+    def m(self) -> int:
+        return self.books.shape[0]
+
+    @property
+    def dsub(self) -> int:
+        return self.books.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+    @property
+    def compression(self) -> float:
+        """bytes(float32 vector) / bytes(code)."""
+        return (self.dim * 4) / self.m
+
+    # -- kernels -----------------------------------------------------------
+
+    def _assign(self, X: np.ndarray) -> np.ndarray:
+        """(n, dim) -> (n, m) uint8 codes: per-subspace argmax of
+        ``x.c - ||c||^2/2`` (same identity as the IVF assigner)."""
+        n = X.shape[0]
+        sub = X.reshape(n, self.m, self.dsub)
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            c = self.books[j]  # (ksub, dsub)
+            scores = sub[:, j, :] @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+            codes[:, j] = scores.argmax(axis=1)
+        return codes
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """(n, m) codes -> (n, dim) reconstructed vectors."""
+        codes = np.asarray(codes)
+        parts = [self.books[j][codes[:, j]] for j in range(self.m)]
+        return np.concatenate(parts, axis=1)
+
+    def dot_luts(self, Q: np.ndarray) -> np.ndarray:
+        """(nq, dim) queries -> (nq, m, ksub) partial dot-product lookup
+        tables: ``lut[q, j, c] = dot(Q[q] subspace j, books[j][c])``."""
+        Q = np.asarray(Q, dtype=np.float64)
+        nq = Q.shape[0]
+        qs = Q.reshape(nq, self.m, self.dsub)
+        return np.einsum("qjd,jcd->qjc", qs, self.books)
+
+    def encode(
+        self,
+        df: DataFrame,
+        code_col: str = "pq_code",
+        centroids: np.ndarray | None = None,
+        cell_col: str = "centroid_id",
+    ) -> DataFrame:
+        """Add a ``binary`` m-byte code column via mapInPandas.
+
+        With ``centroids`` (the IVF coarse quantizer's (nlist, dim)
+        block), codes quantize the residual ``v - centroids[cell_col]``
+        (IVF-PQ); the input must already carry ``cell_col``.
+        """
+        vec_col = self.vec_col
+        books_self = self
+        cent = None if centroids is None else np.asarray(centroids, np.float64)
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        out_schema = f"{fields}, {code_col} binary"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                if cent is not None:
+                    X = X - cent[pdf[cell_col].to_numpy()]
+                codes = books_self._assign(X)
+                yield pdf.assign(**{code_col: [c.tobytes() for c in codes]})
+
+        return df.mapInPandas(run, schema=out_schema)
+
+    def search_errors(self, X: np.ndarray) -> np.ndarray:
+        """Mean squared reconstruction error per vector (diagnostics)."""
+        codes = self._assign(np.asarray(X, dtype=np.float64))
+        rec = self.decode(codes)
+        return ((np.asarray(X) - rec) ** 2).mean(axis=1)
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 12,
+    max_train_rows: int = 131_072,
+    centroids: np.ndarray | None = None,
+    cell_col: str = "centroid_id",
+) -> PQCodebooks:
+    """Train per-subspace codebooks on a bounded Arrow-collected sample
+    (the build_ivf sampling policy — the distributed table is never
+    collected). With ``centroids``, trains on residuals (IVF-PQ)."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot train PQ on an empty table")
+    train = df
+    if n > max_train_rows:
+        train = df.sample(min(1.0, 1.2 * max_train_rows / n), seed=seed).limit(
+            max_train_rows
+        )
+    cols = [F.col(vec_col).cast("array<double>").alias("_v")] + (
+        [F.col(cell_col).alias("_c")] if centroids is not None else []
+    )
+    sample = train.select(*cols).toPandas()
+    X = np.vstack(sample["_v"].to_numpy()).astype(np.float64, copy=False)
+    if centroids is not None:
+        X = X - np.asarray(centroids, np.float64)[sample["_c"].to_numpy()]
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ksub = min(1 << int(nbits), len(X))
+    books = np.stack(
+        [
+            _kmeans_numpy(
+                X[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j, max_iter=max_iter
+            )
+            for j in range(m)
+        ]
+    )
+    return PQCodebooks(books, vec_col=vec_col)
+
+
+def pq_search_batch(
+    coded: DataFrame,
+    queries: DataFrame,
+    pq: PQCodebooks,
+    k: int = 10,
+    metric: str = "cosine",
+    overfetch: int = 4,
+    code_col: str = "pq_code",
+    id_col: str = "id",
+    norm_col: str | None = None,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exact_rerank: bool = True,
+) -> DataFrame:
+    """Two-pass batch k-NN over PQ codes.
+
+    Pass 1 (ADC): scan (id, code) ONLY — the float column is pruned out
+    of the Parquet read — scoring each code as m table lookups against
+    the per-query LUT; per-Arrow-batch partial top-(k*overfetch) bounds
+    the shuffle. Pass 2: exact re-rank of the candidate union via
+    knn_join on the float vectors (semi-join on id), restoring exact
+    scores/ordering; PQ error only costs recall when a true top-k
+    neighbor falls outside the over-fetched candidate set.
+
+    For ``metric='cosine'`` the ADC pass divides the approximate dot by
+    the code's reconstruction norm (gathered from the same codebook
+    tables — no float IO), so ranking tracks true cosine even when
+    corpus norms vary; the exact re-rank then restores exact scores.
+    """
+    if metric not in ("cosine", "euclidean", "dot_product"):
+        raise ValueError(f"unknown metric {metric!r}")
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    ascending = metric_ascending(metric)
+    luts = pq.dot_luts(Q)  # (nq, m, ksub) partial dot products
+    lut2 = (pq.books * pq.books).sum(axis=2)  # (m, ksub) centroid sq-norms
+    if metric == "euclidean":
+        # rank by ||v - q||^2 - ||q||^2 = sum_j (||c_j||^2 - 2 q_j.c_j):
+        # fold the code's squared norm into the LUT so the scan is still
+        # one gather per subspace; the dropped ||q||^2 is rank-constant
+        luts = lut2[None, :, :] - 2.0 * luts
+    sc = coded.sparkSession.sparkContext
+    bq = sc.broadcast(
+        {
+            "ids": q_ids,
+            "luts": luts,
+            # cosine needs a per-code norm denominator or dot ranking
+            # misorders corpora with varying norms: the code's own
+            # reconstruction norm sqrt(sum_j ||c_j||^2) is gathered from
+            # the same (m, ksub) table — still zero float-column IO,
+            # query-independent (one gather pass per batch, not per query)
+            "lut2": lut2 if metric == "cosine" else None,
+        }
+    )
+    take = int(k) * int(overfetch)
+    mm = pq.m
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        data = bq.value
+        L, L2, qids = data["luts"], data["lut2"], data["ids"]
+        nq = len(qids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col].to_list()), dtype=np.uint8
+            ).reshape(len(pdf), mm)
+            ids = pdf[id_col].to_numpy()
+            # S[n, q] = sum_j L[q, j, codes[n, j]] — m vectorized gathers
+            S = np.zeros((len(pdf), nq), dtype=np.float64)
+            for j in range(mm):
+                S += L[:, j, codes[:, j]].T
+            if L2 is not None:
+                n2 = np.zeros(len(pdf), dtype=np.float64)
+                for j in range(mm):
+                    n2 += L2[j, codes[:, j]]
+                S /= np.maximum(np.sqrt(n2), 1e-8)[:, None]
+            n = S.shape[0]
+            t = min(take, n)
+            key = S if ascending else -S
+            if t < n:
+                bound = np.partition(key, t - 1, axis=0)[t - 1, :]
+                mask = key <= bound[None, :]
+            else:
+                mask = np.ones(S.shape, dtype=bool)
+            rows, qcols = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qcols],
+                    id_col: ids[rows],
+                    "_approx": S[rows, qcols],
+                }
+            )
+
+    cand = (
+        coded.select(id_col, code_col)
+        .mapInPandas(adc, schema=f"query_id long, {id_col} long, _approx double")
+    )
+    order = [
+        F.col("_approx").asc() if ascending else F.col("_approx").desc(),
+        F.col(id_col).asc(),
+    ]
+    cand_topk = top_k_per_group(cand, ["query_id"], order, take).select(
+        "query_id", id_col
+    )
+    if not exact_rerank:
+        scored = cand.join(cand_topk, on=["query_id", id_col], how="left_semi")
+        return scored.withColumnRenamed("_approx", "score")
+    # exact re-rank: float vectors for candidate ids only (semi-join),
+    # then the standard exact batch kNN re-scores and cuts to k
+    cand_ids = cand_topk.select(id_col).distinct()
+    subset = coded.join(cand_ids, on=id_col, how="left_semi").drop(code_col)
+    return knn_join(
+        subset,
+        queries,
+        k=k,
+        metric=metric,
+        vec_col=pq.vec_col,
+        id_col=id_col,
+        query_vec_col=query_vec_col,
+        query_id_col=query_id_col,
+        norm_col=norm_col,
+    )

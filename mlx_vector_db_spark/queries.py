@@ -805,11 +805,38 @@ def _ivf_artifact(spark, sf_dir):
     return path, index
 
 
+#: build-once PQ artifacts per sf_dir: (coded parquet path, codebooks)
+_PQ_ARTIFACTS: dict[str, tuple[str, object]] = {}
+
+
+def _pq_artifact(spark, sf_dir):
+    """Product-quantization twin of _ivf_artifact: codebooks trained and
+    codes materialized once per sf_dir; every query is compressed-domain
+    *search*. The coded table keeps the float column beside the m-byte
+    code — the ADC scan prunes it (asserted in tests/test_pq.py), the
+    exact re-rank semi-joins it back for candidates only."""
+    key = str(sf_dir).rstrip("/")
+    hit = _PQ_ARTIFACTS.get(key)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    from mlx_vector_db_spark.operators.pq import train_pq
+
+    emb = _t(spark, key, "embeddings").withColumnRenamed("vec_id", "id")
+    pq = train_pq(emb, m=8, nbits=8, seed=42)  # 64-dim -> 8 bytes: 32x
+    path = tempfile.mkdtemp(prefix="pq-artifact-")
+    pq.encode(emb).write.mode("overwrite").parquet(path)
+    _PQ_ARTIFACTS[key] = (path, pq)
+    return path, pq
+
+
 def prewarm(spark, sf_dir) -> None:
     """Build the persisted index artifacts outside any timed region
     (bench.py calls this during warmup; the correctness driver simply
-    pays the one-time build on its first ivf query)."""
+    pays the one-time build on its first indexed query)."""
     _ivf_artifact(spark, sf_dir)
+    _pq_artifact(spark, sf_dir)
 
 
 def q_ivf_knn(spark, sf_dir):
@@ -937,6 +964,38 @@ def q_simhash_exactness_gate(spark, sf_dir):
     return spark.createDataFrame([(bool(passed),)], "passed boolean").where("passed")
 
 
+def q_pq_knn(spark, sf_dir):
+    """Compressed-domain batch kNN: ADC over 8-byte PQ codes (32x
+    compression) + exact re-rank — the storage-cliff path past int8
+    (SCALE.md); accuracy is gated by pq_recall_gate."""
+    from mlx_vector_db_spark.operators.pq import pq_search_batch
+
+    path, pq = _pq_artifact(spark, sf_dir)
+    coded = spark.read.parquet(path)
+    queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    return pq_search_batch(coded, queries, pq, k=KNN_K, overfetch=4)
+
+
+def q_pq_recall_gate(spark, sf_dir):
+    """PQ ADC + exact re-rank recall@10 >= 0.9 per query vs the exact
+    scan. Unlike cell pruning, PQ scans every row (in compressed form),
+    so recall holds even on this uniform-random worst-case corpus — the
+    codebooks only need to preserve enough geometry for the over-fetched
+    candidate set to contain the true top-k."""
+    from mlx_vector_db_spark.operators.pq import pq_search_batch
+
+    path, pq = _pq_artifact(spark, sf_dir)
+    coded = spark.read.parquet(path)
+    queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    approx = pq_search_batch(coded, queries, pq, k=KNN_K, overfetch=4)
+    exact = knn_join(coded.drop("pq_code"), queries, k=KNN_K)
+    return _recall_gate(approx, exact)
+
+
 def q_embedding_neardup_bucketed(spark, sf_dir):
     """The 100 TB near-dup path under the same value oracle as the exact
     variant: B independent LSH bucketings (different seeds), candidates =
@@ -1018,6 +1077,8 @@ QUERIES: dict[str, QueryFn] = {
     "embed_docs_384": q_embed_docs_384,
     "ivf_recall_gate": q_ivf_recall_gate,
     "lsh_recall_gate": q_lsh_recall_gate,
+    "pq_knn": q_pq_knn,
+    "pq_recall_gate": q_pq_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
     "simhash_exactness_gate": q_simhash_exactness_gate,
 }
@@ -1442,6 +1503,10 @@ ORACLES: dict[str, str] = {
         FROM embeddings WHERE vec_id < 5
     """,
     "lsh_recall_gate": """
+        SELECT vec_id AS query_id, TRUE AS passed
+        FROM embeddings WHERE vec_id < 5
+    """,
+    "pq_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed
         FROM embeddings WHERE vec_id < 5
     """,

@@ -1,0 +1,125 @@
+"""Product quantization: codebook training, Arrow encode, ADC search
+with exact re-rank vs the exact kNN oracle, residual (IVF-PQ) variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.operators.knn import knn_join
+from mlx_vector_db_spark.operators.pq import PQCodebooks, pq_search_batch, train_pq
+
+N, DIM, K = 2000, 16, 10
+RNG = np.random.default_rng(23)
+
+
+@pytest.fixture(scope="module")
+def vec_np():
+    centers = RNG.random((8, DIM)) * 4
+    assign = RNG.integers(0, 8, N)
+    return (centers[assign] + 0.3 * RNG.standard_normal((N, DIM))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, vec_np):
+    return spark.createDataFrame(
+        [(i, vec_np[i].tolist()) for i in range(N)],
+        "id long, embedding array<float>",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def pq(vectors):
+    return train_pq(vectors, m=4, nbits=8, seed=5)
+
+
+@pytest.fixture(scope="module")
+def coded(vectors, pq):
+    return pq.encode(vectors).cache()
+
+
+def test_codes_shape_and_compression(coded, pq):
+    assert pq.compression == (DIM * 4) / 4  # 16x at m=4, dim=16
+    row = coded.first()
+    assert isinstance(row["pq_code"], (bytes, bytearray)) and len(row["pq_code"]) == 4
+    assert coded.count() == N
+
+
+def test_reconstruction_error_bounded(pq, vec_np):
+    """PQ reconstruction error must be far below the data's own spread —
+    the codebooks actually learned the subspace structure."""
+    X = vec_np[:500].astype(np.float64)
+    mse = pq.search_errors(X).mean()
+    var = X.var(axis=0).mean()
+    assert mse < 0.25 * var
+
+
+def test_serialization_roundtrip(pq, vec_np):
+    clone = PQCodebooks.from_dict(pq.to_dict())
+    X = vec_np[:64].astype(np.float64)
+    assert np.array_equal(clone._assign(X), pq._assign(X))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot_product", "euclidean"])
+def test_pq_search_matches_exact_after_rerank(spark, vectors, coded, pq, vec_np, metric):
+    """ADC first pass + exact re-rank: recall@10 >= 0.9 vs the exact
+    batch kNN, and every returned score is the EXACT score (the re-rank
+    re-scores floats, so PQ error can only cost recall, never wrong
+    values)."""
+    qn = 10
+    queries = spark.createDataFrame(
+        [(i, vec_np[i].tolist()) for i in range(qn)],
+        "query_id long, embedding array<float>",
+    )
+    approx = pq_search_batch(coded, queries, pq, k=K, metric=metric, overfetch=4)
+    exact = knn_join(vectors, queries, k=K, metric=metric)
+    a = {(r["query_id"], r["id"]): r["score"] for r in approx.collect()}
+    e = {(r["query_id"], r["id"]): r["score"] for r in exact.collect()}
+    recall = len(a.keys() & e.keys()) / len(e)
+    assert recall >= 0.9, f"{metric}: recall {recall}"
+    for key in a.keys() & e.keys():
+        assert a[key] == pytest.approx(e[key], abs=1e-9), metric
+
+
+def test_pq_first_pass_prunes_float_column(spark, coded, pq, vec_np):
+    """The ADC scan must read only (id, pq_code) — the float embedding
+    column stays out of the candidate-generation plan."""
+    queries = spark.createDataFrame(
+        [(0, vec_np[0].tolist())], "query_id long, embedding array<float>"
+    )
+    out = pq_search_batch(coded, queries, pq, k=K, exact_rerank=False)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # candidate generation projects id + code only (embedding pruned)
+    assert "pq_code" in plan
+
+
+def test_residual_pq_beats_plain_pq(spark, vectors, vec_np):
+    """IVF-PQ: quantizing residuals v - centroid(v) with the same
+    codebook budget reconstructs strictly better on clustered data."""
+    from mlx_vector_db_spark.operators.ann import build_ivf
+
+    indexed, ivf = build_ivf(vectors, nlist=8, seed=3)
+    plain = train_pq(vectors, m=4, nbits=6, seed=5)
+    resid = train_pq(
+        indexed, m=4, nbits=6, seed=5, centroids=ivf.centroids
+    )
+    X = vec_np[:500].astype(np.float64)
+    cells = np.array(
+        [r["centroid_id"] for r in indexed.where(F.col("id") < 500)
+         .orderBy("id").select("centroid_id").collect()]
+    )
+    R = X - ivf.centroids[cells]
+    assert resid.search_errors(R).mean() < plain.search_errors(X).mean()
+    # residual encode path produces valid byte codes through Spark too
+    coded = resid.encode(indexed, centroids=ivf.centroids)
+    row = coded.where(F.col("id") == 7).first()
+    assert len(row["pq_code"]) == 4
+
+
+def test_pq_validation():
+    with pytest.raises(ValueError, match="ksub"):
+        PQCodebooks(np.zeros((2, 300, 4)))
+    with pytest.raises(ValueError, match="books"):
+        PQCodebooks(np.zeros((2, 4)))
