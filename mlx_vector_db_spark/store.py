@@ -82,6 +82,11 @@ class StoreConfig:
     #: then run a quantized first pass that scans ~1/4 of the vector
     #: bytes (columnar pruning) and exact-re-rank only the candidates
     quantize: bool = False
+    #: persisted product-quantization codebooks (operators.pq) — set by
+    #: build_pq(); adds an m-byte ``pq_code`` column, maintained
+    #: incrementally on add, and enables the 16-64x-compressed ADC
+    #: first pass in query()
+    pq: dict | None = None
 
     def __post_init__(self) -> None:
         if not (1 <= self.dimension <= MAX_DIMENSION):
@@ -285,6 +290,7 @@ class VectorStore:
         self.catalog = catalog
         self.config = config
         self._ivf_cache = None
+        self._pq_cache = None
         self.data_dir = (
             catalog.root
             / f"user_id={config.user_id}"
@@ -318,6 +324,8 @@ class VectorStore:
                     True,
                 )
             )
+        if self.config.pq:
+            fields.append(T.StructField("pq_code", T.BinaryType(), True))
         if self.config.index:
             fields.append(T.StructField("centroid_id", T.IntegerType(), True))
         return T.StructType(fields)
@@ -331,6 +339,16 @@ class VectorStore:
         if self._ivf_cache is None:
             self._ivf_cache = index_from_dict(self.config.index)
         return self._ivf_cache
+
+    def _pq(self):
+        """The deserialized PQ codebooks, or None."""
+        if not self.config.pq:
+            return None
+        from mlx_vector_db_spark.operators.pq import PQCodebooks
+
+        if self._pq_cache is None:
+            self._pq_cache = PQCodebooks.from_dict(self.config.pq)
+        return self._pq_cache
 
     def _empty(self) -> DataFrame:
         return self.catalog.spark.createDataFrame([], self.schema)
@@ -401,7 +419,7 @@ class VectorStore:
             in_fields = [
                 f
                 for f in self.schema.fields
-                if f.name not in ("norm", "centroid_id", "q8")
+                if f.name not in ("norm", "centroid_id", "q8", "pq_code")
             ]
             df = spark.createDataFrame(rows, T.StructType(in_fields))
 
@@ -439,6 +457,11 @@ class VectorStore:
             # over the new batch only — never a rebuild (the reference
             # rebuilt its whole HNSW graph per add, :110-113)
             out = out.withColumn("centroid_id", ivf.assign_expr().cast("int"))
+        pqc = self._pq()
+        if pqc is not None and "pq_code" not in out.columns:
+            # incremental PQ maintenance: encoding is a stateless
+            # mapInPandas projection over the new batch only
+            out = pqc.encode(out)
         return out.select(*[f.name for f in self.schema.fields])
 
     def _next_id(self) -> int:
@@ -595,6 +618,42 @@ class VectorStore:
         self._ivf_cache = None
         self.catalog._save_config(self.config)
 
+    def build_pq(
+        self,
+        m: int = 8,
+        nbits: int = 8,
+        seed: int = 42,
+    ) -> None:
+        """Train product-quantization codebooks on the store (bounded
+        sample) and materialize an m-byte ``pq_code`` column — the
+        compression analog of build_index: one-time build persisted in
+        the store config, incremental encode on every later add, and a
+        16-64x-compressed ADC first pass in query(). Composable with the
+        cell index (build both for IVF+PQ-style search)."""
+        from mlx_vector_db_spark.operators.pq import train_pq
+
+        df = self.to_df().drop("pq_code") if self.config.pq else self.to_df()
+        if df.isEmpty():
+            raise ValueError("cannot train PQ on an empty store")
+        pqc = train_pq(df, m=m, nbits=nbits, seed=seed)
+        self.config.pq = pqc.to_dict()
+        self._pq_cache = pqc
+        coded = pqc.encode(df)
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        out = coded.select([f.name for f in self.schema.fields])
+        writer = out.write.mode("overwrite")
+        if self._cell_partitioned():
+            writer = writer.partitionBy("centroid_id")
+        writer.parquet(str(staging))
+        shutil.rmtree(self.data_dir, ignore_errors=True)
+        staging.rename(self.data_dir)
+        self.catalog._save_config(self.config)
+
+    def drop_pq(self) -> None:
+        self.config.pq = None
+        self._pq_cache = None
+        self.catalog._save_config(self.config)
+
     # -- query -------------------------------------------------------------
 
     def query(
@@ -629,6 +688,13 @@ class VectorStore:
                 df = df.where(F.col("centroid_id").isin(probes))
             except Exception:  # index trouble -> exact path (reference :142-145)
                 df = self.to_df()
+        if use_quantized and self.config.pq:
+            try:
+                return self._query_pq_first_pass(
+                    df, query_vector, k, metric, filter_metadata, overfetch
+                )
+            except Exception:  # fall back to int8 / exact below
+                pass
         if use_quantized and self.config.quantize:
             try:
                 return self._query_quantized_first_pass(
@@ -674,6 +740,39 @@ class VectorStore:
             .select("id")
         )
         subset = df.join(cands, on="id", how="left_semi")
+        return knn_query(
+            subset,
+            query_vector,
+            k=k,
+            metric=metric,
+            filter_metadata=filter_metadata,
+            norm_col="norm",
+        )
+
+    def _query_pq_first_pass(
+        self, df, query_vector, k, metric, filter_metadata, overfetch
+    ) -> DataFrame:
+        """Two-pass search over PQ codes: (1) ADC scores the m-byte
+        codes — the scan reads only ``id``/``pq_code`` (+ filter
+        columns), 16-64x fewer vector bytes than the float scan — and
+        keeps ``k * overfetch`` candidates; (2) exact re-rank of just
+        those candidates (same shape as the int8 path, deeper
+        compression)."""
+        from mlx_vector_db_spark.operators.knn import apply_metadata_filter
+        from mlx_vector_db_spark.operators.pq import pq_search_batch
+
+        pqc = self._pq()
+        filtered = apply_metadata_filter(df, filter_metadata)
+        spark = self.catalog.spark
+        qdf = spark.createDataFrame(
+            [(0, [float(x) for x in query_vector])],
+            "query_id long, embedding array<double>",
+        )
+        cand = pq_search_batch(
+            filtered, qdf, pqc, k=int(k), metric=metric,
+            overfetch=int(overfetch), exact_rerank=False,
+        ).select("id").distinct()
+        subset = df.join(cand, on="id", how="left_semi")
         return knn_query(
             subset,
             query_vector,
@@ -823,6 +922,7 @@ class VectorStore:
             "dimension": self.config.dimension,
             "metric": self.config.metric,
             "index_type": (self.config.index or {}).get("type", "none"),
+            "pq": bool(self.config.pq),
             "cell_partitioned": self._cell_partitioned(),
             "files": len(list(self.data_dir.glob("**/*.parquet")))
             if self.data_dir.exists()

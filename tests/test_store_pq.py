@@ -1,0 +1,81 @@
+"""Store-integrated product quantization: build_pq persists codebooks,
+codes maintain incrementally on add, and query() runs the ADC first
+pass + exact re-rank (top-k identical to the exact scan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.store import VectorStoreCatalog
+
+DIM = 32
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    st = cat.create_store(
+        "pqs", "m", dimension=DIM,
+        promoted_keys={"category": "string"},
+    )
+    vecs = RNG.random((300, DIM)).astype(np.float32)
+    meta = [{"category": "A" if i % 2 == 0 else "B"} for i in range(300)]
+    st.add_vectors(vecs.tolist(), meta)
+    st._test_vecs = vecs
+    return st
+
+
+def test_build_pq_persists_and_codes_materialize(store):
+    store.build_pq(m=4, nbits=8)
+    df = store.to_df()
+    assert "pq_code" in df.columns
+    row = df.first()
+    assert len(row["pq_code"]) == 4
+    assert store.stats()["pq"] is True
+    # reload from config: codebooks survive the round-trip
+    reloaded = store.catalog.get_store("pqs", "m")
+    assert reloaded._pq().m == 4
+    assert reloaded.to_df().count() == 300
+
+
+def test_pq_query_matches_exact_topk(store):
+    store.build_pq(m=4, nbits=8)
+    q = store._test_vecs[42].tolist()
+    got = [r["id"] for r in store.query(q, k=5, use_quantized=True).collect()]
+    exact = [r["id"] for r in store.query(q, k=5, use_quantized=False).collect()]
+    assert got == exact
+    assert got[0] == 42  # self-match survives the compressed first pass
+    # filtered query keeps pre-filter semantics through the ADC pass
+    hits = store.query(q, k=5, filter_metadata={"category": "A"}).collect()
+    assert hits and all(r["category"] == "A" for r in hits)
+
+
+def test_pq_codes_assigned_incrementally_on_add(store):
+    store.build_pq(m=4, nbits=8)
+    new = RNG.random((10, DIM)).astype(np.float32)
+    store.add_vectors(new.tolist(), [{"category": "C"}] * 10)
+    df = store.to_df()
+    assert df.count() == 310
+    assert df.where(F.col("pq_code").isNull()).count() == 0
+    # the incremental codes equal a fresh driver-side assignment
+    pqc = store._pq()
+    row = df.where(F.col("category") == "C").first()
+    expect = pqc._assign(np.asarray([row["embedding"]], dtype=np.float64))[0]
+    assert bytes(row["pq_code"]) == expect.tobytes()
+
+
+def test_pq_composes_with_cell_index(store):
+    """PQ + IVF on one store: probe pruning first, ADC on the survivors,
+    exact re-rank last — all three artifacts persisted independently."""
+    store.build_index(nlist=4)
+    store.build_pq(m=4, nbits=8)
+    df = store.to_df()
+    assert {"centroid_id", "pq_code"} <= set(df.columns)
+    q = store._test_vecs[7].tolist()
+    hit = store.query(q, k=1, use_index=True, use_quantized=True).first()
+    assert hit["id"] == 7
+    store.drop_pq()
+    assert "pq_code" not in store.to_df().columns
