@@ -55,7 +55,7 @@ from mlx_vector_db_spark.operators.ann import _kmeans_numpy
 from mlx_vector_db_spark.operators.knn import knn_join
 from mlx_vector_db_spark.operators.topk import top_k_per_group
 
-__all__ = ["PQCodebooks", "train_pq", "pq_search_batch"]
+__all__ = ["PQCodebooks", "train_pq", "pq_search_batch", "ivfpq_search_batch"]
 
 
 class PQCodebooks:
@@ -343,4 +343,148 @@ def pq_search_batch(
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
         norm_col=norm_col,
+    )
+
+
+def ivfpq_search_batch(
+    coded: DataFrame,
+    queries: DataFrame,
+    pq: PQCodebooks,
+    centroids: np.ndarray,
+    k: int = 10,
+    metric: str = "cosine",
+    nprobe: int = 4,
+    overfetch: int = 4,
+    code_col: str = "pq_code",
+    cell_col: str = "centroid_id",
+    id_col: str = "id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Residual IVF-PQ batch search — the classic composition: coarse
+    cells prune which rows each query scores, PQ codes of the RESIDUAL
+    ``v - centroid(v)`` supply the fine detail, exact re-rank restores
+    exact scores.
+
+    ADC decomposition per row (reconstruction v̂ = c + r̂):
+      ``dot(q, v̂) = dot(q, c) + dot(q, r̂)`` — the first term is one
+      (nq, nlist) matrix computed driver-side from the KB-sized centroid
+      block; the second is the usual m-gather LUT sum. For cosine the
+      denominator ``||v̂||`` is reconstructed the same way:
+      ``||v̂||² = ||c||² + 2 c·r̂ + ||r̂||²`` via a per-cell cross table
+      (nlist × m × ksub doubles — still KBs, still zero float IO).
+    Rows outside a query's nprobe probe cells are masked out in the
+    same kernel, so cell pruning costs nothing extra. Scan IO = the
+    (id, cell, code) columns; the float column is read only for the
+    re-rank candidates.
+    """
+    if metric not in ("cosine", "euclidean", "dot_product"):
+        raise ValueError(f"unknown metric {metric!r}")
+    C = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    nlist = len(C)
+    nprobe = max(1, min(int(nprobe), nlist))
+    ascending = metric_ascending(metric)
+
+    # driver-side per-query blocks (all KB-sized)
+    luts = pq.dot_luts(Q)                     # (nq, m, ksub): q . r̂ parts
+    qc = Q @ C.T                              # (nq, nlist):   q . c
+    d2 = ((C[None, :, :] - Q[:, None, :]) ** 2).sum(axis=2)  # (nq, nlist)
+    probe_rank = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(Q), nlist), dtype=bool)
+    np.put_along_axis(probe_mask, probe_rank, True, axis=1)
+    # residual-norm tables for cosine: ||r̂||^2 gathers and the c·r̂ cross
+    lut_r2 = (pq.books * pq.books).sum(axis=2)          # (m, ksub)
+    csub = C.reshape(nlist, pq.m, pq.dsub)
+    cross = np.einsum("ljd,jcd->ljc", csub, pq.books)   # (nlist, m, ksub)
+    cnorm2 = (C * C).sum(axis=1)                        # (nlist,)
+    if metric == "euclidean":
+        # ||v̂ - q||^2 = ||v̂||^2 - 2 q.v̂ + ||q||^2 ; drop rank-constant ||q||^2
+        qnorm2 = None
+    sc = coded.sparkSession.sparkContext
+    bq = sc.broadcast(
+        {
+            "ids": q_ids, "luts": luts, "qc": qc, "mask": probe_mask,
+            "lut_r2": lut_r2, "cross": cross, "cnorm2": cnorm2,
+            "metric": metric,
+        }
+    )
+    take = int(k) * int(overfetch)
+    mm = pq.m
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = bq.value
+        L, QC, M = d["luts"], d["qc"], d["mask"]
+        R2, X, CN2 = d["lut_r2"], d["cross"], d["cnorm2"]
+        met, qids = d["metric"], d["ids"]
+        nq = len(qids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col].to_list()), dtype=np.uint8
+            ).reshape(len(pdf), mm)
+            cells = pdf[cell_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            # dot(q, v̂) = qc[q, cell] + sum_j L[q, j, code_j]
+            S = QC[:, cells].T.copy()              # (n, nq)
+            for j in range(mm):
+                S += L[:, j, codes[:, j]].T
+            if met == "cosine":
+                # ||v̂||^2 = ||c||^2 + 2 c.r̂ + ||r̂||^2, all gathered
+                n2 = CN2[cells].copy()
+                for j in range(mm):
+                    n2 += 2.0 * X[cells, j, codes[:, j]] + R2[j, codes[:, j]]
+                S /= np.maximum(np.sqrt(np.maximum(n2, 0.0)), 1e-8)[:, None]
+            elif met == "euclidean":
+                n2 = CN2[cells].copy()
+                for j in range(mm):
+                    n2 += 2.0 * X[cells, j, codes[:, j]] + R2[j, codes[:, j]]
+                S = n2[:, None] - 2.0 * S          # ||v̂||^2 - 2 q.v̂
+            # mask rows outside each query's probe cells
+            allowed = M[:, cells].T                # (n, nq)
+            S = np.where(allowed, S, np.inf if ascending else -np.inf)
+            n = S.shape[0]
+            t = min(take, n)
+            key = S if ascending else -S
+            if t < n:
+                bound = np.partition(key, t - 1, axis=0)[t - 1, :]
+                mask = key <= bound[None, :]
+            else:
+                mask = np.ones(S.shape, dtype=bool)
+            mask &= allowed
+            rows, qcols = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qcols],
+                    id_col: ids[rows],
+                    "_approx": S[rows, qcols],
+                }
+            )
+
+    cand = coded.select(id_col, cell_col, code_col).mapInPandas(
+        adc, schema=f"query_id long, {id_col} long, _approx double"
+    )
+    order = [
+        F.col("_approx").asc() if ascending else F.col("_approx").desc(),
+        F.col(id_col).asc(),
+    ]
+    cand_topk = top_k_per_group(cand, ["query_id"], order, take).select(
+        "query_id", id_col
+    )
+    cand_ids = cand_topk.select(id_col).distinct()
+    subset = coded.join(cand_ids, on=id_col, how="left_semi").drop(code_col)
+    return knn_join(
+        subset,
+        queries,
+        k=k,
+        metric=metric,
+        vec_col=pq.vec_col,
+        id_col=id_col,
+        query_vec_col=query_vec_col,
+        query_id_col=query_id_col,
     )

@@ -831,12 +831,38 @@ def _pq_artifact(spark, sf_dir):
     return path, pq
 
 
+#: build-once residual IVF-PQ artifacts: (coded parquet path, pq, ivf)
+_IVFPQ_ARTIFACTS: dict[str, tuple[str, object, object]] = {}
+
+
+def _ivfpq_artifact(spark, sf_dir):
+    """The composed index: IVF cells (from _ivf_artifact) + PQ codes of
+    the RESIDUAL v - centroid(v). One table carries (id, embedding,
+    centroid_id, pq_code); search prunes cells AND scans codes."""
+    key = str(sf_dir).rstrip("/")
+    hit = _IVFPQ_ARTIFACTS.get(key)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    from mlx_vector_db_spark.operators.pq import train_pq
+
+    path, ivf = _ivf_artifact(spark, key)
+    indexed = spark.read.parquet(path)
+    pq = train_pq(indexed, m=8, nbits=8, seed=42, centroids=ivf.centroids)
+    out = tempfile.mkdtemp(prefix="ivfpq-artifact-")
+    pq.encode(indexed, centroids=ivf.centroids).write.mode("overwrite").parquet(out)
+    _IVFPQ_ARTIFACTS[key] = (out, pq, ivf)
+    return out, pq, ivf
+
+
 def prewarm(spark, sf_dir) -> None:
     """Build the persisted index artifacts outside any timed region
     (bench.py calls this during warmup; the correctness driver simply
     pays the one-time build on its first indexed query)."""
     _ivf_artifact(spark, sf_dir)
     _pq_artifact(spark, sf_dir)
+    _ivfpq_artifact(spark, sf_dir)
 
 
 def q_ivf_knn(spark, sf_dir):
@@ -996,6 +1022,27 @@ def q_pq_recall_gate(spark, sf_dir):
     return _recall_gate(approx, exact)
 
 
+def q_ivfpq_recall_gate(spark, sf_dir):
+    """Residual IVF-PQ (cells prune, residual codes rank, exact re-rank)
+    recall@10 >= 0.9 per query vs the exact scan. nprobe follows the
+    ivf_recall_gate measurement (uniform-random corpus: recall bounded
+    by the probed fraction); the PQ stage adds no measurable recall loss
+    on top because the over-fetched candidate set absorbs code error
+    (clustered-corpus behavior at nprobe/nlist=0.5: tests/test_pq.py)."""
+    from mlx_vector_db_spark.operators.pq import ivfpq_search_batch
+
+    path, pq, ivf = _ivfpq_artifact(spark, sf_dir)
+    coded = spark.read.parquet(path)
+    queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    approx = ivfpq_search_batch(
+        coded, queries, pq, ivf.centroids, k=KNN_K, nprobe=14, overfetch=4
+    )
+    exact = knn_join(coded.drop("pq_code", "centroid_id"), queries, k=KNN_K)
+    return _recall_gate(approx, exact)
+
+
 def q_embedding_neardup_bucketed(spark, sf_dir):
     """The 100 TB near-dup path under the same value oracle as the exact
     variant: B independent LSH bucketings (different seeds), candidates =
@@ -1079,6 +1126,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_gate": q_lsh_recall_gate,
     "pq_knn": q_pq_knn,
     "pq_recall_gate": q_pq_recall_gate,
+    "ivfpq_recall_gate": q_ivfpq_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
     "simhash_exactness_gate": q_simhash_exactness_gate,
 }
@@ -1507,6 +1555,10 @@ ORACLES: dict[str, str] = {
         FROM embeddings WHERE vec_id < 5
     """,
     "pq_recall_gate": """
+        SELECT vec_id AS query_id, TRUE AS passed
+        FROM embeddings WHERE vec_id < 5
+    """,
+    "ivfpq_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed
         FROM embeddings WHERE vec_id < 5
     """,

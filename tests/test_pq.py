@@ -123,3 +123,55 @@ def test_pq_validation():
         PQCodebooks(np.zeros((2, 300, 4)))
     with pytest.raises(ValueError, match="books"):
         PQCodebooks(np.zeros((2, 4)))
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark, vectors):
+    from mlx_vector_db_spark.operators.ann import build_ivf
+
+    indexed, ivf = build_ivf(vectors, nlist=8, seed=3)
+    indexed = indexed.cache()
+    pq = train_pq(indexed, m=4, nbits=8, seed=5, centroids=ivf.centroids)
+    coded = pq.encode(indexed, centroids=ivf.centroids).cache()
+    return coded, pq, ivf
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot_product", "euclidean"])
+def test_ivfpq_search_recall_and_exact_scores(spark, vectors, ivfpq, vec_np, metric):
+    """Residual IVF-PQ at nprobe=4/8 on clustered data: recall@10 >= 0.9
+    vs exact, returned scores exactly the float scores (re-rank)."""
+    from mlx_vector_db_spark.operators.pq import ivfpq_search_batch
+
+    coded, pq, ivf = ivfpq
+    qn = 10
+    queries = spark.createDataFrame(
+        [(i, vec_np[i].tolist()) for i in range(qn)],
+        "query_id long, embedding array<float>",
+    )
+    approx = ivfpq_search_batch(
+        coded, queries, pq, ivf.centroids, k=K, metric=metric,
+        nprobe=4, overfetch=4,
+    )
+    exact = knn_join(vectors, queries, k=K, metric=metric)
+    a = {(r["query_id"], r["id"]): r["score"] for r in approx.collect()}
+    e = {(r["query_id"], r["id"]): r["score"] for r in exact.collect()}
+    recall = len(a.keys() & e.keys()) / len(e)
+    assert recall >= 0.9, f"{metric}: recall {recall}"
+    for key in a.keys() & e.keys():
+        assert a[key] == pytest.approx(e[key], abs=1e-9), metric
+
+
+def test_ivfpq_full_probe_matches_plain_recall(spark, vectors, ivfpq, vec_np):
+    """nprobe == nlist removes the pruning term: every exact top-10 id
+    survives the over-fetched residual-ADC candidate set on this data."""
+    from mlx_vector_db_spark.operators.pq import ivfpq_search_batch
+
+    coded, pq, ivf = ivfpq
+    queries = spark.createDataFrame(
+        [(0, vec_np[0].tolist())], "query_id long, embedding array<float>"
+    )
+    approx = ivfpq_search_batch(
+        coded, queries, pq, ivf.centroids, k=K, nprobe=8, overfetch=4
+    )
+    exact = knn_join(vectors, queries, k=K)
+    assert {r["id"] for r in approx.collect()} == {r["id"] for r in exact.collect()}
