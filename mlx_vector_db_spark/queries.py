@@ -877,6 +877,128 @@ def q_ivf_knn(spark, sf_dir):
     return index.search_batch(indexed, queries, k=KNN_K, nprobe=4)
 
 
+def q_orders_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (the general form rollup/cube specialize): totals
+    per priority, per status, and grand total in one pass. SQL-only in
+    Spark — the DataFrame API stops at rollup/cube."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, '(all)') AS priority,
+               coalesce(o_orderstatus, '(all)') AS status,
+               count(*) AS n_orders, round(sum(o_totalprice), 0) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+def q_lineitem_conditional(spark, sf_dir):
+    """Conditional aggregation (TPC-H Q12 shape): CASE inside SUM — one
+    scan, many predicated measures."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+            "n_high_disc"
+        ),
+        F.sum(
+            F.when(F.col("l_tax") >= 0.04, F.col("l_quantity")).otherwise(0.0)
+        ).alias("qty_high_tax"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))
+                .otherwise(0.0)
+            ),
+            0,
+        ).alias("rev_f"),
+    )
+
+
+def q_lineitem_percentile_cont(spark, sf_dir):
+    """Interpolated percentiles (percentile_cont semantics — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the linear
+    interpolation rule, verified exact)."""
+    l = _t(spark, sf_dir, "lineitem")
+    q = l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias("_q")
+    )
+    return q.select(
+        "l_returnflag",
+        F.round(F.element_at("_q", 1), 6).alias("q25"),
+        F.round(F.element_at("_q", 2), 6).alias("q50"),
+        F.round(F.element_at("_q", 3), 6).alias("q75"),
+    )
+
+
+def q_orders_monthly_growth(spark, sf_dir):
+    """Aggregate -> window composition: monthly revenue with
+    month-over-month growth (lag over an aggregated frame)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("_rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("_rev").over(w)
+    return m.select(
+        "month",
+        F.round("_rev", 0).alias("revenue"),
+        F.round(F.coalesce((F.col("_rev") - prev) / prev, F.lit(0.0)), 6).alias(
+            "growth"
+        ),
+    )
+
+
+def q_customer_segment_stats(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/corr/covar) per market
+    segment — the moment-sketch family the reference lacks entirely."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("bal_stddev"),
+        F.round(F.var_samp("c_acctbal"), 2).alias("bal_var"),
+        F.round(F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6).alias(
+            "bal_key_corr"
+        ),
+        F.round(
+            F.covar_samp("c_acctbal", F.col("c_nationkey").cast("double")), 4
+        ).alias("bal_nation_cov"),
+    )
+
+
+def q_part_string_stats(spark, sf_dir):
+    """String-function coverage: regex predicate aggregation, length,
+    case mapping, count distinct — all codegen expressions."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.sum(
+            F.when(F.col("p_name").rlike("widget|gadget"), 1).otherwise(0)
+        ).alias("n_widget"),
+        F.round(F.avg(F.length("p_name")), 6).alias("avg_name_len"),
+        F.min(F.upper("p_name")).alias("first_name"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+def q_supplier_top_parts(spark, sf_dir):
+    """Correlated LATERAL top-2: each supplier's 2 priciest parts of
+    'their' size class. Spark-side this is the idiomatic
+    WindowGroupLimit top-k + equi-join (Spark 4's correlated LATERAL
+    with ORDER BY+LIMIT mis-decorrelates — measured returning 4 of 200
+    rows — so the declarative window form IS the Spark plan you want);
+    the oracle runs DuckDB's native LATERAL, making this a true
+    cross-engine semantic check of the lateral top-k operator."""
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("p_size").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    top2 = part.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= 2)
+    return supp.join(
+        top2, top2["p_size"] == (supp["s_suppkey"] % 50 + 1)
+    ).select(
+        "s_suppkey", "p_partkey", F.round("p_retailprice", 2).alias("price")
+    )
+
+
 # --------------------------------------------------------------------------
 # accuracy gates: driver-visible recall/exactness checks for the
 # approximate operators (mirrors the reference's own ANN accuracy gate,
@@ -1122,6 +1244,13 @@ QUERIES: dict[str, QueryFn] = {
     "rag_pipeline": q_rag_pipeline,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "embed_docs_384": q_embed_docs_384,
+    "orders_grouping_sets": q_orders_grouping_sets,
+    "lineitem_conditional": q_lineitem_conditional,
+    "lineitem_percentile_cont": q_lineitem_percentile_cont,
+    "orders_monthly_growth": q_orders_monthly_growth,
+    "customer_segment_stats": q_customer_segment_stats,
+    "part_string_stats": q_part_string_stats,
+    "supplier_top_parts": q_supplier_top_parts,
     "ivf_recall_gate": q_ivf_recall_gate,
     "lsh_recall_gate": q_lsh_recall_gate,
     "pq_knn": q_pq_knn,
@@ -1569,5 +1698,63 @@ ORACLES: dict[str, str] = {
     "embed_docs_384": """
         SELECT document_id, chunk_index, 384 AS dim
         FROM read_parquet('/root/repo/fixtures/chunk_documents_sf0.01.parquet')
+    """,
+    "orders_grouping_sets": """
+        SELECT coalesce(o_orderpriority, '(all)') AS priority,
+               coalesce(o_orderstatus, '(all)') AS status,
+               count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 0) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    "lineitem_conditional": """
+        SELECT l_returnflag,
+               sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_high_disc,
+               sum(CASE WHEN l_tax >= 0.04 THEN l_quantity ELSE 0.0 END) AS qty_high_tax,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0.0 END), 0) AS rev_f
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "lineitem_percentile_cont": """
+        SELECT l_returnflag,
+               round(q[1], 6) AS q25, round(q[2], 6) AS q50, round(q[3], 6) AS q75
+        FROM (SELECT l_returnflag,
+                     quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q
+              FROM lineitem GROUP BY l_returnflag)
+    """,
+    "orders_monthly_growth": """
+        WITH m AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 sum(o_totalprice) AS rev
+          FROM orders GROUP BY 1
+        )
+        SELECT month, round(rev, 0) AS revenue,
+               round(coalesce((rev - lag(rev) OVER (ORDER BY month))
+                              / lag(rev) OVER (ORDER BY month), 0.0), 6) AS growth
+        FROM m
+    """,
+    "customer_segment_stats": """
+        SELECT c_mktsegment,
+               round(stddev_samp(c_acctbal), 4) AS bal_stddev,
+               round(var_samp(c_acctbal), 2) AS bal_var,
+               round(corr(c_acctbal, c_custkey::DOUBLE), 6) AS bal_key_corr,
+               round(covar_samp(c_acctbal, c_nationkey::DOUBLE), 4) AS bal_nation_cov
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "part_string_stats": """
+        SELECT p_brand,
+               sum(CASE WHEN regexp_matches(p_name, 'widget|gadget')
+                        THEN 1 ELSE 0 END)::BIGINT AS n_widget,
+               round(avg(length(p_name)), 6) AS avg_name_len,
+               min(upper(p_name)) AS first_name,
+               count(DISTINCT p_type)::BIGINT AS n_types
+        FROM part GROUP BY p_brand
+    """,
+    # Spark side is the window top-k plan; the oracle exercises DuckDB's
+    # native correlated LATERAL — a cross-engine check of lateral top-k
+    "supplier_top_parts": """
+        SELECT s.s_suppkey, p.p_partkey, round(p.p_retailprice, 2) AS price
+        FROM supplier s,
+        LATERAL (SELECT p_partkey, p_retailprice FROM part
+                 WHERE p_size = s.s_suppkey % 50 + 1
+                 ORDER BY p_retailprice DESC, p_partkey LIMIT 2) p
     """,
 }
