@@ -877,6 +877,31 @@ def q_ivf_knn(spark, sf_dir):
     return index.search_batch(indexed, queries, k=KNN_K, nprobe=4)
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing under the value gate: documents' text bytes
+    stand in for media payloads (binary column + typed metadata), the
+    deterministic stand-in decoder featurizes via mapInPandas, and the
+    gated output is the pipeline CONTRACT — ids, payload byte counts,
+    feature width — which the oracle recomputes from octet lengths
+    (feature VALUES are sha256-seeded and covered by
+    tests/test_sources_multimodal.py)."""
+    from mlx_vector_db_spark.multimodal.blobs import (
+        decode_and_featurize,
+        fake_image_decoder,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = decode_and_featurize(media, fake_image_decoder(64), dim=64)
+    return feats.select(
+        "media_id", "n_bytes", F.size("embedding").alias("dim")
+    )
+
+
 def q_orders_grouping_sets(spark, sf_dir):
     """GROUPING SETS (the general form rollup/cube specialize): totals
     per priority, per status, and grand total in one pass. SQL-only in
@@ -1244,6 +1269,7 @@ QUERIES: dict[str, QueryFn] = {
     "rag_pipeline": q_rag_pipeline,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "embed_docs_384": q_embed_docs_384,
+    "multimodal_features": q_multimodal_features,
     "orders_grouping_sets": q_orders_grouping_sets,
     "lineitem_conditional": q_lineitem_conditional,
     "lineitem_percentile_cont": q_lineitem_percentile_cont,
@@ -1698,6 +1724,12 @@ ORACLES: dict[str, str] = {
     "embed_docs_384": """
         SELECT document_id, chunk_index, 384 AS dim
         FROM read_parquet('/root/repo/fixtures/chunk_documents_sf0.01.parquet')
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               64 AS dim
+        FROM documents
     """,
     "orders_grouping_sets": """
         SELECT coalesce(o_orderpriority, '(all)') AS priority,
