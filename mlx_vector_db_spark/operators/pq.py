@@ -323,12 +323,15 @@ def pq_search_batch(
         F.col("_approx").asc() if ascending else F.col("_approx").desc(),
         F.col(id_col).asc(),
     ]
-    cand_topk = top_k_per_group(cand, ["query_id"], order, take).select(
-        "query_id", id_col
-    )
+    cand_topk = top_k_per_group(cand, ["query_id"], order, take)
     if not exact_rerank:
-        scored = cand.join(cand_topk, on=["query_id", id_col], how="left_semi")
-        return scored.withColumnRenamed("_approx", "score")
+        # the raw candidate stage: k*overfetch rows per query with
+        # APPROXIMATE scores, in ONE ADC scan (a semi-join back against
+        # `cand` would execute the whole mapInPandas scan twice) —
+        # callers re-rank by semi-joining the id column themselves
+        return cand_topk.select(
+            "query_id", id_col, F.col("_approx").alias("score")
+        )
     # exact re-rank: float vectors for candidate ids only (semi-join),
     # then the standard exact batch kNN re-scores and cuts to k
     cand_ids = cand_topk.select(id_col).distinct()
@@ -402,9 +405,8 @@ def ivfpq_search_batch(
     csub = C.reshape(nlist, pq.m, pq.dsub)
     cross = np.einsum("ljd,jcd->ljc", csub, pq.books)   # (nlist, m, ksub)
     cnorm2 = (C * C).sum(axis=1)                        # (nlist,)
-    if metric == "euclidean":
-        # ||v̂ - q||^2 = ||v̂||^2 - 2 q.v̂ + ||q||^2 ; drop rank-constant ||q||^2
-        qnorm2 = None
+    # (euclidean ranks by ||v̂||^2 - 2 q.v̂ — the rank-constant ||q||^2
+    # is dropped; the fold happens inside the kernel below)
     sc = coded.sparkSession.sparkContext
     bq = sc.broadcast(
         {

@@ -203,58 +203,32 @@ class VectorStoreCatalog:
                 [], "user_id string, model_id string, id long, score double, rank int"
             )
         from mlx_vector_db_spark.functions.vector import score_for_metric
-        from mlx_vector_db_spark.operators.knn import _order
+        from mlx_vector_db_spark.operators.knn import _order, apply_metadata_filter
         from mlx_vector_db_spark.operators.topk import top_k_per_group
 
         parts = []
         for cfg in stores:
             st = VectorStore(self, cfg)
-            base = st.to_df()
-            # Promoted keys are popped OUT of the meta map at ingest, so a
-            # filter on a promoted key must see the promoted column here or
-            # it would fall through to meta and silently match nothing.
-            # Promoted columns ride along as strings: same-named keys may
-            # carry different declared types across stores (string union
-            # is always well-typed), and the filter below compares
-            # stringified values — identical semantics to the meta map.
-            promoted = [
-                # Python-style bool rendering ("True"/"False", matching the
-                # str(v) convention the meta map uses at ingest) — Spark's
-                # cast would give "true"/"false" and never match
-                F.when(F.col(k).isNull(), F.lit(None).cast("string"))
-                .when(F.col(k), "True")
-                .otherwise("False")
-                .alias(k)
-                if t == "boolean"
-                else F.col(k).cast("string").alias(k)
-                for k, t in cfg.promoted_keys.items()
-            ]
-            df = base.select(
-                F.lit(cfg.user_id).alias("user_id"),
-                F.lit(cfg.model_id).alias("model_id"),
-                "id",
-                "embedding",
-                *promoted,
-                *(["meta"] if "meta" in base.columns else []),
+            # Filter per store BEFORE the union: each store's promoted
+            # columns compare with their NATIVE types (identical to
+            # store.query semantics — no string-rendering mismatches like
+            # '5' vs '5.0'), keys promoted in one store and living in
+            # another's meta map each resolve per store, and the union
+            # afterwards carries only the scoring columns so same-named
+            # promoted keys of different types never meet. Promoted
+            # predicates also push down to each store's parquet scan.
+            df = apply_metadata_filter(st.to_df(), filter_metadata)
+            parts.append(
+                df.select(
+                    F.lit(cfg.user_id).alias("user_id"),
+                    F.lit(cfg.model_id).alias("model_id"),
+                    "id",
+                    "embedding",
+                )
             )
-            parts.append(df)
         fleet = parts[0]
         for p in parts[1:]:
-            fleet = fleet.unionByName(p, allowMissingColumns=True)
-        for key, value in (filter_metadata or {}).items():
-            # One rule across heterogeneous stores: a key may be promoted
-            # in one store and live in the meta map of another, so compare
-            # coalesce(promoted, meta[key]) against the stringified value
-            # (str(v) is the ingest convention for the meta map; promoted
-            # columns were stringified the same way above). Absent key or
-            # NULL -> no match, exactly the single-store semantics.
-            sval = str(value)
-            probe = (
-                F.coalesce(F.col(key), F.col("meta").getItem(key))
-                if key in {c for c in fleet.columns if c != "meta"}
-                else F.col("meta").getItem(key)
-            )
-            fleet = fleet.where(probe == F.lit(sval))
+            fleet = fleet.unionByName(p)
         q = F.lit([float(x) for x in query_vector]).cast("array<double>")
         scored = fleet.withColumn(
             "score", score_for_metric(metric, "embedding", q)
@@ -594,13 +568,16 @@ class VectorStore:
             )
         else:
             raise ValueError(f"unknown index kind: {kind!r} (ivf or lsh)")
-        self.config.index = index.to_dict()
-        self.config.index["partitioned"] = bool(partition_by_cell)
-        self._ivf_cache = index
+        # write first, mutate the live config only after the swap lands:
+        # a failed staging write must leave the store object consistent
+        # (config without index <=> files without centroid_id)
+        names = [f.name for f in self.schema.fields]
+        if "centroid_id" not in names:
+            names.append("centroid_id")
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
         out = indexed.withColumn(
             "centroid_id", F.col("centroid_id").cast("int")
-        ).select([f.name for f in self.schema.fields])
+        ).select(names)
         if partition_by_cell:
             # one file per cell at this scale; a real deployment sizes
             # files per cell with a repartition on centroid_id first
@@ -611,6 +588,9 @@ class VectorStore:
             out.write.mode("overwrite").parquet(str(staging))
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
+        self.config.index = index.to_dict()
+        self.config.index["partitioned"] = bool(partition_by_cell)
+        self._ivf_cache = index
         self.catalog._save_config(self.config)
 
     def drop_index(self) -> None:
@@ -636,17 +616,23 @@ class VectorStore:
         if df.isEmpty():
             raise ValueError("cannot train PQ on an empty store")
         pqc = train_pq(df, m=m, nbits=nbits, seed=seed)
-        self.config.pq = pqc.to_dict()
-        self._pq_cache = pqc
         coded = pqc.encode(df)
+        # write first, mutate the live config only after the swap lands
+        # (see build_index): a failed write must not leave this object
+        # half-enabled (schema with pq_code over files without it)
+        names = [f.name for f in self.schema.fields]
+        if "pq_code" not in names:
+            names.append("pq_code")
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-        out = coded.select([f.name for f in self.schema.fields])
+        out = coded.select(names)
         writer = out.write.mode("overwrite")
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
         writer.parquet(str(staging))
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
+        self.config.pq = pqc.to_dict()
+        self._pq_cache = pqc
         self.catalog._save_config(self.config)
 
     def drop_pq(self) -> None:

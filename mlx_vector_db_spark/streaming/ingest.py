@@ -150,9 +150,17 @@ OPERATIONS_LOG_SCHEMA = (
 )
 
 
-def _logged_epochs(spark: SparkSession, operations_log: str, operation: str) -> set:
-    """batch_ids already committed to the operations log for this
-    operation (empty when the log doesn't exist yet)."""
+def _store_key(store) -> str:
+    return f"{store.config.user_id}_{store.config.model_id}"
+
+
+def _logged_epochs(
+    spark: SparkSession, operations_log: str, operation: str, store_key: str
+) -> set:
+    """batch_ids already committed for this (operation, store) pair —
+    the ledger key. Keying on the pair (not operation alone) lets many
+    stores share one log without skipping each other's epochs. Empty
+    when the log doesn't exist yet."""
     import os
 
     if not os.path.exists(operations_log):
@@ -160,7 +168,13 @@ def _logged_epochs(spark: SparkSession, operations_log: str, operation: str) -> 
     rows = (
         spark.read.schema(OPERATIONS_LOG_SCHEMA)
         .parquet(operations_log)
-        .where(F.col("operation") == operation)
+        .where(
+            (F.col("operation") == operation)
+            & (F.col("store") == store_key)
+            # failed rows are visibility, not commits: a retried epoch
+            # whose earlier attempt logged 'failed' must re-run
+            & (F.col("status") == "completed")
+        )
         .select("batch_id")
         .distinct()
         .collect()
@@ -181,37 +195,61 @@ def ingest_batch(
     foreachBatch is at-least-once: a batch retried after a failure
     re-runs the append into plain Parquet (non-transactional), which
     would duplicate vectors. With an ``operations_log``, the log is the
-    commit ledger: an ``epoch_id`` already logged for this operation is
-    skipped, so replays are no-ops and ingest is effectively
-    exactly-once at batch granularity. (The add itself and the log
-    append are still two non-atomic writes — a crash between them can
-    re-add one batch on restart; a table format with transactional
-    MERGE closes that last window. Without a log: at-least-once.)
+    commit ledger: an ``epoch_id`` already logged for this
+    (operation, store) pair is skipped, so replays are no-ops and
+    ingest is effectively exactly-once at batch granularity. (The add
+    itself and the log append are still two non-atomic writes — a
+    crash between them can re-add one batch on restart; a table format
+    with transactional MERGE closes that last window. Without a log:
+    at-least-once. The ledger key is (operation, store, epoch), so use
+    a distinct ``query_name`` per logical job — restarting the same
+    name with a FRESH checkpoint resets epoch ids to 0 and collides
+    with the old run's entries.)
 
-    Returns the number of rows added (0 for skipped replays).
+    ``seen_epochs`` is the streaming loop's in-memory snapshot of the
+    ledger; direct callers may omit it — the ledger is then read from
+    disk per call (one small parquet scan).
+
+    A failed add is recorded as a ``status='failed'`` row (surfaced by
+    :func:`job_status`) and re-raised so the stream's retry machinery
+    still fires. Returns the number of rows added (0 for skipped
+    replays).
     """
+    if seen_epochs is None and operations_log:
+        seen_epochs = _logged_epochs(
+            batch_df.sparkSession, operations_log, query_name, _store_key(store)
+        )
     if int(epoch_id) in (seen_epochs or ()):  # replayed batch: already committed
         return 0
     if batch_df.isEmpty():
         return 0
     import time as _time
 
-    n = store.add_vectors(batch_df)
-    if operations_log:
-        spark = batch_df.sparkSession
-        spark.createDataFrame(
+    def _log(n_rows: int, status: str) -> None:
+        if not operations_log:
+            return
+        batch_df.sparkSession.createDataFrame(
             [
                 (
                     query_name,
                     int(epoch_id),
-                    int(n),
+                    int(n_rows),
                     float(_time.time()),
-                    f"{store.config.user_id}_{store.config.model_id}",
-                    "completed",
+                    _store_key(store),
+                    status,
                 )
             ],
             OPERATIONS_LOG_SCHEMA,
         ).coalesce(1).write.mode("append").parquet(operations_log)
+
+    try:
+        n = store.add_vectors(batch_df)
+    except Exception:
+        # failed batches are visible in job_status (and NOT added to
+        # seen_epochs: the retry must re-attempt this epoch)
+        _log(0, "failed")
+        raise
+    _log(n, "completed")
     if seen_epochs is not None:
         seen_epochs.add(int(epoch_id))
     return n
@@ -237,7 +275,9 @@ def streaming_ingest_vectors(
     # snapshot the ledger once at (re)start: within this run only this
     # callback appends to it, so the in-memory set stays authoritative
     seen = (
-        _logged_epochs(stream.sparkSession, operations_log, query_name)
+        _logged_epochs(
+            stream.sparkSession, operations_log, query_name, _store_key(store)
+        )
         if operations_log
         else set()
     )
@@ -273,19 +313,24 @@ def job_status(
     """One row per operation: the reference's GET /batch/jobs/{id} status
     surface (api/routes/batch_v1.py:103-172) as a queryable aggregate —
     durable across restarts because the source is the parquet log, not a
-    process dict. Columns: operation, store, n_batches, rows_total,
-    started_at, last_update, status ('completed' iff every batch is)."""
+    process dict. Columns: operation, store, n_batches (committed),
+    n_failures, rows_total, started_at, last_update, status
+    ('completed' when no batch attempt ever failed, else 'had_failures'
+    — failed attempts stay in the ledger as an audit trail even after a
+    successful retry commits the epoch)."""
     log = read_operations_log(spark, operations_log)
     if operation is not None:
         log = log.where(F.col("operation") == operation)
+    failures = F.count(F.when(F.col("status") == "failed", 1))
     return log.groupBy("operation", "store").agg(
-        F.count("*").alias("n_batches"),
+        F.count(F.when(F.col("status") == "completed", 1)).alias("n_batches"),
+        failures.alias("n_failures"),
         F.sum("rows_added").alias("rows_total"),
         F.min("completed_at").alias("started_at"),
         F.max("completed_at").alias("last_update"),
-        F.when(
-            F.count(F.when(F.col("status") != "completed", 1)) == 0, "completed"
-        ).otherwise("running").alias("status"),
+        F.when(failures == 0, "completed").otherwise("had_failures").alias(
+            "status"
+        ),
     )
 
 

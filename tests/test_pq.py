@@ -85,14 +85,22 @@ def test_pq_search_matches_exact_after_rerank(spark, vectors, coded, pq, vec_np,
 
 def test_pq_first_pass_prunes_float_column(spark, coded, pq, vec_np):
     """The ADC scan must read only (id, pq_code) — the float embedding
-    column stays out of the candidate-generation plan."""
+    column stays OUT of the candidate-generation scan (the 16-64x IO
+    claim the module is built on)."""
     queries = spark.createDataFrame(
         [(0, vec_np[0].tolist())], "query_id long, embedding array<float>"
     )
     out = pq_search_batch(coded, queries, pq, k=K, exact_rerank=False)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # candidate generation projects id + code only (embedding pruned)
-    assert "pq_code" in plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        l for l in plan.splitlines() if "Scan" in l and "pq_code" in l
+    ]
+    assert scan_lines, "no code-column scan found in the plan"
+    assert all("embedding" not in l for l in scan_lines), scan_lines
+    # and exactly ONE ADC kernel in the exact_rerank=False plan: the
+    # candidate stage must not execute the ADC scan twice (the other
+    # MapInPandas in this fixture's plan is the upstream encode stage)
+    assert len([l for l in plan.splitlines() if "MapInPandas adc" in l]) == 1
 
 
 def test_residual_pq_beats_plain_pq(spark, vectors, vec_np):

@@ -265,3 +265,19 @@ def test_fleet_query_all_promoted_filter(catalog):
     got = {(r["user_id"], r["model_id"], r["id"]) for r in res}
     # promoted store matched its news row; meta-map store matched too
     assert got == {("pf", "m1", 0), ("pf", "m2", 0)}
+
+
+def test_fleet_query_all_typed_promoted_filter(catalog):
+    """Per-store filtering keeps NATIVE promoted types in the federated
+    path: an int filter value matches a double promoted column exactly
+    like store.query() does (no string-rendering mismatch)."""
+    a = catalog.create_store(
+        "tf", "m1", dimension=4, promoted_keys={"weight": "double"}
+    )
+    a.add_vectors(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0]], [{"weight": 5.0}, {"weight": 7.5}]
+    )
+    res = catalog.query_all(
+        [1.0, 0, 0, 0], k=5, filter_metadata={"weight": 5}
+    ).collect()
+    assert [(r["user_id"], r["id"]) for r in res] == [("tf", 0)]

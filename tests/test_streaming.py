@@ -273,13 +273,40 @@ def test_ingest_batch_idempotent_and_job_status(spark, tmp_path):
     # same epoch replayed (simulates a foreachBatch retry): no-op
     assert ingest_batch(store, batch, 0, "job1", ops, seen) == 0
     assert store.count() == 5
-    # a fresh run (restart) snapshots the ledger from disk and still skips
-    from mlx_vector_db_spark.streaming.ingest import _logged_epochs
-
-    assert ingest_batch(store, batch, 0, "job1", ops, _logged_epochs(spark, ops, "job1")) == 0
+    # a fresh run (restart) re-reads the ledger from disk (seen_epochs
+    # omitted -> ingest_batch snapshots the log itself) and still skips
+    assert ingest_batch(store, batch, 0, "job1", ops) == 0
     assert store.count() == 5
-    status = job_status(spark, ops).collect()
-    assert len(status) == 1
-    row = status[0]
+    # a SECOND store sharing the same log must NOT be skipped by the
+    # first store's epochs (ledger keys on (operation, store))
+    store2 = cat.create_store("idem2", "m", dimension=4)
+    assert ingest_batch(store2, batch, 0, "job1", ops) == 5
+    assert store2.count() == 5
+    status = {r["store"]: r for r in job_status(spark, ops).collect()}
+    assert len(status) == 2
+    row = status["idem_m"]
     assert row["operation"] == "job1" and row["status"] == "completed"
-    assert row["n_batches"] == 1 and row["rows_total"] == 5
+    assert row["n_batches"] == 1 and row["rows_total"] == 5 and row["n_failures"] == 0
+
+
+def test_ingest_batch_failed_attempt_logged_and_retryable(spark, tmp_path):
+    """A failed add logs status='failed' (visible in job_status) and the
+    epoch stays retryable — failed rows never count as commits."""
+    from mlx_vector_db_spark.streaming import ingest_batch, job_status
+
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("flaky", "m", dimension=4)
+    ops = str(tmp_path / "ops")
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "id long, embedding array<float>"  # wrong dim
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        ingest_batch(store, bad, 0, "jobf", ops)
+    good = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "id long, embedding array<float>"
+    )
+    # the retried epoch is NOT skipped (the failed row is not a commit)
+    assert ingest_batch(store, good, 0, "jobf", ops) == 1
+    row = job_status(spark, ops, "jobf").first()
+    assert row["n_failures"] == 1 and row["n_batches"] == 1
+    assert row["status"] == "had_failures"
