@@ -877,6 +877,43 @@ def q_ivf_knn(spark, sf_dir):
     return index.search_batch(indexed, queries, k=KNN_K, nprobe=4)
 
 
+def q_streaming_hourly_gate(spark, sf_dir):
+    """Structured Streaming itself under the value-hash gate: the events
+    table replayed as a bounded file stream (the micro-batch engine runs
+    for real), tumbling-hour counts to a memory sink in complete mode,
+    and the oracle is the same batch SQL events_hourly uses — proving
+    stream == batch == DuckDB on identical data. (Complete mode so every
+    window emits; append mode would hold back the final watermark-open
+    windows of a bounded replay.)"""
+    import uuid as _uuid
+
+    from mlx_vector_db_spark.streaming.ingest import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = windowed_event_counts(stream, window="1 hour")
+    name = f"_stream_gate_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing under the value gate: documents' text bytes
     stand in for media payloads (binary column + typed metadata), the
@@ -1270,6 +1307,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "embed_docs_384": q_embed_docs_384,
     "multimodal_features": q_multimodal_features,
+    "streaming_hourly_gate": q_streaming_hourly_gate,
     "orders_grouping_sets": q_orders_grouping_sets,
     "lineitem_conditional": q_lineitem_conditional,
     "lineitem_percentile_cont": q_lineitem_percentile_cont,
@@ -1724,6 +1762,16 @@ ORACLES: dict[str, str] = {
     "embed_docs_384": """
         SELECT document_id, chunk_index, 384 AS dim
         FROM read_parquet('/root/repo/fixtures/chunk_documents_sf0.01.parquet')
+    """,
+    # the streaming gate shares events_hourly's batch oracle: the
+    # micro-batch engine must reproduce the batch aggregation exactly
+    "streaming_hourly_gate": """
+        SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
