@@ -80,8 +80,12 @@ def main() -> None:
     # index BUILDS are one-time persisted artifacts (store.build_index /
     # queries._ivf_artifact), not per-query work: build them here so the
     # timed ivf_knn below measures index *search*, matching the
-    # reference's search-vs-build split (performance/hnsw_index.py:79-129)
+    # reference's search-vs-build split (performance/hnsw_index.py:79-129).
+    # One untimed search per index warms those plans' codegen too — the
+    # same steady-state policy as the scans above.
     prewarm(spark, sf_dir)
+    QUERIES["ivf_knn"](spark, sf_dir).count()
+    QUERIES["pq_knn"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0
