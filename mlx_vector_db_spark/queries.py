@@ -407,6 +407,21 @@ def q_events_pivot(spark, sf_dir):
     return out
 
 
+def q_events_unpivot(spark, sf_dir):
+    """Unpivot/melt — the inverse reshape of q_events_pivot: the wide
+    per-type count columns fold back to (user_id, event_type, n) long
+    form. Zero-count cells are kept (coalesced at pivot time), so the
+    oracle is the dense user x type grid with a scalar-subquery count."""
+    wide = q_events_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return wide.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in types],
+        "event_type",
+        "n_events",
+    ).withColumn("event_type", F.expr("substring(event_type, 3)"))
+
+
 def q_customers_without_orders(spark, sf_dir):
     """Anti-semantics via EXCEPT (reference has no set ops at all —
     SURVEY.md §2.7; Spark's except is distinct-set semantics, same as
@@ -1308,6 +1323,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_docs_384": q_embed_docs_384,
     "multimodal_features": q_multimodal_features,
     "streaming_hourly_gate": q_streaming_hourly_gate,
+    "events_unpivot": q_events_unpivot,
     "orders_grouping_sets": q_orders_grouping_sets,
     "lineitem_conditional": q_lineitem_conditional,
     "lineitem_percentile_cont": q_lineitem_percentile_cont,
@@ -1762,6 +1778,20 @@ ORACLES: dict[str, str] = {
     "embed_docs_384": """
         SELECT document_id, chunk_index, 384 AS dim
         FROM read_parquet('/root/repo/fixtures/chunk_documents_sf0.01.parquet')
+    """,
+    "events_unpivot": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+             t(event_type) AS (
+               VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+             ),
+             c AS (
+               SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2
+             )
+        SELECT u.user_id, t.event_type,
+               coalesce(c.n, 0)::BIGINT AS n_events
+        FROM u CROSS JOIN t
+        LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
     """,
     # the streaming gate shares events_hourly's batch oracle: the
     # micro-batch engine must reproduce the batch aggregation exactly
