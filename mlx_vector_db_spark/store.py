@@ -783,14 +783,25 @@ class VectorStore:
         no implementation; SURVEY.md §2.11 — implemented properly here).
 
         ``blocked=True`` selects the Arrow block-matmul path for wide
-        query batches / huge stores. ``use_quantized=True`` (quantized
-        stores only) runs the int8 first pass per query and exact-
-        re-ranks the union of candidates — the batch twin of the
-        two-pass single query.
+        query batches / huge stores. ``use_quantized=True`` runs a
+        compressed first pass per query and exact-re-ranks the union of
+        candidates — the batch twin of the two-pass single query; PQ
+        codes (16-64x fewer vector bytes, ADC kernel) are preferred
+        over int8 when both exist.
         """
         metric = metric or self.config.metric
         df = self.to_df()
-        if use_quantized and self.config.quantize:
+        if use_quantized and self.config.pq:
+            from mlx_vector_db_spark.operators.knn import apply_metadata_filter
+            from mlx_vector_db_spark.operators.pq import pq_search_batch
+
+            filtered = apply_metadata_filter(df, filter_metadata)
+            cand_ids = pq_search_batch(
+                filtered, queries, self._pq(), k=int(k), metric=metric,
+                overfetch=int(overfetch), exact_rerank=False,
+            ).select("id").distinct()
+            df = df.join(cand_ids, on="id", how="left_semi").drop("pq_code")
+        elif use_quantized and self.config.quantize:
             from mlx_vector_db_spark.functions.vector import dequantize_int8
 
             first = knn_join(

@@ -79,3 +79,22 @@ def test_pq_composes_with_cell_index(store):
     assert hit["id"] == 7
     store.drop_pq()
     assert "pq_code" not in store.to_df().columns
+
+
+def test_pq_batch_query_matches_exact(store, spark):
+    store.build_pq(m=4, nbits=8)
+    qn = 5
+    queries = spark.createDataFrame(
+        [(i, store._test_vecs[i].tolist()) for i in range(qn)],
+        "query_id long, embedding array<float>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in store.batch_query(queries, k=5, use_quantized=True).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in store.batch_query(queries, k=5, use_quantized=False).collect()
+    }
+    assert got == exact
+    assert all(got[(q, 1)] == q for q in range(qn))  # self-matches
