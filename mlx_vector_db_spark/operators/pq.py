@@ -363,6 +363,7 @@ def ivfpq_search_batch(
     id_col: str = "id",
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exact_rerank: bool = True,
 ) -> DataFrame:
     """Residual IVF-PQ batch search — the classic composition: coarse
     cells prune which rows each query scores, PQ codes of the RESIDUAL
@@ -475,9 +476,13 @@ def ivfpq_search_batch(
         F.col("_approx").asc() if ascending else F.col("_approx").desc(),
         F.col(id_col).asc(),
     ]
-    cand_topk = top_k_per_group(cand, ["query_id"], order, take).select(
-        "query_id", id_col
-    )
+    cand_topk = top_k_per_group(cand, ["query_id"], order, take)
+    if not exact_rerank:
+        # raw candidate stage (see pq_search_batch): k*overfetch rows
+        # per query, approximate scores, one ADC scan
+        return cand_topk.select(
+            "query_id", id_col, F.col("_approx").alias("score")
+        )
     cand_ids = cand_topk.select(id_col).distinct()
     subset = coded.join(cand_ids, on=id_col, how="left_semi").drop(code_col)
     return knn_join(

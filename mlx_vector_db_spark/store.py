@@ -434,8 +434,9 @@ class VectorStore:
         pqc = self._pq()
         if pqc is not None and "pq_code" not in out.columns:
             # incremental PQ maintenance: encoding is a stateless
-            # mapInPandas projection over the new batch only
-            out = pqc.encode(out)
+            # mapInPandas projection over the new batch only (residual
+            # codes need the centroid_id assigned just above)
+            out = pqc.encode(out, centroids=self._pq_centroids())
         return out.select(*[f.name for f in self.schema.fields])
 
     def _next_id(self) -> int:
@@ -594,29 +595,57 @@ class VectorStore:
         self.catalog._save_config(self.config)
 
     def drop_index(self) -> None:
+        if (self.config.pq or {}).get("residual"):
+            raise ValueError(
+                "store has residual PQ codes that decode against this "
+                "index's centroids — drop_pq() (or rebuild plain PQ) first"
+            )
         self.config.index = None
         self._ivf_cache = None
         self.catalog._save_config(self.config)
+
+    def _pq_centroids(self):
+        """The IVF centroid block when the persisted PQ codes are
+        residual-encoded, else None."""
+        if not (self.config.pq or {}).get("residual"):
+            return None
+        return self._ivf().centroids
 
     def build_pq(
         self,
         m: int = 8,
         nbits: int = 8,
         seed: int = 42,
+        residual: bool | None = None,
     ) -> None:
         """Train product-quantization codebooks on the store (bounded
         sample) and materialize an m-byte ``pq_code`` column — the
         compression analog of build_index: one-time build persisted in
         the store config, incremental encode on every later add, and a
-        16-64x-compressed ADC first pass in query(). Composable with the
-        cell index (build both for IVF+PQ-style search)."""
+        16-64x-compressed ADC first pass in query().
+
+        With an IVF index present, codes default to RESIDUAL encoding
+        (``v - centroid(v)`` — classic IVF-PQ: residuals are smaller in
+        norm, so the same codebook budget buys finer detail) and query()
+        routes through the fused cell-prune + residual-ADC kernel. Pass
+        ``residual=False`` to force plain codes; LSH indexes have no
+        centroids, so they always get plain codes."""
         from mlx_vector_db_spark.operators.pq import train_pq
 
         df = self.to_df().drop("pq_code") if self.config.pq else self.to_df()
         if df.isEmpty():
             raise ValueError("cannot train PQ on an empty store")
-        pqc = train_pq(df, m=m, nbits=nbits, seed=seed)
-        coded = pqc.encode(df)
+        ivf = self._ivf()
+        use_residual = (
+            (residual is None or residual)
+            and (self.config.index or {}).get("type") == "ivf"
+            and ivf is not None
+        )
+        if residual and not use_residual:
+            raise ValueError("residual PQ requires a built IVF index")
+        cent = ivf.centroids if use_residual else None
+        pqc = train_pq(df, m=m, nbits=nbits, seed=seed, centroids=cent)
+        coded = pqc.encode(df, centroids=cent)
         # write first, mutate the live config only after the swap lands
         # (see build_index): a failed write must not leave this object
         # half-enabled (schema with pq_code over files without it)
@@ -632,6 +661,7 @@ class VectorStore:
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
         self.config.pq = pqc.to_dict()
+        self.config.pq["residual"] = bool(use_residual)
         self._pq_cache = pqc
         self.catalog._save_config(self.config)
 
@@ -666,6 +696,23 @@ class VectorStore:
         self._check_dim(query_vector)
         df = self.to_df()
         metric = metric or self.config.metric
+        if (
+            use_quantized
+            and use_index
+            and (self.config.pq or {}).get("residual")
+            and self.config.index
+        ):
+            # full IVF-PQ: cell pruning and residual-ADC scoring fuse in
+            # one kernel (operators.pq.ivfpq_search_batch); exact re-rank
+            # below restores exact scores. Any failure falls through to
+            # the plain pruned/exact paths.
+            try:
+                return self._query_ivfpq(
+                    df, query_vector, k, metric, filter_metadata, nprobe,
+                    overfetch,
+                )
+            except Exception:
+                pass
         if use_index and self.config.index:
             try:
                 ivf = self._ivf()
@@ -674,7 +721,9 @@ class VectorStore:
                 df = df.where(F.col("centroid_id").isin(probes))
             except Exception:  # index trouble -> exact path (reference :142-145)
                 df = self.to_df()
-        if use_quantized and self.config.pq:
+        if use_quantized and self.config.pq and not self.config.pq.get("residual"):
+            # plain codes only: residual codes decode against centroids
+            # and are meaningless to the plain ADC kernel
             try:
                 return self._query_pq_first_pass(
                     df, query_vector, k, metric, filter_metadata, overfetch
@@ -768,6 +817,39 @@ class VectorStore:
             norm_col="norm",
         )
 
+    def _query_ivfpq(
+        self, df, query_vector, k, metric, filter_metadata, nprobe, overfetch
+    ) -> DataFrame:
+        """Fused IVF-PQ single query: the residual-ADC kernel prunes to
+        the probe cells and ranks codes in one pass (reads id/cell/code
+        only), then the exact pass re-ranks the candidates. The filter
+        widens nprobe x4 exactly like the plain indexed path."""
+        from mlx_vector_db_spark.operators.knn import apply_metadata_filter
+        from mlx_vector_db_spark.operators.pq import ivfpq_search_batch
+
+        pqc = self._pq()
+        ivf = self._ivf()
+        filtered = apply_metadata_filter(df, filter_metadata)
+        eff_nprobe = nprobe * 4 if filter_metadata else nprobe
+        qdf = self.catalog.spark.createDataFrame(
+            [(0, [float(x) for x in query_vector])],
+            "query_id long, embedding array<double>",
+        )
+        cand = ivfpq_search_batch(
+            filtered, qdf, pqc, ivf.centroids, k=int(k), metric=metric,
+            nprobe=int(eff_nprobe), overfetch=int(overfetch),
+            exact_rerank=False,
+        ).select("id").distinct()
+        subset = df.join(cand, on="id", how="left_semi")
+        return knn_query(
+            subset,
+            query_vector,
+            k=k,
+            metric=metric,
+            filter_metadata=filter_metadata,
+            norm_col="norm",
+        )
+
     def batch_query(
         self,
         queries: DataFrame,
@@ -793,13 +875,28 @@ class VectorStore:
         df = self.to_df()
         if use_quantized and self.config.pq:
             from mlx_vector_db_spark.operators.knn import apply_metadata_filter
-            from mlx_vector_db_spark.operators.pq import pq_search_batch
+            from mlx_vector_db_spark.operators.pq import (
+                ivfpq_search_batch,
+                pq_search_batch,
+            )
 
             filtered = apply_metadata_filter(df, filter_metadata)
-            cand_ids = pq_search_batch(
-                filtered, queries, self._pq(), k=int(k), metric=metric,
-                overfetch=int(overfetch), exact_rerank=False,
-            ).select("id").distinct()
+            if self.config.pq.get("residual"):
+                # residual codes decode against the IVF centroids; probe
+                # every cell here (batch_query has no nprobe knob) — the
+                # compressed-scan win stands, nothing is pruned away
+                ivf = self._ivf()
+                cand = ivfpq_search_batch(
+                    filtered, queries, self._pq(), ivf.centroids,
+                    k=int(k), metric=metric, nprobe=ivf.nlist,
+                    overfetch=int(overfetch), exact_rerank=False,
+                )
+            else:
+                cand = pq_search_batch(
+                    filtered, queries, self._pq(), k=int(k), metric=metric,
+                    overfetch=int(overfetch), exact_rerank=False,
+                )
+            cand_ids = cand.select("id").distinct()
             df = df.join(cand_ids, on="id", how="left_semi").drop("pq_code")
         elif use_quantized and self.config.quantize:
             from mlx_vector_db_spark.functions.vector import dequantize_int8

@@ -98,3 +98,47 @@ def test_pq_batch_query_matches_exact(store, spark):
     }
     assert got == exact
     assert all(got[(q, 1)] == q for q in range(qn))  # self-matches
+
+
+def test_residual_ivfpq_store_path(store, spark):
+    """build_index + build_pq defaults to residual codes (classic
+    IVF-PQ); query routes the fused kernel and matches the exact scan;
+    incremental adds encode residuals against the persisted centroids;
+    the index can't be dropped out from under residual codes."""
+    store.build_index(nlist=4)
+    store.build_pq(m=4, nbits=8)
+    assert store.config.pq["residual"] is True
+    q = store._test_vecs[42].tolist()
+    got = [r["id"] for r in store.query(q, k=5, use_quantized=True).collect()]
+    exact = [r["id"] for r in store.query(q, k=5, use_quantized=False, use_index=False).collect()]
+    assert got == exact and got[0] == 42
+    # incremental add: residual codes equal a fresh driver-side encode
+    new = RNG.random((5, DIM)).astype(np.float32)
+    store.add_vectors(new.tolist())
+    pqc, ivf = store._pq(), store._ivf()
+    row = store.to_df().orderBy(F.col("id").desc()).first()
+    resid = np.asarray([row["embedding"]], dtype=np.float64) - ivf.centroids[row["centroid_id"]]
+    assert bytes(row["pq_code"]) == pqc._assign(resid)[0].tobytes()
+    # dropping the index under residual codes is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="residual"):
+        store.drop_index()
+    store.drop_pq()
+    store.drop_index()  # fine once codes are gone
+
+
+def test_residual_requires_ivf(store):
+    with pytest.raises(ValueError, match="IVF"):
+        store.build_pq(m=4, residual=True)
+
+
+def test_lsh_index_gets_plain_codes(spark, tmp_path):
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    st = cat.create_store("lshpq", "m", dimension=8)
+    st.add_vectors(RNG.random((50, 8)).astype(np.float32).tolist())
+    st.build_index(kind="lsh", n_planes=3)
+    st.build_pq(m=4, nbits=6)
+    assert st.config.pq["residual"] is False
+    q = st.to_df().first()["embedding"]
+    assert st.query(list(q), k=1, use_index=False, use_quantized=True).first() is not None
