@@ -330,7 +330,9 @@ def pq_search_batch(
         # `cand` would execute the whole mapInPandas scan twice) —
         # callers re-rank by semi-joining the id column themselves
         return cand_topk.select(
-            "query_id", id_col, F.col("_approx").alias("score")
+            F.col("query_id").alias(query_id_col),
+            id_col,
+            F.col("_approx").alias("score"),
         )
     # exact re-rank: float vectors for candidate ids only (semi-join),
     # then the standard exact batch kNN re-scores and cuts to k
@@ -481,7 +483,9 @@ def ivfpq_search_batch(
         # raw candidate stage (see pq_search_batch): k*overfetch rows
         # per query, approximate scores, one ADC scan
         return cand_topk.select(
-            "query_id", id_col, F.col("_approx").alias("score")
+            F.col("query_id").alias(query_id_col),
+            id_col,
+            F.col("_approx").alias("score"),
         )
     cand_ids = cand_topk.select(id_col).distinct()
     subset = coded.join(cand_ids, on=id_col, how="left_semi").drop(code_col)

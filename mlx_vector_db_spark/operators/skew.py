@@ -76,6 +76,10 @@ def salted_join(
         raise ValueError(
             f"ambiguous non-key columns on both sides: {sorted(overlap)}"
         )
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError(
+            "'_salt' is reserved by salted_join; rename the input column"
+        )
     l = left.withColumn("_salt", _salt_col(salt))
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -103,6 +107,10 @@ def salted_aggregate(
     maps.) Results equal the direct groupBy — asserted in tests.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if "_salt" in df.columns:
+        raise ValueError(
+            "'_salt' is reserved by salted_aggregate; rename the input column"
+        )
     partials, finals = [], []
     for out_name, (fn, col) in aggs.items():
         if fn not in _ALGEBRAIC:

@@ -556,6 +556,12 @@ class VectorStore:
         """
         from mlx_vector_db_spark.operators.ann import build_ivf, build_lsh
 
+        if (self.config.pq or {}).get("residual"):
+            raise ValueError(
+                "store has residual PQ codes that decode against the current "
+                "index's centroids — rebuilding the index would corrupt them; "
+                "drop_pq() first, rebuild the index, then build_pq() again"
+            )
         df = self.to_df().drop("centroid_id") if self.config.index else self.to_df()
         if df.isEmpty():
             raise ValueError("cannot build an index on an empty store")
@@ -696,19 +702,17 @@ class VectorStore:
         self._check_dim(query_vector)
         df = self.to_df()
         metric = metric or self.config.metric
-        if (
-            use_quantized
-            and use_index
-            and (self.config.pq or {}).get("residual")
-            and self.config.index
-        ):
+        if use_quantized and (self.config.pq or {}).get("residual"):
             # full IVF-PQ: cell pruning and residual-ADC scoring fuse in
             # one kernel (operators.pq.ivfpq_search_batch); exact re-rank
-            # below restores exact scores. Any failure falls through to
-            # the plain pruned/exact paths.
+            # restores exact scores. With use_index=False every cell is
+            # probed — pruning off, compression still on (residual codes
+            # always decode against the centroids). Any failure falls
+            # through to the plain pruned/exact paths.
             try:
+                eff = nprobe if use_index else self._ivf().nlist
                 return self._query_ivfpq(
-                    df, query_vector, k, metric, filter_metadata, nprobe,
+                    df, query_vector, k, metric, filter_metadata, eff,
                     overfetch,
                 )
             except Exception:
@@ -746,26 +750,49 @@ class VectorStore:
             norm_col="norm",
         )
 
+    # Every compressed path shares one shape: a first pass produces
+    # candidate ids from codes (int8 / PQ / residual IVF-PQ), then the
+    # second pass semi-joins the float rows and exact-re-ranks — so the
+    # compressed representation can cost recall, never wrong scores.
+    # The kernels differ; the pass structure lives in _two_pass_query.
+
+    def _two_pass_query(
+        self, df, query_vector, k, metric, filter_metadata, cand_ids
+    ) -> DataFrame:
+        """Shared second pass: exact re-rank over the candidates' float
+        rows. ``cand_ids`` is a one-column (id) DataFrame from any
+        first-pass kernel."""
+        subset = df.join(cand_ids, on="id", how="left_semi")
+        return knn_query(
+            subset,
+            query_vector,
+            k=k,
+            metric=metric,
+            filter_metadata=filter_metadata,
+            norm_col="norm",
+        )
+
+    def _single_query_df(self, query_vector) -> DataFrame:
+        return self.catalog.spark.createDataFrame(
+            [(0, [float(x) for x in query_vector])],
+            "query_id long, embedding array<double>",
+        )
+
     def _query_quantized_first_pass(
         self, df, query_vector, k, metric, filter_metadata, overfetch
     ) -> DataFrame:
-        """Two-pass search: (1) score the int8 codes — the scan reads
-        only ``id``/``q8`` (+ filter columns), ~1/4 of the vector bytes —
-        and keep ``k * overfetch`` candidates; (2) semi-join the float
-        embeddings of just those candidates and exact-re-rank to k.
-        Quantization error is O(scale) per component, so with a modest
-        over-fetch the exact top-k survives the first pass (tested)."""
-        from mlx_vector_db_spark.functions.vector import dequantize_int8
-        from mlx_vector_db_spark.operators.knn import (
-            _annotate,
-            _order,
-            apply_metadata_filter,
+        """int8 first pass: the scan reads only ``id``/``q8`` (+ filter
+        columns), ~1/4 of the vector bytes; keeps ``k * overfetch``
+        candidates. Quantization error is O(scale) per component, so
+        with a modest over-fetch the exact top-k survives (tested)."""
+        from mlx_vector_db_spark.functions.vector import (
+            dequantize_int8,
+            score_for_metric,
         )
+        from mlx_vector_db_spark.operators.knn import _order, apply_metadata_filter
 
         filtered = apply_metadata_filter(df, filter_metadata)
         q = F.lit([float(x) for x in query_vector]).cast("array<double>")
-        from mlx_vector_db_spark.functions.vector import score_for_metric
-
         approx = score_for_metric(metric, dequantize_int8("q8"), q)
         cands = (
             filtered.select("id", F.col("q8"))
@@ -774,80 +801,49 @@ class VectorStore:
             .limit(int(k) * int(overfetch))
             .select("id")
         )
-        subset = df.join(cands, on="id", how="left_semi")
-        return knn_query(
-            subset,
-            query_vector,
-            k=k,
-            metric=metric,
-            filter_metadata=filter_metadata,
-            norm_col="norm",
+        return self._two_pass_query(
+            df, query_vector, k, metric, filter_metadata, cands
         )
 
     def _query_pq_first_pass(
         self, df, query_vector, k, metric, filter_metadata, overfetch
     ) -> DataFrame:
-        """Two-pass search over PQ codes: (1) ADC scores the m-byte
-        codes — the scan reads only ``id``/``pq_code`` (+ filter
-        columns), 16-64x fewer vector bytes than the float scan — and
-        keeps ``k * overfetch`` candidates; (2) exact re-rank of just
-        those candidates (same shape as the int8 path, deeper
-        compression)."""
+        """PQ ADC first pass: the scan reads only ``id``/``pq_code`` —
+        16-64x fewer vector bytes than the float scan (same shape as
+        int8, deeper compression)."""
         from mlx_vector_db_spark.operators.knn import apply_metadata_filter
         from mlx_vector_db_spark.operators.pq import pq_search_batch
 
-        pqc = self._pq()
         filtered = apply_metadata_filter(df, filter_metadata)
-        spark = self.catalog.spark
-        qdf = spark.createDataFrame(
-            [(0, [float(x) for x in query_vector])],
-            "query_id long, embedding array<double>",
-        )
         cand = pq_search_batch(
-            filtered, qdf, pqc, k=int(k), metric=metric,
-            overfetch=int(overfetch), exact_rerank=False,
+            filtered, self._single_query_df(query_vector), self._pq(),
+            k=int(k), metric=metric, overfetch=int(overfetch),
+            exact_rerank=False,
         ).select("id").distinct()
-        subset = df.join(cand, on="id", how="left_semi")
-        return knn_query(
-            subset,
-            query_vector,
-            k=k,
-            metric=metric,
-            filter_metadata=filter_metadata,
-            norm_col="norm",
+        return self._two_pass_query(
+            df, query_vector, k, metric, filter_metadata, cand
         )
 
     def _query_ivfpq(
         self, df, query_vector, k, metric, filter_metadata, nprobe, overfetch
     ) -> DataFrame:
-        """Fused IVF-PQ single query: the residual-ADC kernel prunes to
-        the probe cells and ranks codes in one pass (reads id/cell/code
-        only), then the exact pass re-ranks the candidates. The filter
-        widens nprobe x4 exactly like the plain indexed path."""
+        """Fused IVF-PQ first pass: the residual-ADC kernel prunes to
+        the probe cells and ranks codes in one scan of id/cell/code. The
+        filter widens nprobe x4 exactly like the plain indexed path."""
         from mlx_vector_db_spark.operators.knn import apply_metadata_filter
         from mlx_vector_db_spark.operators.pq import ivfpq_search_batch
 
-        pqc = self._pq()
         ivf = self._ivf()
         filtered = apply_metadata_filter(df, filter_metadata)
         eff_nprobe = nprobe * 4 if filter_metadata else nprobe
-        qdf = self.catalog.spark.createDataFrame(
-            [(0, [float(x) for x in query_vector])],
-            "query_id long, embedding array<double>",
-        )
         cand = ivfpq_search_batch(
-            filtered, qdf, pqc, ivf.centroids, k=int(k), metric=metric,
+            filtered, self._single_query_df(query_vector), self._pq(),
+            ivf.centroids, k=int(k), metric=metric,
             nprobe=int(eff_nprobe), overfetch=int(overfetch),
             exact_rerank=False,
         ).select("id").distinct()
-        subset = df.join(cand, on="id", how="left_semi")
-        return knn_query(
-            subset,
-            query_vector,
-            k=k,
-            metric=metric,
-            filter_metadata=filter_metadata,
-            norm_col="norm",
+        return self._two_pass_query(
+            df, query_vector, k, metric, filter_metadata, cand
         )
 
     def batch_query(
@@ -874,30 +870,40 @@ class VectorStore:
         metric = metric or self.config.metric
         df = self.to_df()
         if use_quantized and self.config.pq:
-            from mlx_vector_db_spark.operators.knn import apply_metadata_filter
-            from mlx_vector_db_spark.operators.pq import (
-                ivfpq_search_batch,
-                pq_search_batch,
-            )
+            # any PQ-artifact trouble falls back to the uncompressed
+            # paths below — same silent-exact-fallback contract query()
+            # keeps (reference :142-145)
+            try:
+                from mlx_vector_db_spark.operators.knn import (
+                    apply_metadata_filter,
+                )
+                from mlx_vector_db_spark.operators.pq import (
+                    ivfpq_search_batch,
+                    pq_search_batch,
+                )
 
-            filtered = apply_metadata_filter(df, filter_metadata)
-            if self.config.pq.get("residual"):
-                # residual codes decode against the IVF centroids; probe
-                # every cell here (batch_query has no nprobe knob) — the
-                # compressed-scan win stands, nothing is pruned away
-                ivf = self._ivf()
-                cand = ivfpq_search_batch(
-                    filtered, queries, self._pq(), ivf.centroids,
-                    k=int(k), metric=metric, nprobe=ivf.nlist,
-                    overfetch=int(overfetch), exact_rerank=False,
-                )
-            else:
-                cand = pq_search_batch(
-                    filtered, queries, self._pq(), k=int(k), metric=metric,
-                    overfetch=int(overfetch), exact_rerank=False,
-                )
-            cand_ids = cand.select("id").distinct()
-            df = df.join(cand_ids, on="id", how="left_semi").drop("pq_code")
+                filtered = apply_metadata_filter(df, filter_metadata)
+                if self.config.pq.get("residual"):
+                    # residual codes decode against the IVF centroids;
+                    # probe every cell here (batch_query has no nprobe
+                    # knob) — the compressed-scan win stands, nothing is
+                    # pruned away
+                    ivf = self._ivf()
+                    cand = ivfpq_search_batch(
+                        filtered, queries, self._pq(), ivf.centroids,
+                        k=int(k), metric=metric, nprobe=ivf.nlist,
+                        overfetch=int(overfetch), exact_rerank=False,
+                    )
+                else:
+                    cand = pq_search_batch(
+                        filtered, queries, self._pq(), k=int(k),
+                        metric=metric, overfetch=int(overfetch),
+                        exact_rerank=False,
+                    )
+                cand_ids = cand.select("id").distinct()
+                df = df.join(cand_ids, on="id", how="left_semi").drop("pq_code")
+            except Exception:
+                df = self.to_df()
         elif use_quantized and self.config.quantize:
             from mlx_vector_db_spark.functions.vector import dequantize_int8
 

@@ -95,3 +95,11 @@ def test_salted_aggregate_matches_direct(spark, skewed):
 def test_salted_aggregate_rejects_nonalgebraic(spark, skewed):
     with pytest.raises(ValueError, match="algebraic"):
         salted_aggregate(skewed, "k", {"bad": ("avg", "v")})
+
+
+def test_reserved_salt_column_rejected(spark, skewed, dim):
+    poisoned = skewed.withColumn("_salt", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        salted_join(poisoned, dim, on="k")
+    with pytest.raises(ValueError, match="reserved"):
+        salted_aggregate(poisoned, "k", {"n": ("count", "v")})

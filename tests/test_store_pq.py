@@ -142,3 +142,38 @@ def test_lsh_index_gets_plain_codes(spark, tmp_path):
     assert st.config.pq["residual"] is False
     q = st.to_df().first()["embedding"]
     assert st.query(list(q), k=1, use_index=False, use_quantized=True).first() is not None
+
+
+def test_rebuild_index_rejected_under_residual_codes(store):
+    """Rebuilding the index would silently corrupt residual codes (they
+    decode against the OLD centroids) — rejected like drop_index."""
+    store.build_index(nlist=4)
+    store.build_pq(m=4, nbits=8)
+    with pytest.raises(ValueError, match="residual"):
+        store.build_index(nlist=8)
+    store.drop_pq()
+    store.build_index(nlist=8)  # fine once codes are gone
+    assert store._ivf().nlist == 8
+
+
+def test_residual_query_without_index_still_compressed(store):
+    """use_index=False on a residual store keeps the compressed scan:
+    the fused kernel full-probes instead of silently degrading to the
+    uncompressed exact scan."""
+    store.build_index(nlist=4)
+    store.build_pq(m=4, nbits=8)
+    q = store._test_vecs[3].tolist()
+    got = [r["id"] for r in store.query(q, k=5, use_index=False, use_quantized=True).collect()]
+    exact = [r["id"] for r in store.query(q, k=5, use_index=False, use_quantized=False).collect()]
+    assert got == exact and got[0] == 3
+
+
+def test_batch_query_falls_back_on_corrupt_pq(store, spark):
+    store.build_pq(m=4, nbits=8)
+    store.config.pq["books"] = "corrupt"  # simulate a bad artifact
+    store._pq_cache = None
+    queries = spark.createDataFrame(
+        [(0, store._test_vecs[0].tolist())], "query_id long, embedding array<float>"
+    )
+    out = store.batch_query(queries, k=3, use_quantized=True).collect()
+    assert [r["id"] for r in out][0] == 0  # silent exact fallback
