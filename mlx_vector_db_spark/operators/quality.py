@@ -1,0 +1,161 @@
+"""Corpus-quality operators for LLM training-data pipelines:
+Gopher-style repetition signals and n-gram train/eval contamination.
+
+These extend the reference's surface (it has no corpus-filtering story
+— its pipeline stops at chunk/embed, integrations/mlx_lm_pipeline.py)
+with the two filters every large-scale text pipeline runs before
+training: repetition-based quality scoring (Rae et al., "Scaling
+Language Models: ... Gopher", §A.1.1) and n-gram overlap
+decontamination of the training set against an eval set (Brown et
+al., GPT-3 appendix C).
+
+Scale design (100 TB):
+- ``repetition_signals`` is ONE explode followed by two hash
+  aggregations, both map-side combinable; nothing is ever keyed by a
+  whole document's text, only by (doc_id, gram), so a pathological
+  giant document spreads over its distinct grams rather than one
+  reducer.
+- ``ngram_contamination`` hashes grams to 64-bit before the join, so
+  the shuffled payload is (id, long) rather than raw n-gram strings;
+  the eval side is deduplicated before joining and is typically small
+  enough for a broadcast hash join (eval sets are ~1e3-1e6 grams while
+  the training corpus is the 100 TB side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.text import tokens
+
+__all__ = ["repetition_signals", "ngram_contamination", "word_ngrams"]
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Space-joined word ``n``-grams of a text column as
+    ``array<string>`` (empty when the document has fewer than ``n``
+    words). Built with ``slice``/``zip_with`` so the whole expression
+    stays inside whole-stage codegen — no UDF, no shuffle."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    toks = tokens(col)
+    sz = F.size(toks)
+    width = sz - F.lit(n - 1)
+    out = F.slice(toks, 1, F.greatest(width, F.lit(0)))
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + j, F.greatest(width, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(sz >= n, out).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition statistics (the Gopher repetition
+    rules, word-level):
+
+    - ``top_word_frac``   — occurrences of the most frequent word
+      / total words,
+    - ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram / total bigrams,
+    - ``dup_trigram_frac``— fraction of trigram slots occupied by a
+      trigram that appears more than once.
+
+    A pipeline drops documents where these exceed thresholds (Gopher
+    uses 0.2 / 0.18 / [0.30 for dup 2-grams]); the operator returns
+    the raw signals so the cut stays a cheap post-filter.
+
+    Physical plan: one ``explode`` of the kind-tagged gram union, a
+    hash aggregate on (doc, kind, gram) with map-side combine, then a
+    second tiny aggregate on (doc, kind) pivoted to columns — two
+    shuffles total regardless of how many gram kinds ride along.
+    Documents shorter than 2 (resp. 3) words report 0.0 for the
+    bigram (trigram) signals.
+    """
+    toks = tokens(text_col)
+    uni = F.transform(
+        toks, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("gram"))
+    )
+    bi = F.transform(
+        word_ngrams(text_col, 2),
+        lambda g: F.struct(F.lit("b").alias("kind"), g.alias("gram")),
+    )
+    tri = F.transform(
+        word_ngrams(text_col, 3),
+        lambda g: F.struct(F.lit("t").alias("kind"), g.alias("gram")),
+    )
+    tagged = df.select(
+        F.col(id_col), F.explode(F.concat(uni, bi, tri)).alias("kg")
+    ).select(id_col, "kg.kind", "kg.gram")
+
+    counts = tagged.groupBy(id_col, "kind", "gram").agg(F.count("*").alias("c"))
+    per_kind = counts.groupBy(id_col, "kind").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias("dup"),
+    )
+    frac = F.col("mx").cast("double") / F.col("tot").cast("double")
+    dup_frac = F.col("dup").cast("double") / F.col("tot").cast("double")
+    kind = F.col("kind")
+    return per_kind.groupBy(id_col).agg(
+        F.round(F.coalesce(F.max(F.when(kind == "w", frac)), F.lit(0.0)), 6).alias(
+            "top_word_frac"
+        ),
+        F.round(F.coalesce(F.max(F.when(kind == "b", frac)), F.lit(0.0)), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(
+            F.coalesce(F.max(F.when(kind == "t", dup_frac)), F.lit(0.0)), 6
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Training documents that share at least one word ``n``-gram with
+    the eval set (GPT-3-style decontamination; the classic setting is
+    13-grams on web-scale text — pick ``n`` for your document length).
+
+    Returns one row per contaminated training document:
+    ``(id_col, n_shared_grams)`` where ``n_shared_grams`` counts the
+    DISTINCT n-grams of that document that also occur anywhere in the
+    eval set. Clean documents are absent — the caller anti-joins to
+    keep them.
+
+    Scale: grams are deduplicated per document (``array_distinct``)
+    BEFORE the explode, then hashed to 64-bit, so the join shuffles
+    (id, long) pairs; the eval gram set is globally deduplicated and
+    broadcast when ``broadcast_eval`` (an eval suite is tiny next to a
+    training corpus — the join becomes a map-side hash probe with NO
+    shuffle of the training side beyond the final per-doc count).
+    xxhash64 collisions are the usual 2^-64 caveat and can only
+    overcount, never miss a true overlap.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+        ).select(id_col, F.xxhash64("gram").alias("gh"))
+
+    ev = grams(eval_df).select("gh").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        grams(train)
+        .join(ev, "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

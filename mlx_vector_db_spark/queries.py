@@ -1272,6 +1272,46 @@ def q_embedding_neardup_bucketed(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (top-word /
+    top-bigram fraction, duplicated-trigram fraction). One explode, two
+    combiner-friendly hash aggregations — nothing keyed by whole-doc
+    text, so giant documents spread over their distinct grams."""
+    from mlx_vector_db_spark.operators.quality import repetition_signals
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return repetition_signals(docs)
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """GPT-3-style decontamination: training docs (doc_id % 20 != 0)
+    that share a word 5-gram with the held-out eval split
+    (doc_id % 20 == 0). Grams are per-doc deduped BEFORE the explode
+    and hashed to 64-bit, and the eval gram set is broadcast — the
+    training side never shuffles raw strings."""
+    from mlx_vector_db_spark.operators.quality import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    eval_df = docs.where(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(train, eval_df, n=5)
+
+
+def q_source_lang_agreement(spark, sf_dir):
+    """Language-ID rollup: per (source, labeled lang), how often the
+    marker-lexicon detector agrees with the label. Detection is pure
+    codegen expressions; the rollup is one partial-aggregated shuffle
+    on a low-cardinality key."""
+    docs = _t(spark, sf_dir, "documents")
+    agree = (detect_language("text") == F.col("lang")).cast("int")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(agree).alias("n_agree"),
+        F.round(F.sum(agree) / F.count("*"), 6).alias("agree_rate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1313,6 +1353,9 @@ QUERIES: dict[str, QueryFn] = {
     "lineitem_quantity_quantiles": q_lineitem_quantity_quantiles,
     "parts_above_avg": q_parts_above_avg,
     "user_journey": q_user_journey,
+    "doc_repetition": q_doc_repetition,
+    "ngram_contamination": q_ngram_contamination,
+    "source_lang_agreement": q_source_lang_agreement,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -1666,6 +1709,96 @@ ORACLES: dict[str, str] = {
                     WHEN s_es >= s_fr THEN 'es'
                     ELSE 'fr' END AS lang_pred
         FROM s
+    """,
+    "doc_repetition": r"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id, ws,
+                 list_transform(range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i+1]) AS bi,
+                 list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tri
+          FROM w
+        ), wc AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(ws) AS tok FROM g) GROUP BY 1, 2
+        ), bc AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(bi) AS tok FROM g) GROUP BY 1, 2
+        ), tc AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(tri) AS tok FROM g) GROUP BY 1, 2
+        ), wa AS (
+          SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM wc GROUP BY 1
+        ), ba AS (
+          SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM bc GROUP BY 1
+        ), ta AS (
+          SELECT doc_id,
+                 coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::DOUBLE / sum(c) AS f
+          FROM tc GROUP BY 1
+        )
+        SELECT wa.doc_id,
+               round(wa.f, 6) AS top_word_frac,
+               round(coalesce(ba.f, 0.0), 6) AS top_bigram_frac,
+               round(coalesce(ta.f, 0.0), 6) AS dup_trigram_frac
+        FROM wa
+        LEFT JOIN ba USING (doc_id)
+        LEFT JOIN ta USING (doc_id)
+    """,
+    "ngram_contamination": r"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(ws) - 3), i ->
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                   ws[i+3] || ' ' || ws[i+4]))) AS gram
+          FROM w
+        ), ev AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+        ), tr AS (
+          SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0
+        )
+        SELECT tr.doc_id, count(*)::BIGINT AS n_shared_grams
+        FROM tr JOIN ev USING (gram)
+        GROUP BY 1
+    """,
+    "source_lang_agreement": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_transform(string_split_regex(trim(text), '\\s+'),
+                                x -> lower(x)) AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 len(list_filter(words, x -> x IN {_LANG_SETS['de']}))::DOUBLE
+                   / greatest(len(words), 1) AS s_de,
+                 len(list_filter(words, x -> x IN {_LANG_SETS['en']}))::DOUBLE
+                   / greatest(len(words), 1) AS s_en,
+                 len(list_filter(words, x -> x IN {_LANG_SETS['es']}))::DOUBLE
+                   / greatest(len(words), 1) AS s_es,
+                 len(list_filter(words, x -> x IN {_LANG_SETS['fr']}))::DOUBLE
+                   / greatest(len(words), 1) AS s_fr
+          FROM w
+        ), p AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+                      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_es >= s_fr THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM s
+        )
+        SELECT d.source, d.lang,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+               round(sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS agree_rate
+        FROM documents d JOIN p USING (doc_id)
+        GROUP BY 1, 2
     """,
     "dedup_exact": f"""
         SELECT {_TEXT_NORM_SQL} AS fingerprint,

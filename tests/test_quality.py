@@ -1,0 +1,83 @@
+"""Unit tests for the corpus-quality operators (repetition signals,
+n-gram contamination) on tiny hand-computed fixtures; the sf0.01
+oracle equivalence is covered by test_entry.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.operators.quality import (
+    ngram_contamination,
+    repetition_signals,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_basic(spark):
+    df = _docs(spark, [(0, "a b c d")])
+    out = df.select(
+        word_ngrams("text", 1).alias("g1"),
+        word_ngrams("text", 2).alias("g2"),
+        word_ngrams("text", 4).alias("g4"),
+        word_ngrams("text", 5).alias("g5"),
+    ).first()
+    assert out.g1 == ["a", "b", "c", "d"]
+    assert out.g2 == ["a b", "b c", "c d"]
+    assert out.g4 == ["a b c d"]
+    assert out.g5 == []  # shorter than n
+
+
+def test_word_ngrams_rejects_bad_n(spark):
+    with pytest.raises(ValueError):
+        word_ngrams("text", 0)
+
+
+def test_repetition_signals_hand_computed(spark):
+    # "a a a b": words a*3 b*1 -> 3/4; bigrams "a a"*2 "a b"*1 -> 2/3;
+    # trigrams "a a a" "a a b" all unique -> 0.
+    # "x y z x y z x y z": every trigram occurs >1 time -> dup frac 1.0.
+    df = _docs(spark, [(1, "a a a b"), (2, "x y z x y z x y z")])
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].top_word_frac == 0.75
+    assert rows[1].top_bigram_frac == round(2 / 3, 6)
+    assert rows[1].dup_trigram_frac == 0.0
+    assert rows[2].top_word_frac == round(3 / 9, 6)
+    assert rows[2].dup_trigram_frac == 1.0
+
+
+def test_repetition_signals_short_docs(spark):
+    # 1-word doc: no bigrams/trigrams -> 0.0, not null/missing.
+    df = _docs(spark, [(1, "solo"), (2, "two words")])
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].top_word_frac == 1.0
+    assert rows[1].top_bigram_frac == 0.0
+    assert rows[1].dup_trigram_frac == 0.0
+    assert rows[2].top_bigram_frac == 1.0
+    assert rows[2].dup_trigram_frac == 0.0
+
+
+def test_ngram_contamination_counts_distinct_shared(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "p q r s t u"),   # shares "p q r" and "q r s" with eval
+            (2, "zz yy xx ww"),   # clean
+            (3, "p q r p q r"),   # duplicated gram counts once (distinct)
+        ],
+    )
+    eval_df = _docs(spark, [(100, "p q r s")])
+    out = {r.doc_id: r.n_shared_grams
+           for r in ngram_contamination(train, eval_df, n=3).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_contamination_no_broadcast_path(spark):
+    train = _docs(spark, [(1, "a b c")])
+    eval_df = _docs(spark, [(2, "a b c")])
+    out = ngram_contamination(train, eval_df, n=3, broadcast_eval=False).collect()
+    assert [(r.doc_id, r.n_shared_grams) for r in out] == [(1, 1)]
