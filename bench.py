@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "minhash_neardup_pairs",
     "chunk_documents",
     "embed_docs_384",
+    "doc_repetition",
+    "ngram_contamination",
+    "bm25_topk",
+    "hybrid_rrf",
 ]
 
 
@@ -86,6 +90,12 @@ def main() -> None:
     prewarm(spark, sf_dir)
     QUERIES["ivf_knn"](spark, sf_dir).count()
     QUERIES["pq_knn"](spark, sf_dir).count()
+    # one untimed warm pass per benchmarked query: whole-stage codegen
+    # compilation and Python-worker spin-up are per-PLAN first-touch
+    # costs (multi-second on a slow-JIT host), not per-run costs — a
+    # steady-state benchmark measures the plan, so pay them off-clock
+    for name in BENCH_QUERIES:
+        _consume(QUERIES[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import tokens
 
-__all__ = ["repetition_signals", "ngram_contamination", "word_ngrams"]
+__all__ = [
+    "repetition_signals",
+    "ngram_contamination",
+    "word_ngrams",
+    "hashed_word_ngrams",
+]
 
 
 def word_ngrams(col: Column | str, n: int) -> Column:
@@ -52,6 +57,29 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     return F.when(sz >= n, out).otherwise(F.array().cast("array<string>"))
 
 
+def hashed_word_ngrams(col: Column | str, n: int) -> Column:
+    """64-bit hashes of word ``n``-grams as ``array<long>`` — the shuffle
+    representation. Words are xxhash64-ed once, then n-grams are built by
+    CHAINING hashes (``h_gram = xxhash64(h_prefix, h_word)``) instead of
+    concatenating strings, so no gram string is ever materialized; the
+    downstream shuffle moves 8-byte longs. Counting/joining on these is
+    exact up to 64-bit collisions (~2^-64 per pair)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    toks = tokens(col)
+    sz = F.size(toks)
+    h = F.transform(toks, lambda w: F.xxhash64(w))
+    width = F.greatest(sz - F.lit(n - 1), F.lit(0))
+    out = F.slice(h, 1, width)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(h, 1 + j, width),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    return F.when(sz >= n, out).otherwise(F.array().cast("array<long>"))
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
@@ -72,26 +100,25 @@ def repetition_signals(
     the raw signals so the cut stays a cheap post-filter.
 
     Physical plan: one ``explode`` of the kind-tagged gram union, a
-    hash aggregate on (doc, kind, gram) with map-side combine, then a
-    second tiny aggregate on (doc, kind) pivoted to columns — two
-    shuffles total regardless of how many gram kinds ride along.
+    hash aggregate on (doc, kind, gram-hash) with map-side combine,
+    then a second tiny aggregate on (doc, kind) pivoted to columns —
+    two shuffles total regardless of how many gram kinds ride along.
+    Grams travel as 64-bit chained hashes (:func:`hashed_word_ngrams`),
+    never as strings, so the shuffle rows are (long, byte, long).
     Documents shorter than 2 (resp. 3) words report 0.0 for the
     bigram (trigram) signals.
     """
-    toks = tokens(text_col)
-    uni = F.transform(
-        toks, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("gram"))
-    )
-    bi = F.transform(
-        word_ngrams(text_col, 2),
-        lambda g: F.struct(F.lit("b").alias("kind"), g.alias("gram")),
-    )
-    tri = F.transform(
-        word_ngrams(text_col, 3),
-        lambda g: F.struct(F.lit("t").alias("kind"), g.alias("gram")),
-    )
+
+    def tag(n: int, kind: int) -> Column:
+        return F.transform(
+            hashed_word_ngrams(text_col, n),
+            lambda g: F.struct(
+                F.lit(kind).cast("tinyint").alias("kind"), g.alias("gram")
+            ),
+        )
+
     tagged = df.select(
-        F.col(id_col), F.explode(F.concat(uni, bi, tri)).alias("kg")
+        F.col(id_col), F.explode(F.concat(tag(1, 1), tag(2, 2), tag(3, 3))).alias("kg")
     ).select(id_col, "kg.kind", "kg.gram")
 
     counts = tagged.groupBy(id_col, "kind", "gram").agg(F.count("*").alias("c"))
@@ -104,14 +131,14 @@ def repetition_signals(
     dup_frac = F.col("dup").cast("double") / F.col("tot").cast("double")
     kind = F.col("kind")
     return per_kind.groupBy(id_col).agg(
-        F.round(F.coalesce(F.max(F.when(kind == "w", frac)), F.lit(0.0)), 6).alias(
+        F.round(F.coalesce(F.max(F.when(kind == 1, frac)), F.lit(0.0)), 6).alias(
             "top_word_frac"
         ),
-        F.round(F.coalesce(F.max(F.when(kind == "b", frac)), F.lit(0.0)), 6).alias(
+        F.round(F.coalesce(F.max(F.when(kind == 2, frac)), F.lit(0.0)), 6).alias(
             "top_bigram_frac"
         ),
         F.round(
-            F.coalesce(F.max(F.when(kind == "t", dup_frac)), F.lit(0.0)), 6
+            F.coalesce(F.max(F.when(kind == 3, dup_frac)), F.lit(0.0)), 6
         ).alias("dup_trigram_frac"),
     )
 
@@ -147,8 +174,10 @@ def ngram_contamination(
     def grams(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col),
-            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
-        ).select(id_col, F.xxhash64("gram").alias("gh"))
+            F.explode(
+                F.array_distinct(hashed_word_ngrams(text_col, n))
+            ).alias("gh"),
+        )
 
     ev = grams(eval_df).select("gh").distinct()
     if broadcast_eval:

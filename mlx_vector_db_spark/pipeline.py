@@ -120,6 +120,22 @@ class RandomProjectionEncoder:
             ).astype(np.float32)
         return self._table
 
+    def _bucket(self, tok: str) -> int:
+        # memoized per worker: natural text is zipfian, so the sha1 runs
+        # ~once per vocab word, not once per token occurrence (the
+        # python-side hash dominates encode cost otherwise)
+        memo = self.__dict__.setdefault("_bucket_memo", {})
+        b = memo.get(tok)
+        if b is None:
+            b = (
+                int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+                % self.n_buckets
+            )
+            if len(memo) >= 1_000_000:  # bound worker memory on huge vocabs
+                memo.clear()
+            memo[tok] = b
+        return b
+
     def __call__(self, texts: list[str]) -> np.ndarray:
         table = self._tbl()
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
@@ -128,11 +144,7 @@ class RandomProjectionEncoder:
             if not toks:
                 continue
             idx = np.fromiter(
-                (
-                    int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
-                    % self.n_buckets
-                    for tok in toks
-                ),
+                (self._bucket(tok) for tok in toks),
                 dtype=np.int64,
                 count=len(toks),
             )

@@ -1312,6 +1312,45 @@ def q_source_lang_agreement(spark, sf_dir):
     )
 
 
+#: hybrid-retrieval bench constants (shared by query + oracle)
+BM25_TERMS = ("join", "hash", "merge")
+BM25_K = 20
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 keyword top-k — the keyword arm the reference lacks
+    (it's vector-only). Pure JVM expressions; the explode is filtered
+    to the query terms before the only corpus-sized shuffle. Scores are
+    rounded before ranking so the (score, id) order is reproducible
+    across engines."""
+    from mlx_vector_db_spark.operators.hybrid import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, list(BM25_TERMS), k=BM25_K, round_scores=6)
+    return out.select("doc_id", "score", "rank")
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: BM25 keyword arm over documents fused with the
+    exact-cosine vector arm over embeddings by reciprocal-rank fusion
+    (1/(60+rank)). Fusion cost is O(k) per arm regardless of corpus
+    size — the arms carry the scale story."""
+    from mlx_vector_db_spark.operators.hybrid import bm25_topk, rrf_fuse
+    from mlx_vector_db_spark.operators.knn import knn_query
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = bm25_topk(docs, list(BM25_TERMS), k=BM25_K, round_scores=6).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q0 = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    vec = knn_query(
+        emb, q0, k=BM25_K, metric="cosine", vec_col="embedding", id_col="vec_id"
+    ).select(F.col("vec_id").alias("id"), "rank")
+    fused = rrf_fuse({"keyword": kw, "vector": vec}, id_col="id", round_scores=6)
+    return fused.select("id", "rrf_score", "n_arms", "rank")
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1356,6 +1395,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition": q_doc_repetition,
     "ngram_contamination": q_ngram_contamination,
     "source_lang_agreement": q_source_lang_agreement,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -1800,6 +1841,87 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN p USING (doc_id)
         GROUP BY 1, 2
     """,
+    "bm25_topk": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_transform(string_split_regex(trim(text), '\\s+'),
+                                x -> lower(x)) AS ws
+          FROM documents
+        ), b2 AS (
+          SELECT doc_id, ws, len(ws) AS dl FROM base
+        ), stats AS (
+          SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM b2
+        ), tf AS (
+          SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, dl, unnest(ws) AS tok FROM b2)
+          WHERE tok IN {str(BM25_TERMS)}
+          GROUP BY 1, 2, 3
+        ), dft AS (
+          SELECT tok, count(*)::DOUBLE AS dft FROM tf GROUP BY 1
+        ), bm AS (
+          SELECT tf.doc_id,
+                 round(sum(ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))),
+                       6) AS score
+          FROM tf JOIN dft d USING (tok) CROSS JOIN stats s
+          GROUP BY 1
+        )
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id)::INTEGER AS rank
+        FROM bm
+        QUALIFY rank <= {BM25_K}
+    """,
+    "hybrid_rrf": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_transform(string_split_regex(trim(text), '\\s+'),
+                                x -> lower(x)) AS ws
+          FROM documents
+        ), b2 AS (
+          SELECT doc_id, ws, len(ws) AS dl FROM base
+        ), stats AS (
+          SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM b2
+        ), tf AS (
+          SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, dl, unnest(ws) AS tok FROM b2)
+          WHERE tok IN {str(BM25_TERMS)}
+          GROUP BY 1, 2, 3
+        ), dft AS (
+          SELECT tok, count(*)::DOUBLE AS dft FROM tf GROUP BY 1
+        ), bm AS (
+          SELECT tf.doc_id,
+                 round(sum(ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))),
+                       6) AS score
+          FROM tf JOIN dft d USING (tok) CROSS JOIN stats s
+          GROUP BY 1
+        ), kw AS (
+          SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM bm QUALIFY rnk <= {BM25_K}
+        ), q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ), v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        ), scored AS (
+          SELECT v.vec_id, {{cos}} AS s FROM v CROSS JOIN q
+        ), vec AS (
+          SELECT vec_id AS id,
+                 row_number() OVER (ORDER BY s DESC, vec_id) AS rnk
+          FROM scored QUALIFY rnk <= {BM25_K}
+        ), arms AS (
+          SELECT id, 1.0 / (60 + rnk) AS r FROM kw
+          UNION ALL
+          SELECT id, 1.0 / (60 + rnk) AS r FROM vec
+        )
+        SELECT id, round(sum(r), 6) AS rrf_score,
+               count(*)::BIGINT AS n_arms,
+               row_number() OVER (ORDER BY round(sum(r), 6) DESC, id)::INTEGER
+                 AS rank
+        FROM arms GROUP BY id
+    """.replace("{cos}", _COSINE_SQL),
     "dedup_exact": f"""
         SELECT {_TEXT_NORM_SQL} AS fingerprint,
                count(*)::BIGINT AS n_copies,
