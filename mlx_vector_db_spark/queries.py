@@ -1351,6 +1351,31 @@ def q_hybrid_rrf(spark, sf_dir):
     return fused.select("id", "rrf_score", "n_arms", "rank")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-source quotas for training-data mixing: 10 docs per
+    source, drawn by deterministic md5 order (reproducible across
+    engines, cluster sizes, and retries — no RNG state). One shuffle;
+    WindowGroupLimit keeps ≤10 rows per (partition, stratum) map-side."""
+    from mlx_vector_db_spark.operators.sampling import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample_exact(docs, "source", 10)
+    return out.select("doc_id", "source", "lang")
+
+
+def q_weighted_mixture(spark, sf_dir):
+    """Per-stratum weighted mixing (the '40% web, 30% code' form) as a
+    pure deterministic filter — no shuffle, no RNG: keep iff
+    md5-key(id) < weight(source)."""
+    from mlx_vector_db_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, {"src0": 0.8, "src1": 0.5, "src2": 0.25}, stratum_col="source"
+    )
+    return out.select("doc_id", "source")
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1397,6 +1422,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_agreement": q_source_lang_agreement,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
+    "stratified_sample": q_stratified_sample,
+    "weighted_mixture": q_weighted_mixture,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -1922,6 +1949,26 @@ ORACLES: dict[str, str] = {
                  AS rank
         FROM arms GROUP BY id
     """.replace("{cos}", _COSINE_SQL),
+    "stratified_sample": """
+        SELECT doc_id, source, lang FROM (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                              ::DOUBLE / 4294967296.0,
+                            doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 10
+    """,
+    "weighted_mixture": """
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+                / 4294967296.0
+              < CASE source WHEN 'src0' THEN 0.8
+                            WHEN 'src1' THEN 0.5
+                            WHEN 'src2' THEN 0.25
+                            ELSE 0.0 END
+    """,
     "dedup_exact": f"""
         SELECT {_TEXT_NORM_SQL} AS fingerprint,
                count(*)::BIGINT AS n_copies,
