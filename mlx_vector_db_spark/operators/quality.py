@@ -34,6 +34,7 @@ __all__ = [
     "ngram_contamination",
     "word_ngrams",
     "hashed_word_ngrams",
+    "winnow_fingerprints",
 ]
 
 
@@ -140,6 +141,55 @@ def repetition_signals(
         F.round(
             F.coalesce(F.max(F.when(kind == 3, dup_frac)), F.lit(0.0)), 6
         ).alias("dup_trigram_frac"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS rolling-hash scheme, word-level): hash every
+    word ``k``-gram, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum. Guarantee: two documents sharing any run of
+    ``w + k - 1`` words share at least one fingerprint, while only
+    ~``2/(w+1)`` of gram hashes are kept — a compact sketch for
+    containment/plagiarism-style matching that exact-dup hashing and
+    MinHash (whole-doc resemblance) both miss.
+
+    Returns exploded ``(id_col, fingerprint)`` rows (distinct per doc).
+    Documents with at least one word but fewer than ``w`` grams emit
+    the single global-min fingerprint; empty documents emit nothing.
+
+    Scale: everything up to the explode is per-row whole-stage codegen
+    (no UDF, NO shuffle — O(m·w) work per doc with small constant w).
+    Gram hashes are the first 8 md5 hex digits, so any engine
+    reproduces the exact fingerprint values (the portability trick
+    :func:`~mlx_vector_db_spark.operators.sampling.sample_key` uses).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1 (got k={k}, w={w})")
+    grams = word_ngrams(text_col, k)
+    h = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    m = F.size(h)
+    nwin = m - F.lit(w - 1)
+    windowed = F.transform(
+        F.sequence(F.lit(1), F.greatest(nwin, F.lit(1))),
+        lambda i: F.array_min(F.slice(h, i, F.least(F.lit(w), m))),
+    )
+    fps = (
+        F.when(m <= 0, F.array().cast("array<long>"))
+        .when(nwin >= 1, windowed)
+        .otherwise(F.array(F.array_min(h)))
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
     )
 
 

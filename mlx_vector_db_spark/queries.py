@@ -1376,6 +1376,41 @@ def q_weighted_mixture(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_doc_winnow_fp(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints: per-doc distinct
+    window-min k-gram hashes. Everything before the explode is per-row
+    codegen — no UDF, no shuffle; md5-derived hashes make the values
+    engine-portable (the whole fingerprint SET is under the value gate)."""
+    from mlx_vector_db_spark.operators.quality import winnow_fingerprints
+
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return winnow_fingerprints(docs, k=4, w=4)
+
+
+def q_events_multi_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: day AND day+hour
+    granularities in ONE scan via GROUPING SETS (the Expand operator
+    emits both grain rows before a single partial-aggregated shuffle —
+    no second pass over the fact table, which is the property that
+    matters when the fact table is 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.withColumn("ts", events_ts(ev)).createOrReplaceTempView("_mr_events")
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT unix_timestamp(date_trunc('day', ts)) AS day,
+                 unix_timestamp(date_trunc('hour', ts)) AS hour,
+                 value
+          FROM _mr_events
+        )
+        SELECT day, hour, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM e GROUP BY GROUPING SETS ((day), (day, hour))
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1424,6 +1459,8 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_rrf": q_hybrid_rrf,
     "stratified_sample": q_stratified_sample,
     "weighted_mixture": q_weighted_mixture,
+    "doc_winnow_fp": q_doc_winnow_fp,
+    "events_multi_rollup": q_events_multi_rollup,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -1949,6 +1986,44 @@ ORACLES: dict[str, str] = {
                  AS rank
         FROM arms GROUP BY id
     """.replace("{cos}", _COSINE_SQL),
+    "events_multi_rollup": """
+        WITH e AS (
+          SELECT epoch(date_trunc('day', ts))::BIGINT AS day,
+                 epoch(date_trunc('hour', ts))::BIGINT AS hour,
+                 value
+          FROM events
+        )
+        SELECT day, hour, count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM e GROUP BY GROUPING SETS ((day), (day, hour))
+    """,
+    "doc_winnow_fp": r"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 4 THEN
+                   list_transform(range(1, len(ws) - 2), i ->
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+                 ELSE [] END AS grams
+          FROM w
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(grams, g ->
+                   ('0x' || substring(md5(g), 1, 8))::BIGINT) AS hs
+          FROM g
+        ), m AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                      WHEN len(hs) < 4 THEN [list_min(hs)]
+                      ELSE list_transform(range(1, len(hs) - 2), i ->
+                             list_min(list_slice(hs, i, i + 3)))
+                 END AS fps
+          FROM h
+        )
+        SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM m
+    """,
     "stratified_sample": """
         SELECT doc_id, source, lang FROM (
           SELECT doc_id, source, lang,

@@ -1,5 +1,6 @@
 from mlx_vector_db_spark.sources.readers import (
     read_vectors_csv,
+    read_vectors_orc,
     read_vectors_jsonl,
     read_vectors_npz,
     validate_vectors_df,
@@ -7,6 +8,7 @@ from mlx_vector_db_spark.sources.readers import (
 
 __all__ = [
     "read_vectors_csv",
+    "read_vectors_orc",
     "read_vectors_jsonl",
     "read_vectors_npz",
     "validate_vectors_df",

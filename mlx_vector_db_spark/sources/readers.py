@@ -72,6 +72,34 @@ def read_vectors_csv(
     )
 
 
+def read_vectors_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC variant of the canonical vector source (beyond the reference
+    — it has no columnar bulk format at all). ORC is Spark-native
+    (splittable, predicate-pushdown-capable like parquet), so this is a
+    plain scan plus the same shape normalization the other readers do.
+    Expects columns ``embedding array<float>`` (or castable) and
+    optionally ``id`` / ``meta``; missing ids are synthesized, missing
+    meta becomes an empty map."""
+    df = spark.read.orc(path)
+    if "embedding" not in df.columns:
+        raise ValueError(f"orc at {path} has no 'embedding' column: {df.columns}")
+    id_col = (
+        F.col("id").cast("long")
+        if "id" in df.columns
+        else F.monotonically_increasing_id()
+    )
+    meta = (
+        F.col("meta")
+        if "meta" in df.columns
+        else F.create_map().cast("map<string,string>")
+    )
+    return df.select(
+        id_col.alias("id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        meta.alias("meta"),
+    )
+
+
 def read_vectors_npz(
     spark: SparkSession, path: str, array_name: str = "vectors"
 ) -> DataFrame:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from mlx_vector_db_spark.operators.quality import (
     ngram_contamination,
     repetition_signals,
+    winnow_fingerprints,
     word_ngrams,
 )
 
@@ -74,6 +75,53 @@ def test_ngram_contamination_counts_distinct_shared(spark):
     out = {r.doc_id: r.n_shared_grams
            for r in ngram_contamination(train, eval_df, n=3).collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_winnowing_guarantee(spark):
+    # SIGMOD'03 guarantee with k=4, w=4: any shared run of w+k-1=7 words
+    # yields at least one shared fingerprint.
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    df = _docs(
+        spark,
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} completely different tail words here"),
+            (3, "nothing in common with the others at all"),
+        ],
+    )
+    fps = winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "docs sharing a 7-word run must share a fp"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnowing_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, "only three words"), (2, ""), (3, "a b c d e")])
+    rows = winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.fingerprint)
+    assert 1 not in by_doc        # fewer than k words -> no grams -> no rows
+    assert 2 not in by_doc        # empty doc -> no rows
+    assert len(by_doc[3]) == 1    # 2 grams < w -> single global-min fp
+
+
+def test_winnowing_compression(spark):
+    text = " ".join(f"w{i}" for i in range(200))
+    df = _docs(spark, [(1, text)])
+    n = winnow_fingerprints(df, k=4, w=4).count()
+    # expect ~2/(w+1) of 197 gram hashes kept; allow generous slack
+    assert 30 <= n <= 120
+
+
+def test_winnowing_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, w=0)
 
 
 def test_ngram_contamination_no_broadcast_path(spark):

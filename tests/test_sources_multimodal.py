@@ -56,6 +56,40 @@ def test_read_csv(spark, tmp_path):
     validate_vectors_df(df, 3)
 
 
+def test_read_orc_roundtrip(spark, tmp_path):
+    from mlx_vector_db_spark.sources import read_vectors_orc
+
+    path = str(tmp_path / "vecs_orc")
+    src = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5], {"k": str(i)}) for i in range(12)],
+        "id long, embedding array<float>, meta map<string,string>",
+    )
+    src.write.orc(path)
+    df = read_vectors_orc(spark, path)
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 12
+    assert rows[3].embedding == pytest.approx([3.0, 3.5])
+    assert rows[3].meta == {"k": "3"}
+    validate_vectors_df(df, 2)
+
+
+def test_read_orc_synthesizes_missing_columns(spark, tmp_path):
+    from mlx_vector_db_spark.sources import read_vectors_orc
+
+    path = str(tmp_path / "vecs_orc_bare")
+    spark.createDataFrame(
+        [([0.1, 0.2],), ([0.3, 0.4],)], "embedding array<double>"
+    ).write.orc(path)
+    df = read_vectors_orc(spark, path)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert df.schema["embedding"].dataType.simpleString() == "array<float>"
+    assert all(r.meta == {} for r in rows)
+    with pytest.raises(ValueError):
+        spark.createDataFrame([(1,)], "x long").write.orc(str(tmp_path / "noemb"))
+        read_vectors_orc(spark, str(tmp_path / "noemb"))
+
+
 def test_read_csv_missing_vector_column(spark, tmp_path):
     path = tmp_path / "bad.csv"
     path.write_text("a,b\n1,2")
