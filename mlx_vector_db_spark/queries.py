@@ -1411,6 +1411,52 @@ def q_events_multi_rollup(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction chain (email → ssn → ip → phone regexp_replace,
+    one codegen'd projection, zero shuffle). The synthetic corpus has
+    no PII, so the query salts each doc with a deterministic email +
+    IPv4 derived from doc_id on BOTH engines — the value gate then
+    covers real non-trivial redactions (md5 of redacted text + per-kind
+    match counts), not a no-op pass-through."""
+    from mlx_vector_db_spark.operators.cleaning import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    counted = salted.select("doc_id", F.md5(redact_pii("t")).alias("redacted_md5"),
+                            *pii_counts("t"))
+    return counted.select(
+        "doc_id",
+        "redacted_md5",
+        *[F.col(c).cast("long").alias(c) for c in ("email_n", "ssn_n", "ip_n", "phone_n")],
+    )
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """C4-style corpus boilerplate filter: drop lines repeated across
+    >= 2 documents, rebuild documents from survivors. Only 16-byte line
+    hashes are shuffled for the count; the boilerplate join side is
+    tiny (broadcast-able). Full rebuilt text is under the value gate
+    via md5."""
+    from mlx_vector_db_spark.operators.cleaning import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_boilerplate_lines(docs, min_docs=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_lines_kept", "n_lines_dropped"
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1461,6 +1507,8 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_mixture": q_weighted_mixture,
     "doc_winnow_fp": q_doc_winnow_fp,
     "events_multi_rollup": q_events_multi_rollup,
+    "pii_redact": q_pii_redact,
+    "boilerplate_removal": q_boilerplate_removal,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -1510,6 +1558,12 @@ _LANG_SETS = {
     "fr": "('le','la','les','et','est','un','une','des','que','pour')",
     "es": "('el','la','los','las','es','un','una','que','por','para')",
 }
+
+# the ONE pattern source for both engines: the oracle inlines the same
+# RE2-compatible regexes the Spark chain compiles (operators/cleaning.py)
+from mlx_vector_db_spark.operators.cleaning import PII_PATTERNS as _PII_LIST
+
+_PII = dict(_PII_LIST)
 
 ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
@@ -2023,6 +2077,62 @@ ORACLES: dict[str, str] = {
           FROM h
         )
         SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM m
+    """,
+    "pii_redact": """
+        WITH s AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com from 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+          FROM documents
+        ), r1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '{email}'))::BIGINT AS email_n,
+                 regexp_replace(t, '{email}', '<EMAIL>', 'g') AS t
+          FROM s
+        ), r2 AS (
+          SELECT doc_id, email_n,
+                 len(regexp_extract_all(t, '{ssn}'))::BIGINT AS ssn_n,
+                 regexp_replace(t, '{ssn}', '<SSN>', 'g') AS t
+          FROM r1
+        ), r3 AS (
+          SELECT doc_id, email_n, ssn_n,
+                 len(regexp_extract_all(t, '{ip}'))::BIGINT AS ip_n,
+                 regexp_replace(t, '{ip}', '<IP>', 'g') AS t
+          FROM r2
+        ), r4 AS (
+          SELECT doc_id, email_n, ssn_n, ip_n,
+                 len(regexp_extract_all(t, '{phone}'))::BIGINT AS phone_n,
+                 regexp_replace(t, '{phone}', '<PHONE>', 'g') AS t
+          FROM r3
+        )
+        SELECT doc_id, md5(t) AS redacted_md5, email_n, ssn_n, ip_n, phone_n
+        FROM r4
+    """.replace("{email}", _PII["email"]).replace("{ssn}", _PII["ssn"])
+       .replace("{ip}", _PII["ip"]).replace("{phone}", _PII["phone"]),
+    "boilerplate_removal": """
+        WITH d AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        ), l AS (
+          SELECT doc_id, t.pos, ls[t.pos] AS line,
+                 md5(trim(ls[t.pos])) AS lh,
+                 len(trim(ls[t.pos])) >= 1 AS eligible
+          FROM d, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS pos) t
+        ), b AS (
+          SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM l WHERE eligible)
+          GROUP BY lh HAVING count(*) >= 2
+        ), kept AS (
+          SELECT * FROM l
+          WHERE NOT eligible OR lh NOT IN (SELECT lh FROM b)
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS new_text,
+                 count(*)::BIGINT AS n_lines_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, md5(coalesce(r.new_text, '')) AS text_md5,
+               coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+               (len(d.ls) - coalesce(r.n_lines_kept, 0))::BIGINT AS n_lines_dropped
+        FROM d LEFT JOIN rebuilt r USING (doc_id)
     """,
     "stratified_sample": """
         SELECT doc_id, source, lang FROM (
