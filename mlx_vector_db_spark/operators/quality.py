@@ -35,6 +35,8 @@ __all__ = [
     "word_ngrams",
     "hashed_word_ngrams",
     "winnow_fingerprints",
+    "hashed_feature_buckets",
+    "hashed_linear_score",
 ]
 
 
@@ -190,6 +192,80 @@ def winnow_fingerprints(
     )
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
+    )
+
+
+def hashed_feature_buckets(
+    col: Column | str, n_buckets: int = 1 << 16, ngram_max: int = 2
+) -> Column:
+    """fastText-style hashed feature ids: word 1..``ngram_max``-grams
+    bucketed into ``n_buckets`` via the first 8 md5 hex digits (the
+    engine-portable hash — any engine reproduces the exact bucket ids,
+    unlike xxhash64). Returns ``array<int>`` with one entry per gram
+    occurrence (counts matter for the mean-pool, so no dedup)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    if ngram_max < 1:
+        raise ValueError(f"ngram_max must be >= 1 (got {ngram_max})")
+    grams = word_ngrams(col, 1)
+    for n in range(2, ngram_max + 1):
+        grams = F.concat(grams, word_ngrams(col, n))
+    return F.transform(
+        grams,
+        lambda g: (
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).cast("int"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1 << 16,
+    ngram_max: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Linear quality classifier over hashed n-gram features — the
+    fastText/CCNet document-scoring shape (Joulin et al. 2016; CCNet
+    uses exactly this to rank CommonCrawl against Wikipedia):
+    ``score = sigmoid(mean(w[bucket]) + bias)`` over all gram
+    occurrences of the document.
+
+    ``weights`` is a ``(bucket int, weight double)`` DataFrame — a
+    trained model imported as data, not code. Buckets absent from
+    ``weights`` contribute weight 0 (a sparse model over a dense
+    feature space).
+
+    Returns ``(id_col, n_feats, score)``; documents with zero tokens
+    are absent (no features to score — the caller decides their fate).
+
+    Scale: features explode to (doc, int) pairs; the weight table is
+    at most ``n_buckets`` rows (a 64k-bucket model is ~1 MB) and is
+    broadcast, so scoring a 100 TB corpus is a map-side hash probe
+    plus ONE per-doc aggregation — no shuffle of anything doc-sized.
+    """
+    feats = df.select(
+        F.col(id_col),
+        F.explode(hashed_feature_buckets(text_col, n_buckets, ngram_max)).alias(
+            "bucket"
+        ),
+    )
+    w = weights.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    if broadcast_weights:
+        w = F.broadcast(w)
+    joined = feats.join(w, "bucket", "left")
+    mean_w = F.avg(F.coalesce(F.col("weight"), F.lit(0.0)))
+    z = mean_w + F.lit(float(bias))
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_feats"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
     )
 
 

@@ -1457,6 +1457,30 @@ def q_boilerplate_removal(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText/CCNet-shaped quality scoring: hashed 1-2-gram buckets,
+    broadcast weight table, mean-pool + sigmoid. The weight table here
+    is a deterministic stand-in model (weight = f(bucket)) generated on
+    both engines, so the value gate covers the full explode → broadcast
+    probe → per-doc mean path with a bit-identical model."""
+    from mlx_vector_db_spark.operators.quality import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_buckets = 4096
+    weights = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            ((F.col("id") * F.lit(2654435761)) % F.lit(10007)).cast("double")
+            / F.lit(5003.0)
+            - F.lit(1.0)
+        ).alias("weight"),
+    )
+    out = hashed_linear_score(
+        docs, weights, n_buckets=n_buckets, ngram_max=2, bias=0.05
+    )
+    return out.select("doc_id", "n_feats", F.round("score", 6).alias("score"))
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1509,6 +1533,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_multi_rollup": q_events_multi_rollup,
     "pii_redact": q_pii_redact,
     "boilerplate_removal": q_boilerplate_removal,
+    "quality_classifier": q_quality_classifier,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -2133,6 +2158,34 @@ ORACLES: dict[str, str] = {
                coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
                (len(d.ls) - coalesce(r.n_lines_kept, 0))::BIGINT AS n_lines_dropped
         FROM d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "quality_classifier": r"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents WHERE len(trim(text)) > 0
+        ), g AS (
+          SELECT doc_id,
+                 list_concat(
+                   ws,
+                   CASE WHEN len(ws) >= 2 THEN
+                     list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1])
+                   ELSE [] END
+                 ) AS grams
+          FROM w
+        ), f AS (
+          SELECT doc_id,
+                 unnest(list_transform(grams, g ->
+                   ('0x' || substring(md5(g), 1, 8))::BIGINT % 4096)) AS bucket
+          FROM g
+        ), scored AS (
+          SELECT doc_id, count(*)::BIGINT AS n_feats,
+                 avg(((bucket * 2654435761) % 10007) / 5003.0 - 1.0) AS m
+          FROM f GROUP BY doc_id
+        )
+        SELECT doc_id, n_feats,
+               round(1.0 / (1.0 + exp(-(m + 0.05))), 6) AS score
+        FROM scored
     """,
     "stratified_sample": """
         SELECT doc_id, source, lang FROM (

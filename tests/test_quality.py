@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.operators.quality import (
+    hashed_feature_buckets,
+    hashed_linear_score,
     ngram_contamination,
     repetition_signals,
     winnow_fingerprints,
@@ -122,6 +124,69 @@ def test_winnowing_rejects_bad_params(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, w=0)
+
+
+def _py_buckets(text, n_buckets, ngram_max):
+    import hashlib
+
+    words = text.split()
+    out = []
+    for n in range(1, ngram_max + 1):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        out += [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+            for g in grams
+        ]
+    return out
+
+
+def test_hashed_feature_buckets_matches_python_oracle(spark):
+    text = "the quick brown fox the quick"
+    df = _docs(spark, [(1, text)])
+    got = df.select(
+        hashed_feature_buckets("text", n_buckets=64, ngram_max=2).alias("b")
+    ).first().b
+    assert got == _py_buckets(text, 64, 2)
+
+
+def test_hashed_linear_score_matches_python_oracle(spark):
+    import math
+
+    texts = {1: "good words here", 2: "bad", 3: "good good good words"}
+    n_buckets = 32
+    wmap = {b: (b % 7) / 7.0 - 0.5 for b in range(0, n_buckets, 2)}  # sparse
+    df = _docs(spark, list(texts.items()))
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket int, weight double"
+    )
+    out = {
+        r.doc_id: r
+        for r in hashed_linear_score(
+            df, weights, n_buckets=n_buckets, ngram_max=2, bias=0.1
+        ).collect()
+    }
+    for did, text in texts.items():
+        feats = _py_buckets(text, n_buckets, 2)
+        mean_w = sum(wmap.get(b, 0.0) for b in feats) / len(feats)
+        want = 1.0 / (1.0 + math.exp(-(mean_w + 0.1)))
+        assert out[did].n_feats == len(feats)
+        assert out[did].score == pytest.approx(want, rel=1e-12)
+
+
+def test_hashed_linear_score_empty_doc_absent(spark):
+    df = _docs(spark, [(1, "some text"), (2, "   ")])
+    weights = spark.createDataFrame([(0, 1.0)], "bucket int, weight double")
+    got = {r.doc_id for r in hashed_linear_score(df, weights).collect()}
+    assert got == {1}
+
+
+def test_hashed_linear_score_validates_params(spark):
+    df = _docs(spark, [(1, "a")])
+    w = spark.createDataFrame([(0, 1.0)], "bucket int, weight double")
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, w, n_buckets=1)
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, w, ngram_max=0)
 
 
 def test_ngram_contamination_no_broadcast_path(spark):
