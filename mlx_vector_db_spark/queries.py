@@ -15,6 +15,12 @@ Determinism rules used throughout (both sides identically):
 - all orderings carry an id tie-break;
 - dates are emitted as 'YYYY-MM-DD' strings, timestamps as epoch
   seconds (bigint) — no engine-specific temporal encodings;
+- when the summed terms sit on a fixed decimal grid (2-decimal money ×
+  2-decimal discount = exact 4-decimal products), round FINER than the
+  grid (>= 4 digits), never coarser: the true sum lies ON the grid, so
+  a coarser rounding places it exactly on a .xx5 tie that
+  summation-order noise flips either way (measured: nation_volume at
+  round(...,2) flipped 536532.315 between .31/.32 across engines);
 - negative zero: round() of a value whose sign differs across engines'
   summation order (e.g. 1 - cosine at a self-match) can emit -0.0 on one
   side and +0.0 on the other — equal values, different hash bits. Clamp
@@ -1481,6 +1487,227 @@ def q_quality_classifier(spark, sf_dir):
     return out.select("doc_id", "n_feats", F.round("score", 6).alias("score"))
 
 
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: conditional LEFT join + two-level aggregation
+    (orders-per-customer, then customers-per-count). The join condition
+    carries the filter, so customers with only urgent orders land in
+    the 0 bucket — the outer-join semantics the distribution needs."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average (decorrelated to a
+    tiny aggregate joined back). Brand pre-filter broadcasts into the
+    lineitem scan; the per-part half-avg table is 66 rows — broadcast —
+    so the only shuffle is the partkey aggregation of the filtered
+    fraction of lineitem."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pl = li.join(F.broadcast(part.select("p_partkey")),
+                 li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    pa = pl.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    small = pl.join(F.broadcast(pa), "l_partkey").where(
+        F.col("l_quantity") < F.col("half_avg")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: group-HAVING subquery driving the join order.
+    The per-order quantity aggregate (map-side combinable) filters to a
+    few dozen orders, which then BROADCAST against orders and the
+    result against customer — the fact table is touched exactly once."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 280)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands across the join. The part side pre-filters to the three
+    brands (broadcast); the OR-of-ANDs evaluates post-join inside one
+    codegen stage."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#13", "Brand#20", "Brand#7")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(25, 50))
+    )
+    return j.where(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins, adapted to the
+    available columns: 'late' = shipped >60 days after order date on a
+    finished order). Decorrelated: one (orderkey, suppkey) aggregate
+    carrying late-line counts, one orderkey rollup of supplier/late
+    fans, a filter instead of two correlated self-joins — lineitem is
+    scanned once, not three times."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(late).alias("n_late_lines"),
+        F.max(late).alias("any_late"),
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("any_late").alias("n_late_supp")
+    )
+    waiting = (
+        per_os.where(F.col("any_late") == 1)
+        .join(per_o, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+    )
+
+
+def q_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (avg positive balance,
+    broadcast as a 1-row cross join) + NOT EXISTS anti-join, rolled up
+    per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_urgent = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return no_urgent.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: five-way join with two roles for the same
+    dimension (nation as supplier-side and customer-side), yearly
+    rollup. Supplier and nation broadcast; the only big shuffles are
+    lineitem⋈orders and orders⋈customer on their natural keys."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.alias("n1")),
+            F.col("s_nationkey") == F.col("n1.n_nationkey"),
+        )
+        .join(
+            F.broadcast(nation.alias("n2")),
+            F.col("c_nationkey") == F.col("n2.n_nationkey"),
+        )
+        .where(F.col("n1.n_name") < F.col("n2.n_name"))
+    )
+    return j.groupBy(
+        F.col("n1.n_name").alias("supp_nation"),
+        F.col("n2.n_name").alias("cust_nation"),
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregate ratio (promo revenue
+    share) per ship month. Part broadcasts; one shuffle on the month
+    key."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == 1996
+    ).select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+            "ship_month"
+        )
+    ).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("promo_pct")
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1534,6 +1761,14 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact": q_pii_redact,
     "boilerplate_removal": q_boilerplate_removal,
     "quality_classifier": q_quality_classifier,
+    "customer_order_distribution": q_customer_order_distribution,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "discounted_revenue": q_discounted_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "sales_opportunity": q_sales_opportunity,
+    "nation_volume": q_nation_volume,
+    "promo_revenue": q_promo_revenue,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -2186,6 +2421,103 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_feats,
                round(1.0 / (1.0 + exp(-(m + 0.05))), 6) AS score
         FROM scored
+    """,
+    "customer_order_distribution": """
+        SELECT c_count, count(*)::BIGINT AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) GROUP BY c_count
+    """,
+    "small_qty_revenue": """
+        WITH pl AS (
+          SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand = 'Brand#13'
+        ), pa AS (
+          SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+          FROM pl GROUP BY l_partkey
+        )
+        SELECT round(sum(pl.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*)::BIGINT AS n_lines
+        FROM pl JOIN pa USING (l_partkey)
+        WHERE pl.l_quantity < pa.half_avg
+    """,
+    "large_volume_customers": """
+        SELECT c.c_custkey, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(t.sum_qty, 2) AS sum_qty
+        FROM orders o
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 280) t
+          ON o.o_orderkey = t.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    "discounted_revenue": """
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#7'  AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+    "waiting_suppliers": """
+        SELECT s.s_name, count(*)::BIGINT AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+    """,
+    "sales_opportunity": """
+        SELECT c.c_mktsegment, count(*)::BIGINT AS numcust,
+               round(sum(c.c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_mktsegment
+    """,
+    "nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate)::BIGINT AS l_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE n1.n_name < n2.n_name
+          AND l.l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+        GROUP BY 1, 2, 3
+    """,
+    "promo_revenue": """
+        SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m-%d')
+                 AS ship_month,
+               round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                 AS promo_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(l.l_shipdate) = 1996
+        GROUP BY 1
     """,
     "stratified_sample": """
         SELECT doc_id, source, lang FROM (
