@@ -1708,6 +1708,50 @@ def q_promo_revenue(spark, sf_dir):
     )
 
 
+def q_approx_distinct_gate(spark, sf_dir):
+    """Sketch-accuracy gate: HyperLogLog++ (`approx_count_distinct`,
+    rsd=2%) vs exact `count(DISTINCT)` in the SAME aggregation, per
+    event_type. Emits the exact count plus a within-5% boolean the
+    oracle pins to TRUE — an HLL regression flips the hash. At 100 TB
+    the sketch (fixed ~kB state, one pass, mergeable across partitions)
+    is the only viable distinct count; this keeps it honest against the
+    exact answer wherever the driver runs both."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    rel_err = F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")
+    return per.select("event_type", "n_exact", (rel_err <= 0.05).alias("within"))
+
+
+def q_approx_quantile_gate(spark, sf_dir):
+    """Sketch-accuracy gate: `percentile_approx` (Greenwald-Khanna,
+    accuracy=10000) vs exact interpolated `percentile` over events
+    value, at p50/p90/p99. Emits (quantile, exact value, within-1%
+    boolean); the oracle computes the exact quantiles independently
+    (quantile_cont) and pins within=TRUE — so BOTH the exact-percentile
+    parity and the sketch error bound are under one hash."""
+    ev = _t(spark, sf_dir, "events")
+    qs = [0.5, 0.9, 0.99]
+    agg = ev.agg(
+        F.percentile("value", F.lit(qs)).alias("ex"),
+        F.percentile_approx("value", F.lit(qs), F.lit(10000)).alias("ap"),
+    )
+    z = agg.select(
+        F.posexplode(F.arrays_zip(F.lit(qs).alias("q"), F.col("ex"), F.col("ap")))
+    ).select(
+        F.col("col.q").alias("q"),
+        F.round(F.col("col.ex"), 6).alias("exact_value"),
+        (
+            F.abs(F.col("col.ap") - F.col("col.ex"))
+            / F.greatest(F.abs(F.col("col.ex")), F.lit(1e-9))
+            <= 0.01
+        ).alias("within"),
+    )
+    return z
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1769,6 +1813,8 @@ QUERIES: dict[str, QueryFn] = {
     "sales_opportunity": q_sales_opportunity,
     "nation_volume": q_nation_volume,
     "promo_revenue": q_promo_revenue,
+    "approx_distinct_gate": q_approx_distinct_gate,
+    "approx_quantile_gate": q_approx_quantile_gate,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -2642,6 +2688,24 @@ ORACLES: dict[str, str] = {
     "ivfpq_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed
         FROM embeddings WHERE vec_id < 5
+    """,
+    "approx_distinct_gate": """
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+               TRUE AS within
+        FROM events GROUP BY event_type
+    """,
+    "approx_quantile_gate": """
+        WITH e AS (
+          SELECT quantile_cont(value, [0.5, 0.9, 0.99]) AS qv FROM events
+        )
+        SELECT 0.5::DOUBLE  AS q, round(qv[1], 6) AS exact_value,
+               TRUE AS within FROM e
+        UNION ALL
+        SELECT 0.9::DOUBLE  AS q, round(qv[2], 6) AS exact_value,
+               TRUE AS within FROM e
+        UNION ALL
+        SELECT 0.99::DOUBLE AS q, round(qv[3], 6) AS exact_value,
+               TRUE AS within FROM e
     """,
     "minhash_recall_gate": "SELECT TRUE AS passed",
     "simhash_exactness_gate": "SELECT TRUE AS passed",
