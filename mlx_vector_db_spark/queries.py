@@ -1752,6 +1752,33 @@ def q_approx_quantile_gate(spark, sf_dir):
     return z
 
 
+def q_kmeans_cluster_gate(spark, sf_dir):
+    """k-means clustering invariant gate (k-means itself is seeded-
+    stochastic and not SQL-expressible, so the driver-stable properties
+    are hashed instead): every embedding row gets assigned exactly once
+    to a cluster id in [0, k), and total inertia at k=8 strictly beats
+    k=1 (the global-variance baseline) — the "clustering did something"
+    bar. n_points is the exact row count, pinned by the oracle."""
+    from mlx_vector_db_spark.operators.clustering import cluster_stats, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s8 = cluster_stats(kmeans_fit(emb, k=8, seed=42).assign(emb))
+    s1 = cluster_stats(kmeans_fit(emb, k=1, seed=42).assign(emb))
+    agg8 = s8.agg(
+        F.sum("n_points").cast("long").alias("np8"),
+        F.sum("inertia").alias("i8"),
+        F.min("cluster_id").alias("cmin"),
+        F.max("cluster_id").alias("cmax"),
+    )
+    agg1 = s1.agg(F.sum("inertia").alias("i1"))
+    return agg8.crossJoin(agg1).select(
+        F.lit(8).alias("k_used"),
+        F.col("np8").alias("n_points"),
+        ((F.col("cmin") >= 0) & (F.col("cmax") <= 7)).alias("in_range"),
+        (F.col("i8") < F.col("i1")).alias("inertia_improves"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1815,6 +1842,7 @@ QUERIES: dict[str, QueryFn] = {
     "promo_revenue": q_promo_revenue,
     "approx_distinct_gate": q_approx_distinct_gate,
     "approx_quantile_gate": q_approx_quantile_gate,
+    "kmeans_cluster_gate": q_kmeans_cluster_gate,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -2706,6 +2734,11 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 0.99::DOUBLE AS q, round(qv[3], 6) AS exact_value,
                TRUE AS within FROM e
+    """,
+    "kmeans_cluster_gate": """
+        SELECT 8 AS k_used, count(*)::BIGINT AS n_points,
+               TRUE AS in_range, TRUE AS inertia_improves
+        FROM embeddings
     """,
     "minhash_recall_gate": "SELECT TRUE AS passed",
     "simhash_exactness_gate": "SELECT TRUE AS passed",
