@@ -1779,6 +1779,20 @@ def q_kmeans_cluster_gate(spark, sf_dir):
     )
 
 
+def q_events_view_purchase(spark, sf_dir):
+    """Interval (attribution) join: every view→purchase pair of the
+    same user within 1 hour. Runs THE SAME operator
+    (streaming.interval_join) that powers the stream-stream join —
+    withWatermark is a no-op on batch — so the value gate here plus the
+    stream==batch pytest parity covers the streaming path end-to-end.
+    One co-partitioned shuffle on user_id per side."""
+    from mlx_vector_db_spark.streaming.ingest import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.withColumn("event_time", events_ts(ev))
+    return interval_join(batch, within="1 hour")
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1843,6 +1857,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct_gate": q_approx_distinct_gate,
     "approx_quantile_gate": q_approx_quantile_gate,
     "kmeans_cluster_gate": q_kmeans_cluster_gate,
+    "events_view_purchase": q_events_view_purchase,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -2739,6 +2754,13 @@ ORACLES: dict[str, str] = {
         SELECT 8 AS k_used, count(*)::BIGINT AS n_points,
                TRUE AS in_range, TRUE AS inertia_improves
         FROM embeddings
+    """,
+    "events_view_purchase": """
+        SELECT v.user_id, v.event_id AS left_id, p.event_id AS right_id,
+               (floor(epoch(p.ts)) - floor(epoch(v.ts)))::BIGINT AS secs_between
+        FROM events v JOIN events p ON v.user_id = p.user_id
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
     """,
     "minhash_recall_gate": "SELECT TRUE AS passed",
     "simhash_exactness_gate": "SELECT TRUE AS passed",

@@ -1,6 +1,7 @@
 from mlx_vector_db_spark.streaming.ingest import (
     EVENTS_SCHEMA,
     ingest_batch,
+    interval_join,
     job_status,
     read_events_stream,
     read_operations_log,
@@ -13,6 +14,7 @@ from mlx_vector_db_spark.streaming.ingest import (
 __all__ = [
     "EVENTS_SCHEMA",
     "ingest_batch",
+    "interval_join",
     "job_status",
     "read_events_stream",
     "read_operations_log",

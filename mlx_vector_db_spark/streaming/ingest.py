@@ -141,6 +141,60 @@ def streaming_dedup(
     )
 
 
+def interval_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``left_type`` event with
+    every ``right_type`` event of the SAME user that lands within
+    ``[left_time, left_time + within]`` — the attribution join
+    (view→purchase, impression→click) every event pipeline runs.
+
+    Works identically on a streaming frame (both sides watermarked; the
+    time-bound condition lets Spark expire join state once the
+    watermark passes ``left_time + within``, so state is bounded at any
+    scale) and on a batch frame (``withWatermark`` is a no-op there) —
+    the batch twin IS the oracle for the streaming run.
+
+    Shuffle key is ``user_id`` on both sides — co-partitioned, one
+    exchange each, no broadcast needed at any scale.
+    """
+    lhs = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("left_id"),
+            F.col("event_time").alias("left_time"),
+        )
+        .withWatermark("left_time", watermark)
+    )
+    rhs = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("right_id"),
+            F.col("event_time").alias("right_time"),
+        )
+        .withWatermark("right_time", watermark)
+    )
+    cond = (
+        (lhs.user_id == rhs.r_user_id)
+        & (rhs.right_time >= lhs.left_time)
+        & (rhs.right_time <= lhs.left_time + F.expr(f"INTERVAL {within}"))
+    )
+    return lhs.join(rhs, cond).select(
+        "user_id",
+        "left_id",
+        "right_id",
+        (
+            F.unix_timestamp("right_time") - F.unix_timestamp("left_time")
+        ).cast("long").alias("secs_between"),
+    )
+
+
 #: one row per committed micro-batch — the durable analog of the
 #: reference's in-memory operations dict (api/routes/batch_v1.py:103-172),
 #: which vanished on restart; this one is a queryable parquet table.

@@ -179,6 +179,36 @@ def test_stateful_running_totals(spark, tmp_path):
     assert n_emissions > len(exp)
 
 
+def test_interval_join_stream_matches_batch(spark, sf_small):
+    """Stream-stream interval join (view→purchase within 1h per user)
+    emits exactly the batch twin's pairs — inner interval joins emit on
+    match, so with processAllAvailable every pair must appear."""
+    from mlx_vector_db_spark.streaming.ingest import interval_join
+
+    stream = read_events_stream(spark, sf_small)
+    q = (
+        interval_join(stream, within="1 hour", watermark="2000 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.left_id, r.right_id, r.secs_between)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    batch = ev.withColumn("event_time", events_ts(ev))
+    exp = {
+        (r.user_id, r.left_id, r.right_id, r.secs_between)
+        for r in interval_join(batch, within="1 hour").collect()
+    }
+    assert exp, "batch twin produced no pairs — fixture too small"
+    assert got == exp
+
+
 def test_session_window_matches_batch_sessionization(spark, sf_small):
     """Native session_window sessions match the batch lag+cumsum
     sessionization on closed sessions (same 30-minute gap rule)."""
