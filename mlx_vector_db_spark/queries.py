@@ -1793,6 +1793,24 @@ def q_events_view_purchase(spark, sf_dir):
     return interval_join(batch, within="1 hour")
 
 
+def q_export_shard_plan(spark, sf_dir):
+    """Export determinism under the value gate: the md5 shard
+    assignment and the epoch-0 intra-shard order rank for every
+    document — the exact layout export_shards writes. Any engine
+    reproduces both (portable md5 keying), which is what makes
+    re-exports and retries byte-stable."""
+    from mlx_vector_db_spark.sources.export import shard_id, shuffle_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        docs.withColumn("shard", shard_id("doc_id", 8))
+        .withColumn("k", shuffle_key("doc_id", 0))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1858,6 +1876,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_quantile_gate": q_approx_quantile_gate,
     "kmeans_cluster_gate": q_kmeans_cluster_gate,
     "events_view_purchase": q_events_view_purchase,
+    "export_shard_plan": q_export_shard_plan,
     # rows-only (no SQL oracle):
     "minhash_neardup_pairs": q_minhash_pairs,
     "simhash_neardup_pairs": q_simhash_pairs,
@@ -2761,6 +2780,19 @@ ORACLES: dict[str, str] = {
         FROM events v JOIN events p ON v.user_id = p.user_id
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    "export_shard_plan": """
+        WITH s AS (
+          SELECT doc_id,
+                 (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 8)::INTEGER AS shard,
+                 md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents
+        )
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)::BIGINT
+                 AS pos
+        FROM s
     """,
     "minhash_recall_gate": "SELECT TRUE AS passed",
     "simhash_exactness_gate": "SELECT TRUE AS passed",
