@@ -61,9 +61,14 @@ def _consume(df) -> None:
 
 
 def main() -> None:
+    """Per-query error isolation everywhere: one broken plan must never
+    zero the round's bench artifact (round 2 lost ALL its numbers to a
+    single AnalysisException in the warm-up loop). Failed queries record
+    -1 with an error marker; the JSON line always prints; exit code 0."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    errors: dict[str, str] = {}
 
     # steady-state measurement: warm the JVM/codegen and the page cache
     # (one pass over each input table + one tiny windowed query) before
@@ -71,71 +76,107 @@ def main() -> None:
     # not first-touch costs
     for t in ["embeddings", "documents", "events", "lineitem", "orders",
               "customer", "supplier", "part", "nation", "region"]:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-    QUERIES["knn_cosine_topk"](spark, sf_dir).count()
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception as exc:  # noqa: BLE001 — isolation by design
+            errors[f"warm_scan:{t}"] = repr(exc)[:300]
     # spin up one Python worker per core so pandas-UDF queries measure
     # compute, not daemon fork/Arrow-init (workers are reused after):
     # the chunker repartitions to defaultParallelism internally, so a
     # tiny slice touches every worker slot
-    from mlx_vector_db_spark.functions.text import chunk_documents
+    try:
+        from mlx_vector_db_spark.functions.text import chunk_documents
 
-    docs_warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(256)
-    chunk_documents(docs_warm, chunk_size=400, overlap=50).count()
+        docs_warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(256)
+        chunk_documents(docs_warm, chunk_size=400, overlap=50).count()
+    except Exception as exc:  # noqa: BLE001
+        errors["warm_chunker"] = repr(exc)[:300]
     # index BUILDS are one-time persisted artifacts (store.build_index /
     # queries._ivf_artifact), not per-query work: build them here so the
     # timed ivf_knn below measures index *search*, matching the
     # reference's search-vs-build split (performance/hnsw_index.py:79-129).
-    # One untimed search per index warms those plans' codegen too — the
-    # same steady-state policy as the scans above.
-    prewarm(spark, sf_dir)
-    QUERIES["ivf_knn"](spark, sf_dir).count()
-    QUERIES["pq_knn"](spark, sf_dir).count()
+    try:
+        prewarm(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        errors["prewarm"] = repr(exc)[:300]
     # one untimed warm pass per benchmarked query: whole-stage codegen
     # compilation and Python-worker spin-up are per-PLAN first-touch
     # costs (multi-second on a slow-JIT host), not per-run costs — a
     # steady-state benchmark measures the plan, so pay them off-clock
     for name in BENCH_QUERIES:
-        _consume(QUERIES[name](spark, sf_dir))
+        try:
+            _consume(QUERIES[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = repr(exc)[:300]
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _consume(fn(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        if name in errors:
+            timings[name] = -1.0  # broke in warm-up: don't re-crash
+            continue
+        try:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            _consume(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            errors[name] = repr(exc)[:300]
 
     # batched-throughput figure: every embedding row queries the whole
     # table at once (N x N scoring + per-query top-10), the batch
     # equivalent of the reference's QPS benchmarks
-    from mlx_vector_db_spark.operators.knn import knn_join_blocked
+    try:
+        from mlx_vector_db_spark.operators.knn import knn_join_blocked
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n_q = emb.count()
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    t0 = time.perf_counter()
-    _consume(
-        knn_join_blocked(emb, queries, k=10, vec_col="embedding", id_col="vec_id")
-    )
-    dt = time.perf_counter() - t0
-    timings["knn_batch_all_vs_all"] = round(dt, 3)
-    timings["knn_batch_qps"] = round(n_q / dt, 1)
-    total += dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_q = emb.count()
+        queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        _consume(  # warm this plan too before timing it
+            knn_join_blocked(emb, queries, k=10, vec_col="embedding", id_col="vec_id")
         )
-    )
+        t0 = time.perf_counter()
+        _consume(
+            knn_join_blocked(emb, queries, k=10, vec_col="embedding", id_col="vec_id")
+        )
+        dt = time.perf_counter() - t0
+        timings["knn_batch_all_vs_all"] = round(dt, 3)
+        timings["knn_batch_qps"] = round(n_q / dt, 1)
+        total += dt
+    except Exception as exc:  # noqa: BLE001
+        timings["knn_batch_all_vs_all"] = -1.0
+        timings["knn_batch_qps"] = -1.0
+        errors["knn_batch_all_vs_all"] = repr(exc)[:300]
+
+    out = {
+        "metric": "bench_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — last-resort: still emit a line
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_total_wall",
+                    "value": -1.0,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": -1,
+                    "errors": {"fatal": repr(exc)[:500]},
+                }
+            )
+        )
+    sys.exit(0)

@@ -265,6 +265,12 @@ class VectorStore:
         self.config = config
         self._ivf_cache = None
         self._pq_cache = None
+        #: largest id known to exist (None = unknown, recompute lazily).
+        #: Micro-batch ingest on one store handle then pays the max-id
+        #: scan ONCE, not per batch. Deletes may leave this larger than
+        #: the true max — safe: ids are allowed to be sparse, the cache
+        #: only needs to never go backwards.
+        self._max_id_seen: int | None = None
         self.data_dir = (
             catalog.root
             / f"user_id={config.user_id}"
@@ -346,11 +352,18 @@ class VectorStore:
         metadata: Sequence[Mapping[str, Any]] | None = None,
         ids: Sequence[int] | None = None,
         require_ids: bool = False,
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, int | None]:
         """Normalize caller input (wire-format lists or a DataFrame) into
         a schema-complete batch: validated dimension, defaulted id/meta,
         float32 embedding, precomputed norm, optional q8 code and
-        incremental centroid assignment. Shared by append and upsert."""
+        incremental centroid assignment. Shared by append and upsert.
+
+        Returns ``(batch_df, n_known)``: for wire-format list input the
+        row count is known driver-side (and dimensions are validated in
+        the same pass that builds the rows — zero Spark jobs); for
+        DataFrame input ``n_known`` is None and the caller folds count +
+        dimension validation into ONE aggregation job (high-frequency
+        micro-batch ingest must not pay one job per check)."""
         spark = self.catalog.spark
         dim = self.config.dimension
         if isinstance(vectors, DataFrame):
@@ -376,6 +389,12 @@ class VectorStore:
             base = self._next_id() if ids is None else 0
             rows = []
             for i, vec in enumerate(vectors):
+                if len(vec) != dim:
+                    # validated here, in the pass that already walks every
+                    # row — not as a separate Spark job
+                    raise ValueError(
+                        f"embedding dimension mismatch: store expects {dim}"
+                    )
                 md = dict(metadata[i]) if metadata is not None else {}
                 promoted = {
                     k: md.pop(k, None) for k in self.config.promoted_keys
@@ -396,12 +415,19 @@ class VectorStore:
                 if f.name not in ("norm", "centroid_id", "q8", "pq_code")
             ]
             df = spark.createDataFrame(rows, T.StructType(in_fields))
+            if ids is None:
+                # auto-assigned base..base+n-1: advance the cache now (a
+                # failed write just leaves a harmless id gap)
+                self._max_id_seen = base + len(rows) - 1
+            else:
+                self._note_ids(ids)
 
-        # plan-level validation: every embedding must have the store dim
-        bad = df.where(F.size("embedding") != F.lit(dim)).limit(1).count()
-        if bad:
-            raise ValueError(f"embedding dimension mismatch: store expects {dim}")
-
+        if isinstance(vectors, DataFrame):
+            # caller-supplied (or monotonic-assigned) ids we never see
+            # driver-side: the cache can't be advanced, only invalidated
+            n_known = None
+        else:
+            n_known = len(rows)
         out = df
         if "id" not in out.columns:
             # offset by the store's next free id: bare monotonic ids start
@@ -437,13 +463,43 @@ class VectorStore:
             # mapInPandas projection over the new batch only (residual
             # codes need the centroid_id assigned just above)
             out = pqc.encode(out, centroids=self._pq_centroids())
-        return out.select(*[f.name for f in self.schema.fields])
+        if isinstance(vectors, DataFrame):
+            self._max_id_seen = None  # ids resolved executor-side
+        return out.select(*[f.name for f in self.schema.fields]), n_known
+
+    def _count_and_validate(self, batch: DataFrame) -> int:
+        """ONE aggregation job over a DataFrame batch: row count +
+        dimension check together (separate count()/filter().count()
+        passes doubled the job count on the hot ingest path)."""
+        dim = self.config.dimension
+        row = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.size("embedding") != F.lit(dim)).cast("long")).alias("bad"),
+        ).first()
+        if row["bad"]:
+            raise ValueError(f"embedding dimension mismatch: store expects {dim}")
+        return int(row["n"])
 
     def _next_id(self) -> int:
         """Smallest id larger than every id ever visible in the store
-        (0 when empty) — the auto-assignment base."""
-        row = self.to_df().agg(F.max("id")).first()
-        return int(row[0]) + 1 if row and row[0] is not None else 0
+        (0 when empty) — the auto-assignment base. The max-id scan runs
+        only when ``_max_id_seen`` is cold (new handle, or invalidated by
+        a DataFrame write whose ids weren't known driver-side)."""
+        if self._max_id_seen is None:
+            rows = self.to_df().agg(F.max("id")).collect()
+            self._max_id_seen = (
+                int(rows[0][0]) if rows and rows[0][0] is not None else -1
+            )
+        return self._max_id_seen + 1
+
+    def _note_ids(self, ids: Sequence[int] | None) -> None:
+        """Advance (or invalidate) the max-id cache after a write:
+        explicit ids advance it driver-side for free; a DataFrame write
+        with caller-supplied ids we never saw invalidates it."""
+        if ids is None:
+            self._max_id_seen = None
+        elif self._max_id_seen is not None and len(ids) > 0:
+            self._max_id_seen = max(self._max_id_seen, max(int(i) for i in ids))
 
     def add_vectors(
         self,
@@ -458,24 +514,107 @@ class VectorStore:
         Accepts either a prepared DataFrame with at least an
         ``embedding array<float>`` column, or python lists (the wire
         format, service/models.py:38). Dimension and vector/metadata
-        alignment are validated like the reference (models.py:41-46),
-        but as plan-level checks, not row loops.
+        alignment are validated like the reference (models.py:41-46).
+
+        Job budget: list input pays ZERO extra jobs (count and dims are
+        known driver-side; only the write runs, plus one max-id scan when
+        ids are auto-assigned); DataFrame input pays ONE combined
+        count+validate aggregation before the write.
         """
-        out = self._prepare_batch(vectors, metadata, ids)
-        n_added = out.count()
-        # Size output files by row count instead of inheriting the input's
-        # partitioning: a 500-row python batch otherwise fans out into one
-        # tiny file per shuffle partition (small-file problem), while a
-        # billion-row ingest still gets ceil(n/rows_per_file) parallel
-        # writers.
+        out, n_known = self._prepare_batch(vectors, metadata, ids)
+        n_added = self._count_and_validate(out) if n_known is None else n_known
+        self._write_batch(out, n_added, mode="append")
+        return n_added
+
+    def _write_batch(self, out: DataFrame, n_rows: int, mode: str) -> None:
+        """Append-path writer. Sizes output files by row count instead of
+        inheriting the input's partitioning: a 500-row python batch
+        otherwise fans out into one tiny file per shuffle partition
+        (small-file problem), while a billion-row ingest still gets
+        ceil(n/rows_per_file) parallel writers."""
         rows_per_file = 500_000
-        n_files = max(1, -(-n_added // rows_per_file))
+        n_files = max(1, -(-n_rows // rows_per_file))
         out = out.repartition(n_files) if n_files > 1 else out.coalesce(1)
-        writer = out.write.mode("append")
+        writer = out.write.mode(mode)
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
         writer.parquet(str(self.data_dir))
-        return n_added
+
+    # -- pruned-rewrite machinery (plain-parquet analog of a table
+    # -- format's stats-pruned MERGE/DELETE; see SCALE.md) -----------------
+
+    def _file_id_ranges(self) -> list[tuple[Path, int | None, int | None]]:
+        """(path, min_id, max_id) per data file, from parquet footer
+        row-group statistics — metadata-only driver reads, no data scan
+        (exactly what a table format keeps in its manifest). Files whose
+        stats are missing report (path, None, None) and are treated as
+        overlapping by callers (conservative, never wrong)."""
+        import pyarrow.parquet as papq
+
+        out: list[tuple[Path, int | None, int | None]] = []
+        for f in sorted(self.data_dir.glob("**/*.parquet")):
+            lo: int | None = None
+            hi: int | None = None
+            try:
+                md = papq.ParquetFile(f).metadata
+                mins: list[int] = []
+                maxs: list[int] = []
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for c in range(rg.num_columns):
+                        col = rg.column(c)
+                        if col.path_in_schema == "id":
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                raise ValueError("no id stats")
+                            mins.append(int(st.min))
+                            maxs.append(int(st.max))
+                if mins:
+                    lo, hi = min(mins), max(maxs)
+            except Exception:  # noqa: BLE001 — conservative fallback
+                lo = hi = None
+            out.append((f, lo, hi))
+        return out
+
+    def _partition_files_by_ids(
+        self,
+        ids: Sequence[int] | None = None,
+        lo: int | None = None,
+        hi: int | None = None,
+    ) -> tuple[list[Path], list[Path]]:
+        """Split data files into (touched, untouched) by whether their
+        footer id-range can contain any of the target ids. With an
+        explicit id list the check is exact membership against the range
+        (bisect); with only (lo, hi) it is interval overlap."""
+        import bisect
+
+        sids = sorted(int(i) for i in ids) if ids is not None else None
+        touched: list[Path] = []
+        untouched: list[Path] = []
+        for f, fmin, fmax in self._file_id_ranges():
+            if fmin is None or fmax is None:
+                touched.append(f)
+                continue
+            if sids is not None:
+                i = bisect.bisect_left(sids, fmin)
+                hit = i < len(sids) and sids[i] <= fmax
+            else:
+                hit = not (hi < fmin or lo > fmax)  # type: ignore[operator]
+            (touched if hit else untouched).append(f)
+        return touched, untouched
+
+    def _swap_pruned_files(self, staging: Path, touched: list[Path]) -> None:
+        """Replace only the rewritten files: unlink the touched originals,
+        then move the staged part-files in under collision-free names.
+        NOT crash-atomic on plain parquet (a crash between the unlink and
+        the moves loses the touched slice) — a table format's atomic
+        snapshot commit is the real fix at scale (SCALE.md); the win here
+        is that untouched files are never rewritten at all."""
+        for f in touched:
+            f.unlink()
+        for p in staging.glob("*.parquet"):
+            p.rename(self.data_dir / f"part-{uuid.uuid4().hex}.parquet")
+        shutil.rmtree(staging, ignore_errors=True)
 
     def upsert_vectors(
         self,
@@ -499,25 +638,88 @@ class VectorStore:
         Duplicate ids within the source batch are rejected (the same
         multiple-source-rows-matched rule native MERGE enforces).
         Returns ``(n_updated, n_inserted)``.
+
+        Rewrite pruning: only parquet files whose footer id min/max
+        range intersects the batch's id range are rewritten — untouched
+        files stay in place byte-for-byte (the same file-level pruning a
+        table format's MERGE does from manifest stats). Falls back to
+        the full staging swap under a cell-partitioned layout, where
+        centroid reassignment can move rows across partition dirs.
+
+        Job budget: ONE aggregation over the batch (count + duplicate +
+        dimension + id-range together) and ONE write; all before/after
+        row counts ride the write job as ``Observation`` metrics.
         """
-        new = self._prepare_batch(vectors, metadata, ids, require_ids=True).cache()
-        dup = new.groupBy("id").count().where(F.col("count") > 1).limit(1).count()
-        if dup:
+        from pyspark.sql import Observation
+
+        new, _ = self._prepare_batch(vectors, metadata, ids, require_ids=True)
+        new = new.cache()
+        dim = self.config.dimension
+        row = new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("id")).alias("n_ids"),
+            F.sum((F.size("embedding") != F.lit(dim)).cast("long")).alias("bad"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        ).first()
+        n_new = int(row["n"])
+        if row["bad"]:
+            new.unpersist()
+            raise ValueError(f"embedding dimension mismatch: store expects {dim}")
+        if int(row["n_ids"]) != n_new:
+            new.unpersist()
             raise ValueError(
                 "duplicate ids in upsert batch: multiple source rows would "
                 "match the same target row"
             )
-        existing = self.to_df()
-        before = existing.count()
-        n_new = new.count()
+
+        spark = self.catalog.spark
+        fields = [f.name for f in self.schema.fields]
+        if not self._cell_partitioned() and self.data_dir.exists():
+            touched, untouched = self._partition_files_by_ids(
+                lo=int(row["lo"]), hi=int(row["hi"])
+            )
+            if not touched:
+                # no existing file can contain a matching id: pure append
+                self._write_batch(new, n_new, mode="append")
+                new.unpersist()
+                return 0, n_new
+            if untouched:
+                # pruned rewrite: merge ONLY the overlapping files
+                obs_b, obs_a = Observation(), Observation()
+                existing_t = (
+                    spark.read.schema(self.schema)
+                    .parquet(*[str(p) for p in touched])
+                    .observe(obs_b, F.count(F.lit(1)).alias("n"))
+                )
+                kept = existing_t.join(new.select("id"), on="id", how="left_anti")
+                merged = kept.unionByName(new.select(*fields)).observe(
+                    obs_a, F.count(F.lit(1)).alias("n")
+                )
+                staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+                merged.select(*fields).write.mode("overwrite").parquet(str(staging))
+                before_t = int(obs_b.get["n"])
+                after_t = int(obs_a.get["n"])
+                self._swap_pruned_files(staging, touched)
+                new.unpersist()
+                inserted = after_t - before_t  # = n_new - matched
+                return n_new - inserted, inserted
+
+        # full staging swap (cell-partitioned layout, tiny stores, or
+        # every file overlaps): observations keep it at one write job
+        obs_b, obs_a = Observation(), Observation()
+        existing = self.to_df().observe(obs_b, F.count(F.lit(1)).alias("n"))
         kept = existing.join(new.select("id"), on="id", how="left_anti")
-        merged = kept.unionByName(new)
+        merged = kept.unionByName(new.select(*fields)).observe(
+            obs_a, F.count(F.lit(1)).alias("n")
+        )
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-        writer = merged.write.mode("overwrite")
+        writer = merged.select(*fields).write.mode("overwrite")
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
         writer.parquet(str(staging))
-        after = self.catalog.spark.read.parquet(str(staging)).count()
+        before = int(obs_b.get["n"])
+        after = int(obs_a.get["n"])
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
         new.unpersist()
@@ -943,23 +1145,57 @@ class VectorStore:
         table format it would be a metadata-only ``DELETE WHERE``.
         Returns the number of rows removed.
         """
+        from pyspark.sql import Observation
+
         if ids is None and filter_metadata is None:
             raise ValueError("provide ids and/or filter_metadata")
+        if not self.data_dir.exists() or not any(self.data_dir.glob("**/*.parquet")):
+            return 0
+        spark = self.catalog.spark
+        fields = [f.name for f in self.schema.fields]
+
+        if ids is not None and filter_metadata is None and not self._cell_partitioned():
+            # id-keyed delete: footer-stats pruning — files whose id range
+            # can't contain a doomed id are never read, let alone
+            # rewritten (a no-op delete is ZERO Spark jobs)
+            id_list = [int(i) for i in ids]
+            touched, _ = self._partition_files_by_ids(ids=id_list)
+            if not touched:
+                return 0
+            obs_b, obs_a = Observation(), Observation()
+            df_t = (
+                spark.read.schema(self.schema)
+                .parquet(*[str(p) for p in touched])
+                .observe(obs_b, F.count(F.lit(1)).alias("n"))
+            )
+            keep = df_t.where(~F.col("id").isin(id_list)).observe(
+                obs_a, F.count(F.lit(1)).alias("n")
+            )
+            staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+            keep.select(*fields).write.mode("overwrite").parquet(str(staging))
+            removed = int(obs_b.get["n"]) - int(obs_a.get["n"])
+            self._swap_pruned_files(staging, touched)
+            return removed
+
+        # predicate delete / cell-partitioned layout: full anti-filter
+        # rewrite; before/after counts ride the write job as observations
         df = self.to_df()
-        before = df.count()
         doomed = df
         if ids is not None:
             doomed = doomed.where(F.col("id").isin([int(i) for i in ids]))
         doomed = knn.apply_metadata_filter(doomed, filter_metadata)
-        keep = df.join(doomed.select("id"), on="id", how="left_anti")
-        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-        writer = keep.select([f.name for f in self.schema.fields]).write.mode(
-            "overwrite"
+        obs_b, obs_a = Observation(), Observation()
+        df = df.observe(obs_b, F.count(F.lit(1)).alias("n"))
+        keep = df.join(doomed.select("id"), on="id", how="left_anti").observe(
+            obs_a, F.count(F.lit(1)).alias("n")
         )
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        writer = keep.select(*fields).write.mode("overwrite")
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
         writer.parquet(str(staging))
-        after = self.catalog.spark.read.parquet(str(staging)).count()
+        before = int(obs_b.get["n"])
+        after = int(obs_a.get["n"])
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
         return before - after
@@ -967,6 +1203,7 @@ class VectorStore:
     def clear(self) -> None:
         """TRUNCATE (reference service/optimized_vector_store.py:198-209)."""
         shutil.rmtree(self.data_dir, ignore_errors=True)
+        self._max_id_seen = None
 
     def optimize(self, target_files: int = 4) -> int:
         """Compact small files (the reference's ``store.optimize`` is

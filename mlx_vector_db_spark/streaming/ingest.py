@@ -30,8 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet schema with ts as raw nanos (see queries.events_ts —
-#: Spark's parquet reader cannot decode TIMESTAMP(NANOS) directly).
+#: Fallback events schema (legacy nanos-as-long generation). The live
+#: schema is ALWAYS inferred from the parquet footer in
+#: :func:`read_events_stream` — a hardcoded schema silently yields NULL
+#: rows when the physical encoding drifts (a file-stream source applies
+#: its schema to every file without validation), which once broke the
+#: whole streaming parity suite. Kept only as a documented default for
+#: callers constructing synthetic streams.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -70,14 +75,23 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
             os.path.abspath(events_path), os.path.join(stage, "events.parquet")
         )
         events_path = stage
+    # Infer the schema from the actual parquet footer: the file-stream
+    # source applies a declared schema to every file WITHOUT validation
+    # and emits NULLs on mismatch, so hardcoding the physical encoding
+    # of `ts` (nanos-long vs NTZ-micros vs zoned-micros) is a silent
+    # corruption bug. One cheap driver-side footer read; no data scan.
+    inferred = spark.read.parquet(events_path).schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(inferred)
         .option("maxFilesPerTrigger", 1)
         .load(events_path)
     )
-    # integral div: epoch nanos exceed a double's exact-integer range
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    # Shared normalizer: same expression the batch path uses, so stream
+    # and batch agree on event_time for all three physical encodings.
+    from mlx_vector_db_spark.functions.time import event_time_col
+
+    return raw.withColumn("event_time", event_time_col(raw))
 
 
 def windowed_event_counts(

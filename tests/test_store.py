@@ -281,3 +281,92 @@ def test_fleet_query_all_typed_promoted_filter(catalog):
         [1.0, 0, 0, 0], k=5, filter_metadata={"weight": 5}
     ).collect()
     assert [(r["user_id"], r["id"]) for r in res] == [("tf", 0)]
+
+
+# -- pruned rewrite + job budget (SCALE.md: stats-pruned MERGE/DELETE) ----
+
+
+def _data_files(st):
+    return sorted(st.data_dir.glob("**/*.parquet"))
+
+
+def test_upsert_pruned_rewrite_preserves_untouched_files(catalog):
+    """Only files whose footer id-range intersects the batch ids are
+    rewritten: untouched files survive byte-for-byte (same path, same
+    mtime) — the plain-parquet analog of a manifest-stats-pruned MERGE."""
+    st = catalog.create_store("pr", "m", dimension=4)
+    # three disjoint-id files (each add coalesces to one file)
+    for base in (0, 1000, 2000):
+        st.add_vectors(
+            [[float(base + i), 0.0, 0.0, 0.0] for i in range(100)],
+            ids=list(range(base, base + 100)),
+        )
+    files_before = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
+    assert len(files_before) == 3
+    # touch only the middle file's id range: update 1005, insert 1500
+    updated, inserted = st.upsert_vectors(
+        [[9.0, 9.0, 9.0, 9.0], [8.0, 8.0, 8.0, 8.0]], ids=[1005, 1500]
+    )
+    assert (updated, inserted) == (1, 1)
+    assert st.count() == 301
+    survivors = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
+    untouched = {p: m for p, m in files_before.items() if p in survivors}
+    # the two non-overlapping files are still there, byte-identical
+    assert len(untouched) == 2
+    for p, m in untouched.items():
+        assert survivors[p] == m
+    row = st.to_df().where("id = 1005").first()
+    assert list(row["embedding"]) == [9.0, 9.0, 9.0, 9.0]
+    assert st.to_df().where("id = 1500").count() == 1
+    # ids outside every file's range: pure append, ALL files untouched
+    files_before2 = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
+    updated, inserted = st.upsert_vectors([[1.0, 2.0, 3.0, 4.0]], ids=[9999])
+    assert (updated, inserted) == (0, 1)
+    survivors2 = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
+    for p, m in files_before2.items():
+        assert survivors2[p] == m
+    assert st.count() == 302
+
+
+def test_delete_pruned_rewrite_preserves_untouched_files(catalog):
+    st = catalog.create_store("dl", "m", dimension=4)
+    for base in (0, 1000):
+        st.add_vectors(
+            [[float(i), 0.0, 0.0, 0.0] for i in range(50)],
+            ids=list(range(base, base + 50)),
+        )
+    files_before = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
+    assert len(files_before) == 2
+    assert st.delete_vectors(ids=[1003, 1007]) == 2
+    survivors = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
+    untouched = {p: m for p, m in files_before.items() if p in survivors}
+    assert len(untouched) == 1  # the id<50 file was never rewritten
+    for p, m in untouched.items():
+        assert survivors[p] == m
+    assert st.count() == 98
+    # ids no file can contain: zero-job no-op
+    files_before2 = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
+    assert st.delete_vectors(ids=[555, 77777]) == 0
+    assert {str(f): f.stat().st_mtime_ns for f in _data_files(st)} == files_before2
+
+
+def test_add_vectors_job_budget(catalog, spark):
+    """High-frequency micro-batch ingest: a wire-format add with explicit
+    ids is exactly one Spark job (the write — count and dims are known
+    driver-side), and steady-state auto-id adds are too (the max-id scan
+    runs once per store handle, then the cache advances driver-side)."""
+    st = catalog.create_store("jb", "m", dimension=4)
+    sc = spark.sparkContext
+    sc.setJobGroup("jb-explicit", "add with explicit ids")
+    st.add_vectors([[1.0, 0.0, 0.0, 0.0]] * 8, ids=list(range(8)))
+    explicit_jobs = sc.statusTracker().getJobIdsForGroup("jb-explicit")
+    st.add_vectors([[2.0, 0.0, 0.0, 0.0]] * 8)  # warms the max-id cache
+    sc.setJobGroup("jb-auto", "steady-state add with auto ids")
+    st.add_vectors([[3.0, 0.0, 0.0, 0.0]] * 8)
+    auto_jobs = sc.statusTracker().getJobIdsForGroup("jb-auto")
+    sc.setJobGroup("jb-done", "")
+    assert len(explicit_jobs) <= 2, f"expected <=2 jobs, got {len(explicit_jobs)}"
+    assert len(auto_jobs) <= 2, f"expected <=2 jobs, got {len(auto_jobs)}"
+    assert st.count() == 24
+    # auto ids continued past both earlier batches — no collisions
+    assert st.to_df().select("id").distinct().count() == 24

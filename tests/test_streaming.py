@@ -247,6 +247,58 @@ def test_session_window_matches_batch_sessionization(spark, sf_small):
     assert matched >= len(got) * 0.9  # tail sessions may still be open
 
 
+@pytest.mark.parametrize("encoding", ["nanos", "ntz_micros", "utc_micros"])
+def test_stream_batch_event_time_parity_all_encodings(spark, tmp_path, encoding):
+    """The events `ts` column has shipped as INT64 nanos, NTZ micros, and
+    zoned micros across test-data generations. A hardcoded stream schema
+    silently emits NULL rows on mismatch (file sources don't validate),
+    which once took down the whole streaming suite — so assert batch and
+    stream read IDENTICAL event_time values for every physical encoding."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    stamps = [base + datetime.timedelta(minutes=17 * i) for i in range(40)]
+    if encoding == "nanos":
+        ts_arr = pa.array(stamps, type=pa.timestamp("ns"))
+    elif encoding == "ntz_micros":
+        ts_arr = pa.array(stamps, type=pa.timestamp("us"))
+    else:
+        ts_arr = pa.array(stamps, type=pa.timestamp("us", tz="UTC"))
+    table = pa.table(
+        {
+            "event_id": pa.array(range(40), type=pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([i % 5 for i in range(40)], type=pa.int64()),
+            "event_type": pa.array(["view"] * 40),
+            "value": pa.array([float(i) for i in range(40)]),
+            "props": pa.array(["{}"] * 40),
+        }
+    )
+    path = tmp_path / encoding
+    path.mkdir()
+    pq.write_table(table, path / "events.parquet")
+
+    ev = spark.read.parquet(str(path / "events.parquet"))
+    batch_times = sorted(
+        r[0] for r in ev.select(events_ts(ev).alias("event_time")).collect()
+    )
+    stream = read_events_stream(spark, str(path))
+    _run_to_memory(
+        stream.select("event_id", "event_time"), f"parity_{encoding}"
+    )
+    rows = spark.sql(f"SELECT event_time FROM parity_{encoding}").collect()
+    stream_times = sorted(r[0] for r in rows)
+    assert len(stream_times) == 40
+    assert all(t is not None for t in stream_times), "NULL event_time from stream"
+    assert stream_times == batch_times
+    # and the canonical wall-clock values are right (UTC session tz)
+    assert stream_times[0] == base
+    assert stream_times[1] - stream_times[0] == datetime.timedelta(minutes=17)
+
+
 def test_streaming_upsert_vectors(spark, tmp_path):
     from mlx_vector_db_spark.streaming import streaming_upsert_vectors
 
