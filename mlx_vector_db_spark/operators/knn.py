@@ -336,6 +336,7 @@ def knn_join_chunked(
     query_id_col: str = "query_id",
     chunk_size: int = 10_000,
     cache_vectors: bool = True,
+    cache_queries: bool = True,
 ) -> DataFrame:
     """Exact k-NN when BOTH sides are too big for one pass — the grid
     complement to :func:`knn_join_blocked` (which collects the whole
@@ -357,6 +358,11 @@ def knn_join_chunked(
     in-memory (M,N) matmul and has no huge-Q story at all.
     """
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
+    if cache_queries:
+        # the sizing count below is then the ONLY full pass over the
+        # query side: every per-chunk collect reads the cached blocks
+        # instead of re-scanning the source (n_chunks extra scans)
+        queries = queries.persist()
     n_queries = queries.count()
     if n_queries == 0:
         raise ValueError("empty query set")

@@ -154,6 +154,74 @@ class RandomProjectionEncoder:
         return (out / norms).astype(np.float32)
 
 
+class SentenceTransformerEncoder:
+    """Real-model encoder adapter (reference parity for the actual MLX
+    model encode stage, integrations/mlx_lm_pipeline.py:247-397): wraps
+    any ``sentence-transformers``-compatible model as an
+    :data:`Encoder`, so ``embed_texts`` / ``TextPipeline`` run genuine
+    384/768-dim embeddings when the library is installed.
+
+    The model is NEVER pickled into the UDF closure: only the model
+    name ships to executors, and each Python worker loads the model
+    once, lazily, on first batch (the same load-once-per-worker pattern
+    as RandomProjectionEncoder's projection table). Construction fails
+    fast driver-side when the library is absent — callers that want a
+    soft fallback use :func:`default_encoder`.
+    """
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2", dim: int = 384):
+        import importlib.util
+
+        if importlib.util.find_spec("sentence_transformers") is None:
+            raise ImportError(
+                "sentence-transformers is not installed; use "
+                "RandomProjectionEncoder or default_encoder() instead"
+            )
+        self.model_name = model_name
+        self.dim = int(dim)
+        self._model = None
+
+    def __getstate__(self):  # ship the name, not the model weights
+        return {"model_name": self.model_name, "dim": self.dim}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._model = None
+
+    def _m(self):
+        if self._model is None:
+            from sentence_transformers import SentenceTransformer
+
+            self._model = SentenceTransformer(self.model_name)
+        return self._model
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        vecs = self._m().encode(
+            texts,
+            convert_to_numpy=True,
+            normalize_embeddings=True,  # reference L2-normalizes (:394)
+            show_progress_bar=False,
+        )
+        out = np.asarray(vecs, dtype=np.float32)
+        if out.ndim != 2 or out.shape[1] != self.dim:
+            raise ValueError(
+                f"model {self.model_name!r} returned dim {out.shape[-1]}, "
+                f"expected {self.dim}"
+            )
+        return out
+
+
+def default_encoder(dim: int = 384, model_name: str = "all-MiniLM-L6-v2") -> Encoder:
+    """The best encoder available in this environment: a real
+    sentence-transformers model when the library is installed, else the
+    deterministic model-shaped :class:`RandomProjectionEncoder` (same
+    dim, same Arrow/mapInPandas contract)."""
+    try:
+        return SentenceTransformerEncoder(model_name=model_name, dim=dim)
+    except ImportError:
+        return RandomProjectionEncoder(dim=dim)
+
+
 def embed_texts(
     df: DataFrame,
     encoder: Encoder,

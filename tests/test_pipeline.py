@@ -166,3 +166,49 @@ def test_pipeline_end_to_end_384(spark, tmp_path, sf_small):
     hits = pipe.search_similar_texts(target["text"], k=3).collect()
     # the document's own chunk is the nearest neighbor of its text
     assert hits and hits[0]["document_id"] == target["doc_id"]
+
+
+def test_default_encoder_fallback_contract():
+    """default_encoder returns a real sentence-transformers adapter when
+    the library is installed, else the model-shaped deterministic
+    fallback — both satisfy the Encoder contract at the same dim."""
+    from mlx_vector_db_spark.pipeline import (
+        RandomProjectionEncoder,
+        SentenceTransformerEncoder,
+        default_encoder,
+    )
+    import importlib.util
+
+    enc = default_encoder(dim=384)
+    have_lib = importlib.util.find_spec("sentence_transformers") is not None
+    if have_lib:
+        assert isinstance(enc, SentenceTransformerEncoder)
+    else:
+        assert isinstance(enc, RandomProjectionEncoder)
+        with pytest.raises(ImportError, match="sentence-transformers"):
+            SentenceTransformerEncoder()
+    out = enc(["hello world", "the quick brown fox"])
+    assert out.shape == (2, 384) and out.dtype == np.float32
+    # L2-normalized like the reference encode stage
+    assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-3)
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec(
+        "sentence_transformers"
+    )
+    is None,
+    reason="sentence-transformers not installed",
+)
+def test_sentence_transformer_encoder_pickle_ships_name_only():
+    import pickle
+
+    from mlx_vector_db_spark.pipeline import SentenceTransformerEncoder
+
+    enc = SentenceTransformerEncoder()
+    enc(["warm"])  # force model load
+    state = pickle.dumps(enc)
+    assert len(state) < 10_000  # weights never ride the closure
+    clone = pickle.loads(state)
+    a, b = enc(["same text"]), clone(["same text"])
+    assert np.allclose(a, b, atol=1e-6)
