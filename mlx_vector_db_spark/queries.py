@@ -1804,6 +1804,135 @@ def q_export_shard_plan(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive dedup clusters via connected components, fully
+    oracle-checked: exact-duplicate groups form cliques, so the
+    component of every member is the group's min doc_id — which SQL
+    expresses as MIN(doc_id) OVER (PARTITION BY fingerprint). The
+    distributed min-label-propagation loop (operators/components.py)
+    must reproduce it node for node. Pairs come from a self-join of the
+    duplicate groups only (broadcast — dup groups are a tiny fraction
+    of any corpus), never all-pairs. The grouping key is the fingerprint
+    of the first 80 normalized chars (the synthetic corpus has shared
+    prefixes at every SF but byte-identical docs only at sf0.1, and a
+    0-row graph would leave the operator unexercised)."""
+    from mlx_vector_db_spark.operators.components import connected_components
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring(norm, 1, 80)).alias("fp")
+    )
+    dup_fps = (
+        docs.groupBy("fp").agg(F.count("*").alias("n")).where("n > 1").select("fp")
+    )
+    members = docs.join(F.broadcast(dup_fps), on="fp")
+    pairs = (
+        members.alias("a")
+        .join(members.alias("b"), on="fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_packing_gate(spark, sf_dir):
+    """Sequence-packing invariant gate (bin assignment is
+    partition-order dependent, so the driver-stable properties are
+    gated instead): every document lands in exactly one bin (n_rows
+    pinned by the oracle), no non-oversize bin exceeds the token
+    budget, and oversize documents sit alone in their bins."""
+    from mlx_vector_db_spark.functions.text import token_count
+    from mlx_vector_db_spark.operators.packing import greedy_pack
+
+    budget = 512
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    packed = greedy_pack(docs, "n_tok", budget=budget)
+    bins = packed.groupBy("bin_id").agg(
+        F.sum(F.greatest(F.col("n_tok"), F.lit(0))).alias("s"),
+        F.count("*").alias("c"),
+        F.max(F.col("oversize").cast("int")).alias("ov"),
+    )
+    return bins.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(((F.col("s") > budget) & (F.col("ov") == 0)).cast("int"))
+        .cast("long")
+        .alias("over_budget_bins"),
+        F.sum(((F.col("ov") == 1) & (F.col("c") > 1)).cast("int"))
+        .cast("long")
+        .alias("multi_doc_oversize_bins"),
+    )
+
+
+def q_store_lifecycle_gate(spark, sf_dir):
+    """The store engine's create → bulk-add → batch-self-query loop
+    under the value gate: vector count is pinned by the oracle, and all
+    16 probe vectors must find themselves at rank 1 with cosine ~1
+    (each probe IS a stored vector, so anything less is a scoring or
+    top-k bug). Exercises S1/S2 + §2.11 batch_query — previously
+    pytest-only surfaces — through the driver's oracle contract."""
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"vdb-lifecycle-gate-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    cat = VectorStoreCatalog(spark, root)
+    st = cat.create_store("gate", "m", dimension=64)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    st.add_vectors(emb)
+    probes = emb.where(F.col("id") < 16).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    hits = st.batch_query(probes, k=1).where(
+        (F.col("rank") == 1) & (F.col("score") > 0.999999)
+    )
+    n_vec = st.to_df().agg(F.count("*").cast("long").alias("n_vectors"))
+    n_hit = hits.agg(F.count("*").cast("long").alias("n_self_hits"))
+    return n_vec.crossJoin(n_hit).select(
+        "n_vectors",
+        F.lit(16).cast("long").alias("n_probes"),
+        "n_self_hits",
+    )
+
+
+def q_salted_join_parity(spark, sf_dir):
+    """Skew-safe salted join, fully oracle-checked against the plain
+    SQL join it must be indistinguishable from: scatter the left side
+    over 8 salt buckets, replicate the right side 8 ways, join on
+    (key, salt) — every (order, customer) pair appears exactly once no
+    matter which bucket each row landed in."""
+    from mlx_vector_db_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    j = salted_join(o, c, on="o_custkey", salt=8)
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1911,6 +2040,10 @@ QUERIES: dict[str, QueryFn] = {
     "customer_segment_stats": q_customer_segment_stats,
     "part_string_stats": q_part_string_stats,
     "supplier_top_parts": q_supplier_top_parts,
+    "dedup_components": q_dedup_components,
+    "packing_gate": q_packing_gate,
+    "store_lifecycle_gate": q_store_lifecycle_gate,
+    "salted_join_parity": q_salted_join_parity,
 }
 
 _JACCARD_SHINGLES_SQL = """
@@ -2898,5 +3031,33 @@ ORACLES: dict[str, str] = {
         LATERAL (SELECT p_partkey, p_retailprice FROM part
                  WHERE p_size = s.s_suppkey % 50 + 1
                  ORDER BY p_retailprice DESC, p_partkey LIMIT 2) p
+    """,
+    # components of dup-fingerprint cliques == windowed min per fingerprint
+    "dedup_components": """
+        WITH f AS (SELECT doc_id,
+                          md5(substring(lower(regexp_replace(trim(text),
+                              '\\s+', ' ', 'g')), 1, 80)) AS fp
+                   FROM documents),
+        g AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
+        SELECT f.doc_id::BIGINT AS node,
+               (MIN(f.doc_id) OVER (PARTITION BY f.fp))::BIGINT AS component
+        FROM f JOIN g USING (fp)
+    """,
+    "packing_gate": """
+        SELECT count(*)::BIGINT AS n_rows,
+               0::BIGINT AS over_budget_bins,
+               0::BIGINT AS multi_doc_oversize_bins
+        FROM documents
+    """,
+    "store_lifecycle_gate": """
+        SELECT count(*)::BIGINT AS n_vectors,
+               16::BIGINT AS n_probes,
+               16::BIGINT AS n_self_hits
+        FROM embeddings
+    """,
+    "salted_join_parity": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_name,
+               round(o.o_totalprice, 2) AS totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """,
 }
