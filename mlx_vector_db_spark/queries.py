@@ -1910,6 +1910,79 @@ def q_store_lifecycle_gate(spark, sf_dir):
     )
 
 
+def q_streaming_knn_gate(spark, sf_dir):
+    """Streaming vector search under the value gate: the embeddings
+    table's first 20 vectors replayed as a bounded query stream, scored
+    against a store holding the full table via streaming_knn_scores
+    (the real micro-batch engine + foreachBatch batch_query path), and
+    gated on exact self-retrieval: every streamed query must find its
+    own stored vector at rank 1 with cosine ~1. The oracle pins the
+    probe and hit counts — a scoring, top-k, or stream-delivery bug
+    breaks the hash."""
+    import os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+    from mlx_vector_db_spark.streaming import streaming_knn_scores
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"vdb-knn-stream-{_uuid.uuid4().hex[:8]}"
+    )
+    try:
+        cat = VectorStoreCatalog(spark, os.path.join(work, "stores"))
+        st = cat.create_store("sg", "m", dimension=64)
+        emb = _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        st.add_vectors(emb)
+        src = os.path.join(work, "queries")
+        emb.where(F.col("id") < 20).select(
+            F.col("id").alias("query_id"), "embedding"
+        ).coalesce(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema("query_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = os.path.join(work, "scores")
+        q = streaming_knn_scores(
+            stream, st, os.path.join(work, "ckpt"), sink, k=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.read.parquet(sink)
+        # materialize the 1-row gate BEFORE the finally removes the sink
+        # (the returned frame must not depend on the temp dir)
+        row = (
+            got.agg(
+                F.sum(
+                    (
+                        (F.col("rank") == 1)
+                        & (F.col("query_id") == F.col("id"))
+                        & (F.col("score") > 0.999999)
+                    ).cast("long")
+                ).alias("n_self_hits"),
+                F.count_distinct("epoch_id").alias("n_epochs_seen"),
+            )
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    20,
+                    int(row["n_self_hits"]),
+                    bool(row["n_epochs_seen"] >= 1),
+                )
+            ],
+            "n_probes long, n_self_hits long, multi_batch_ran boolean",
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def q_salted_join_parity(spark, sf_dir):
     """Skew-safe salted join, fully oracle-checked against the plain
     SQL join it must be indistinguishable from: scatter the left side
@@ -2044,6 +2117,7 @@ QUERIES: dict[str, QueryFn] = {
     "packing_gate": q_packing_gate,
     "store_lifecycle_gate": q_store_lifecycle_gate,
     "salted_join_parity": q_salted_join_parity,
+    "streaming_knn_gate": q_streaming_knn_gate,
 }
 
 _JACCARD_SHINGLES_SQL = """
@@ -3059,5 +3133,9 @@ ORACLES: dict[str, str] = {
         SELECT o.o_orderkey, o.o_custkey, c.c_name,
                round(o.o_totalprice, 2) AS totalprice
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "streaming_knn_gate": """
+        SELECT 20::BIGINT AS n_probes, 20::BIGINT AS n_self_hits,
+               TRUE AS multi_batch_ran
     """,
 }

@@ -7,6 +7,7 @@ from mlx_vector_db_spark.streaming.ingest import (
     read_operations_log,
     streaming_dedup,
     streaming_ingest_vectors,
+    streaming_knn_scores,
     streaming_upsert_vectors,
     windowed_event_counts,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "read_operations_log",
     "streaming_dedup",
     "streaming_ingest_vectors",
+    "streaming_knn_scores",
     "streaming_upsert_vectors",
     "windowed_event_counts",
 ]

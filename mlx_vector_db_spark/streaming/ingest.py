@@ -452,3 +452,55 @@ def streaming_upsert_vectors(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_knn_scores(
+    queries_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    sink_path: str,
+    k: int = 10,
+    metric: str | None = None,
+    filter_metadata=None,
+    use_quantized: bool = False,
+    query_name: str = "knn_stream",
+):
+    """Continuous semantic matching: answer a *stream* of query vectors
+    against a VectorStore, appending results to a parquet sink.
+
+    The data-plane op neither the reference nor stock Spark has: the
+    reference serves queries request/response only, and a stream-static
+    join can't express per-query top-k (the query block must be
+    collected per batch). Each micro-batch instead runs the store's
+    normal :meth:`VectorStore.batch_query` — so the INDEX path (IVF
+    probe pruning, PQ compressed first pass via ``use_quantized``) and
+    metadata pre-filters work identically to batch; results are the
+    batch twin's exactly, plus an ``epoch_id`` provenance column
+    (asserted in ``test_streaming_knn_matches_batch``).
+
+    At scale this is the semantic-firehose shape: the store side stays
+    partitioned on its cells, each micro-batch broadcasts only its own
+    query block, and the sink append is the only write amplification.
+    Input must have ``query_id`` and ``embedding`` columns. Returns the
+    StreamingQuery.
+    """
+    def _score(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = store.batch_query(
+            batch_df,
+            k=k,
+            filter_metadata=filter_metadata,
+            metric=metric,
+            use_quantized=use_quantized,
+        )
+        res.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(sink_path)
+
+    return (
+        queries_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -392,3 +392,59 @@ def test_ingest_batch_failed_attempt_logged_and_retryable(spark, tmp_path):
     row = job_status(spark, ops, "jobf").first()
     assert row["n_failures"] == 1 and row["n_batches"] == 1
     assert row["status"] == "had_failures"
+
+
+def test_streaming_knn_matches_batch(spark, tmp_path):
+    """Stream of query vectors answered against a store: the union of all
+    micro-batch results equals the one-shot batch_query over the same
+    query set, with per-epoch provenance."""
+    from mlx_vector_db_spark.streaming import streaming_knn_scores
+
+    rng = np.random.default_rng(11)
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("sk", "m", dimension=8)
+    vecs = rng.random((60, 8)).astype(np.float32)
+    store.add_vectors(vecs.tolist(), ids=list(range(60)))
+
+    src = tmp_path / "queries"
+    src.mkdir()
+    all_q = []
+    for b in range(3):
+        rows = [(b * 10 + i, vecs[b * 20 + i].tolist()) for i in range(5)]
+        spark.createDataFrame(
+            rows, "query_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        all_q += rows
+
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = str(tmp_path / "scores")
+    q = streaming_knn_scores(
+        stream, store, str(tmp_path / "ckpt-knn"), sink, k=3
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(sink)
+    # provenance: three epochs, 5 queries * k=3 rows each
+    assert got.select("epoch_id").distinct().count() == 3
+    got_rows = {
+        (r["query_id"], r["id"], r["rank"]) for r in got.collect()
+    }
+    batch_q = spark.createDataFrame(
+        all_q, "query_id long, embedding array<float>"
+    )
+    exp_rows = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in store.batch_query(batch_q, k=3).collect()
+    }
+    assert got_rows == exp_rows
+    # every query's rank-1 hit is its own source vector (exact cosine)
+    top = {r["query_id"]: r["id"] for r in got.collect() if r["rank"] == 1}
+    for (qid, _vec), (b, i) in zip(
+        all_q, [(b, i) for b in range(3) for i in range(5)]
+    ):
+        assert top[qid] == b * 20 + i
