@@ -149,6 +149,26 @@ class VectorStoreCatalog:
         path.write_text(json.dumps(asdict(cfg), indent=2))
         return VectorStore(self, cfg)
 
+    def vacuum(self, min_age_seconds: int = 3600) -> int:
+        """Remove orphaned ``.staging-*`` directories left behind by
+        mutation swaps that crashed mid-flight (upsert/delete/optimize
+        write to a staging dir, then swap; a crash between the two
+        leaves the staging dir — invisible to readers but eating disk).
+        Only dirs older than ``min_age_seconds`` go, so an in-flight
+        swap on another handle is never raced. Returns the count
+        removed — the plain-parquet analog of ``VACUUM`` on a table
+        format."""
+        now = time.time()
+        n = 0
+        for p in self.root.glob("**/.staging-*"):
+            try:
+                if p.is_dir() and now - p.stat().st_mtime > min_age_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+                    n += 1
+            except OSError:  # raced by a concurrent swap finishing
+                continue
+        return n
+
     def store_exists(self, user_id: str, model_id: str) -> bool:
         return self._config_path(user_id, model_id).exists()
 

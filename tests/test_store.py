@@ -370,3 +370,19 @@ def test_add_vectors_job_budget(catalog, spark):
     assert st.count() == 24
     # auto ids continued past both earlier batches — no collisions
     assert st.to_df().select("id").distinct().count() == 24
+
+
+def test_catalog_vacuum_removes_orphaned_staging(catalog):
+    st = catalog.create_store("vac", "m", dimension=4)
+    st.add_vectors([[1.0, 0.0, 0.0, 0.0]] * 4, ids=[0, 1, 2, 3])
+    # a crashed swap leaves a staging dir next to the data dir
+    orphan = st.data_dir.parent / ".staging-deadbeef"
+    orphan.mkdir()
+    (orphan / "part-x.parquet").write_bytes(b"junk")
+    # young staging dirs are never raced
+    assert catalog.vacuum(min_age_seconds=3600) == 0
+    assert orphan.exists()
+    assert catalog.vacuum(min_age_seconds=0) == 1
+    assert not orphan.exists()
+    # live data untouched
+    assert st.count() == 4
