@@ -625,15 +625,20 @@ class VectorStore:
 
     def _swap_pruned_files(self, staging: Path, touched: list[Path]) -> None:
         """Replace only the rewritten files: unlink the touched originals,
-        then move the staged part-files in under collision-free names.
-        NOT crash-atomic on plain parquet (a crash between the unlink and
-        the moves loses the touched slice) — a table format's atomic
-        snapshot commit is the real fix at scale (SCALE.md); the win here
-        is that untouched files are never rewritten at all."""
+        then move the staged part-files in under collision-free names,
+        preserving Hive partition subdirs (``centroid_id=N/``) so a
+        cell-partitioned layout's pruned rewrite lands rows back in
+        their cells. NOT crash-atomic on plain parquet (a crash between
+        the unlink and the moves loses the touched slice) — a table
+        format's atomic snapshot commit is the real fix at scale
+        (SCALE.md); the win here is that untouched files are never
+        rewritten at all."""
         for f in touched:
             f.unlink()
-        for p in staging.glob("*.parquet"):
-            p.rename(self.data_dir / f"part-{uuid.uuid4().hex}.parquet")
+        for p in staging.glob("**/*.parquet"):
+            dest_dir = self.data_dir / p.relative_to(staging).parent
+            dest_dir.mkdir(parents=True, exist_ok=True)
+            p.rename(dest_dir / f"part-{uuid.uuid4().hex}.parquet")
         shutil.rmtree(staging, ignore_errors=True)
 
     def upsert_vectors(
@@ -695,7 +700,7 @@ class VectorStore:
 
         spark = self.catalog.spark
         fields = [f.name for f in self.schema.fields]
-        if not self._cell_partitioned() and self.data_dir.exists():
+        if self.data_dir.exists():
             touched, untouched = self._partition_files_by_ids(
                 lo=int(row["lo"]), hi=int(row["hi"])
             )
@@ -705,19 +710,26 @@ class VectorStore:
                 new.unpersist()
                 return 0, n_new
             if untouched:
-                # pruned rewrite: merge ONLY the overlapping files
+                # pruned rewrite: merge ONLY the overlapping files. Under
+                # a cell-partitioned layout the new row versions land in
+                # their own (possibly different) cells via partitionBy;
+                # the old versions disappear with the touched files.
+                reader = spark.read.schema(self.schema)
+                if self._cell_partitioned():
+                    reader = reader.option("basePath", str(self.data_dir))
                 obs_b, obs_a = Observation(), Observation()
-                existing_t = (
-                    spark.read.schema(self.schema)
-                    .parquet(*[str(p) for p in touched])
-                    .observe(obs_b, F.count(F.lit(1)).alias("n"))
+                existing_t = reader.parquet(*[str(p) for p in touched]).observe(
+                    obs_b, F.count(F.lit(1)).alias("n")
                 )
                 kept = existing_t.join(new.select("id"), on="id", how="left_anti")
                 merged = kept.unionByName(new.select(*fields)).observe(
                     obs_a, F.count(F.lit(1)).alias("n")
                 )
                 staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-                merged.select(*fields).write.mode("overwrite").parquet(str(staging))
+                writer = merged.select(*fields).write.mode("overwrite")
+                if self._cell_partitioned():
+                    writer = writer.partitionBy("centroid_id")
+                writer.parquet(str(staging))
                 before_t = int(obs_b.get["n"])
                 after_t = int(obs_a.get["n"])
                 self._swap_pruned_files(staging, touched)
@@ -1174,25 +1186,32 @@ class VectorStore:
         spark = self.catalog.spark
         fields = [f.name for f in self.schema.fields]
 
-        if ids is not None and filter_metadata is None and not self._cell_partitioned():
+        if ids is not None and filter_metadata is None:
             # id-keyed delete: footer-stats pruning — files whose id range
             # can't contain a doomed id are never read, let alone
-            # rewritten (a no-op delete is ZERO Spark jobs)
+            # rewritten (a no-op delete is ZERO Spark jobs). Works under
+            # the cell-partitioned layout too: basePath resolves the
+            # centroid_id partition column, and the staged rewrite lands
+            # back in the same cell dirs.
             id_list = [int(i) for i in ids]
             touched, _ = self._partition_files_by_ids(ids=id_list)
             if not touched:
                 return 0
+            reader = spark.read.schema(self.schema)
+            if self._cell_partitioned():
+                reader = reader.option("basePath", str(self.data_dir))
             obs_b, obs_a = Observation(), Observation()
-            df_t = (
-                spark.read.schema(self.schema)
-                .parquet(*[str(p) for p in touched])
-                .observe(obs_b, F.count(F.lit(1)).alias("n"))
+            df_t = reader.parquet(*[str(p) for p in touched]).observe(
+                obs_b, F.count(F.lit(1)).alias("n")
             )
             keep = df_t.where(~F.col("id").isin(id_list)).observe(
                 obs_a, F.count(F.lit(1)).alias("n")
             )
             staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-            keep.select(*fields).write.mode("overwrite").parquet(str(staging))
+            writer = keep.select(*fields).write.mode("overwrite")
+            if self._cell_partitioned():
+                writer = writer.partitionBy("centroid_id")
+            writer.parquet(str(staging))
             removed = int(obs_b.get["n"]) - int(obs_a.get["n"])
             self._swap_pruned_files(staging, touched)
             return removed

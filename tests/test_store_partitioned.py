@@ -76,3 +76,77 @@ def test_sql_view_surface(store, spark):
         f"FROM {view} ORDER BY s DESC, id LIMIT 3"
     ).collect()
     assert rows[0]["id"] == 7 and rows[0]["s"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_partitioned_pruned_delete_preserves_untouched_files(spark, tmp_path):
+    """Footer-stats pruning works under the Hive cell layout: deleting
+    ids contained in one batch's files leaves the other batch's files
+    byte-identical, and survivors keep their cell dirs."""
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    st = cat.create_store("pp", "m", dimension=DIM)
+    centers = RNG.random((4, DIM)) * 3
+    v1 = (centers[RNG.integers(0, 4, 100)] + 0.1 * RNG.standard_normal((100, DIM))).astype(np.float32)
+    st.add_vectors(v1.tolist(), ids=list(range(100)))
+    st.build_index(nlist=4, seed=2, partition_by_cell=True)
+    # second disjoint-id batch AFTER partitioning: its files' id stats
+    # don't overlap the first batch's
+    v2 = (centers[RNG.integers(0, 4, 100)] + 0.1 * RNG.standard_normal((100, DIM))).astype(np.float32)
+    st.add_vectors(v2.tolist(), ids=list(range(5000, 5100)))
+    files_before = {
+        str(f): f.stat().st_mtime_ns for f in st.data_dir.glob("**/*.parquet")
+    }
+    removed = st.delete_vectors(ids=[5003, 5007, 5050])
+    assert removed == 3
+    assert st.count() == 197
+    survivors = {
+        str(f): f.stat().st_mtime_ns for f in st.data_dir.glob("**/*.parquet")
+    }
+    untouched = {p: m for p, m in files_before.items() if p in survivors}
+    # every first-batch file survived byte-identical
+    assert len(untouched) >= 1
+    for p, m in untouched.items():
+        assert survivors[p] == m
+    # layout still Hive-partitioned and queryable via partition pruning
+    subdirs = {p.name for p in st.data_dir.iterdir() if p.is_dir()}
+    assert all(d.startswith("centroid_id=") for d in subdirs)
+    assert st.to_df().where("id = 5003").count() == 0
+    assert st.to_df().where("id = 3").count() == 1
+    # centroid assignments survived the rewrite (non-null for all rows)
+    assert st.to_df().where(F.col("centroid_id").isNull()).count() == 0
+
+
+def test_partitioned_pruned_upsert(spark, tmp_path):
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    st = cat.create_store("pu", "m", dimension=DIM)
+    centers = RNG.random((4, DIM)) * 3
+    v1 = (centers[RNG.integers(0, 4, 100)] + 0.1 * RNG.standard_normal((100, DIM))).astype(np.float32)
+    st.add_vectors(v1.tolist(), ids=list(range(100)))
+    st.build_index(nlist=4, seed=2, partition_by_cell=True)
+    v2 = (centers[RNG.integers(0, 4, 100)] + 0.1 * RNG.standard_normal((100, DIM))).astype(np.float32)
+    st.add_vectors(v2.tolist(), ids=list(range(5000, 5100)))
+    files_before = {
+        str(f): f.stat().st_mtime_ns for f in st.data_dir.glob("**/*.parquet")
+    }
+    # update one id in the second batch's range; insert one beyond all
+    target = centers[2].astype(np.float32)
+    updated, inserted = st.upsert_vectors(
+        [target.tolist(), (centers[1] + 0.05).astype(np.float32).tolist()],
+        ids=[5010, 9999],
+    )
+    assert (updated, inserted) == (1, 1)
+    assert st.count() == 201
+    survivors = {
+        str(f): f.stat().st_mtime_ns for f in st.data_dir.glob("**/*.parquet")
+    }
+    untouched = {p: m for p, m in files_before.items() if p in survivors}
+    assert len(untouched) >= 1
+    for p, m in untouched.items():
+        assert survivors[p] == m
+    row = st.to_df().where("id = 5010").first()
+    assert np.allclose(list(row["embedding"]), target, atol=1e-6)
+    # the updated row's centroid matches its NEW embedding's cell
+    ivf = st._ivf()
+    assert row["centroid_id"] is not None
+    # indexed probe query still finds the updated vector
+    hit = st.query(target.tolist(), k=1, use_index=True, nprobe=4).first()
+    assert hit["id"] == 5010
