@@ -1244,23 +1244,43 @@ class VectorStore:
         shutil.rmtree(self.data_dir, ignore_errors=True)
         self._max_id_seen = None
 
-    def optimize(self, target_files: int = 4) -> int:
+    def optimize(self, target_files: int = 4, sort_by: str | None = None) -> int:
         """Compact small files (the reference's ``store.optimize`` is
         called but undefined, api/routes/vectors.py:425; here it is the
         Parquet analog of OPTIMIZE: coalesce + rewrite). Returns the
-        resulting file count."""
+        resulting file count.
+
+        ``sort_by`` range-repartitions on the given column (typically
+        ``"id"``) so each output file owns a DISJOINT value range and
+        row-group footer stats become tight — the clustering step that
+        makes the stats-pruned upsert/delete path surgical: after
+        ``optimize(sort_by="id")`` a point delete touches exactly one
+        file instead of every file whose accumulated append range
+        happens to overlap (the OPTIMIZE ZORDER analog for the
+        single-key case)."""
         df = self.to_df()
         if df.isEmpty():
             return 0
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
         if self._cell_partitioned():
-            df.repartition("centroid_id").write.mode("overwrite").partitionBy(
-                "centroid_id"
-            ).parquet(str(staging))
+            out = df.repartition("centroid_id")
+            if sort_by:
+                out = out.sortWithinPartitions(sort_by)
+            out.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                str(staging)
+            )
+        elif sort_by:
+            (
+                df.repartitionByRange(target_files, sort_by)
+                .sortWithinPartitions(sort_by)
+                .write.mode("overwrite")
+                .parquet(str(staging))
+            )
         else:
             df.coalesce(target_files).write.mode("overwrite").parquet(str(staging))
         shutil.rmtree(self.data_dir, ignore_errors=True)
         staging.rename(self.data_dir)
+        self._max_id_seen = None  # layout changed; recompute lazily
         return len(list(self.data_dir.glob("**/*.parquet")))
 
     # -- SQL surface -------------------------------------------------------

@@ -386,3 +386,40 @@ def test_catalog_vacuum_removes_orphaned_staging(catalog):
     assert not orphan.exists()
     # live data untouched
     assert st.count() == 4
+
+
+def test_optimize_sort_by_makes_pruning_surgical(catalog):
+    """Interleaved appends give every file an overlapping id range (any
+    point delete must rewrite them all); optimize(sort_by='id')
+    range-clusters the layout so footer stats are disjoint and the same
+    delete touches exactly one file."""
+    st = catalog.create_store("oz", "m", dimension=4)
+    # stripe ids across batches: every file spans ~the whole id domain
+    for start in range(3):
+        ids = list(range(start, 300, 3))
+        st.add_vectors([[float(i), 0.0, 0.0, 0.0] for i in ids], ids=ids)
+    ranges = [(lo, hi) for _, lo, hi in st._file_id_ranges()]
+    assert all(lo is not None for lo, _ in ranges)
+    touched, untouched = st._partition_files_by_ids(ids=[7])
+    assert len(touched) == 3 and not untouched  # fully overlapped layout
+
+    n_files = st.optimize(target_files=3, sort_by="id")
+    assert n_files == 3
+    ranges = sorted((lo, hi) for _, lo, hi in st._file_id_ranges())
+    # disjoint ranges: each file owns its slice
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2
+    touched, untouched = st._partition_files_by_ids(ids=[7])
+    assert len(touched) == 1 and len(untouched) == 2
+    files_before = {
+        str(f): f.stat().st_mtime_ns for f in st.data_dir.glob("**/*.parquet")
+    }
+    assert st.delete_vectors(ids=[7]) == 1
+    survivors = {
+        str(f): f.stat().st_mtime_ns for f in st.data_dir.glob("**/*.parquet")
+    }
+    untouched_after = {p: m for p, m in files_before.items() if p in survivors}
+    assert len(untouched_after) == 2  # two files byte-identical
+    for p, m in untouched_after.items():
+        assert survivors[p] == m
+    assert st.count() == 299
