@@ -5,6 +5,7 @@ from mlx_vector_db_spark.streaming.ingest import (
     job_status,
     read_events_stream,
     read_operations_log,
+    score_knn_batch,
     streaming_dedup,
     streaming_ingest_vectors,
     streaming_knn_scores,
@@ -19,6 +20,7 @@ __all__ = [
     "job_status",
     "read_events_stream",
     "read_operations_log",
+    "score_knn_batch",
     "streaming_dedup",
     "streaming_ingest_vectors",
     "streaming_knn_scores",

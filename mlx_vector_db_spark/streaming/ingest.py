@@ -480,27 +480,55 @@ def streaming_knn_scores(
 
     At scale this is the semantic-firehose shape: the store side stays
     partitioned on its cells, each micro-batch broadcasts only its own
-    query block, and the sink append is the only write amplification.
+    query block, and the sink write is the only write amplification.
     Input must have ``query_id`` and ``embedding`` columns. Returns the
     StreamingQuery.
     """
     def _score(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        res = store.batch_query(
-            batch_df,
-            k=k,
-            filter_metadata=filter_metadata,
-            metric=metric,
+        score_knn_batch(
+            store, batch_df, epoch_id, sink_path,
+            k=k, filter_metadata=filter_metadata, metric=metric,
             use_quantized=use_quantized,
         )
-        res.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(sink_path)
 
     return (
         queries_stream.writeStream.foreachBatch(_score)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()
+    )
+
+
+def score_knn_batch(
+    store,
+    batch_df: DataFrame,
+    epoch_id: int,
+    sink_path: str,
+    k: int = 10,
+    metric: str | None = None,
+    filter_metadata=None,
+    use_quantized: bool = False,
+) -> None:
+    """One micro-batch of :func:`streaming_knn_scores` — exposed so the
+    delivery guarantee is directly testable. The sink is IDEMPOTENT
+    under foreachBatch's at-least-once replays: results land in an
+    ``epoch_id=N`` partition via dynamic partition overwrite, so a
+    replayed epoch replaces its own partition instead of double-
+    appending (the standard idempotent-parquet-sink pattern; the ingest
+    path achieves the same with its operations-log ledger)."""
+    if batch_df.isEmpty():
+        return
+    res = store.batch_query(
+        batch_df,
+        k=k,
+        filter_metadata=filter_metadata,
+        metric=metric,
+        use_quantized=use_quantized,
+    )
+    (
+        res.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(sink_path)
     )

@@ -448,3 +448,29 @@ def test_streaming_knn_matches_batch(spark, tmp_path):
         all_q, [(b, i) for b in range(3) for i in range(5)]
     ):
         assert top[qid] == b * 20 + i
+
+
+def test_streaming_knn_sink_idempotent_on_epoch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch must replace its
+    partition, not double-append (dynamic partition overwrite)."""
+    from mlx_vector_db_spark.streaming import score_knn_batch
+
+    rng = np.random.default_rng(13)
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("idems", "m", dimension=4)
+    vecs = rng.random((10, 4)).astype(np.float32)
+    store.add_vectors(vecs.tolist(), ids=list(range(10)))
+    batch = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(4)],
+        "query_id long, embedding array<float>",
+    )
+    sink = str(tmp_path / "scores")
+    score_knn_batch(store, batch, 0, sink, k=2)
+    n_first = spark.read.parquet(sink).count()
+    score_knn_batch(store, batch, 0, sink, k=2)   # replayed epoch
+    got = spark.read.parquet(sink)
+    assert got.count() == n_first == 8            # 4 queries * k=2, once
+    # a NEW epoch still appends alongside
+    score_knn_batch(store, batch, 1, sink, k=2)
+    assert spark.read.parquet(sink).count() == 16
+    assert spark.read.parquet(sink).select("epoch_id").distinct().count() == 2
