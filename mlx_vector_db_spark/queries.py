@@ -1983,6 +1983,22 @@ def q_streaming_knn_gate(spark, sf_dir):
         _shutil.rmtree(work, ignore_errors=True)
 
 
+def q_part_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy matching, fully oracle-checked: part-name pairs
+    within the same brand at edit distance <= 2 (typo/near-identical
+    catalog entries). Blocking keys the shuffle on p_brand (max block
+    ~100 rows), a length-difference lower bound prunes before the
+    quadratic levenshtein, and the exact distance refines survivors —
+    the record-linkage shape that holds at corpus scale."""
+    from mlx_vector_db_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part, text_col="p_name", id_col="p_partkey",
+        block_cols="p_brand", max_distance=2,
+    )
+
+
 def q_salted_join_parity(spark, sf_dir):
     """Skew-safe salted join, fully oracle-checked against the plain
     SQL join it must be indistinguishable from: scatter the left side
@@ -2118,6 +2134,7 @@ QUERIES: dict[str, QueryFn] = {
     "store_lifecycle_gate": q_store_lifecycle_gate,
     "salted_join_parity": q_salted_join_parity,
     "streaming_knn_gate": q_streaming_knn_gate,
+    "part_fuzzy_pairs": q_part_fuzzy_pairs,
 }
 
 _JACCARD_SHINGLES_SQL = """
@@ -3137,5 +3154,12 @@ ORACLES: dict[str, str] = {
     "streaming_knn_gate": """
         SELECT 20::BIGINT AS n_probes, 20::BIGINT AS n_self_hits,
                TRUE AS multi_batch_ran
+    """,
+    "part_fuzzy_pairs": """
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               levenshtein(a.p_name, b.p_name)::INTEGER AS distance
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
 }
