@@ -16,6 +16,16 @@ never runs at corpus scale; the standard shape is **blocking**:
 Both stages are JVM built-ins (``F.levenshtein``) — no Python workers.
 Same layering as the near-dup family (operators/dedup.py): bucketed
 candidate generation + exact verify on candidates only.
+
+Scale ceiling, stated honestly: within a block the cost is still
+quadratic, so this operator is for blocking schemes whose block sizes
+stay bounded as the corpus grows (entity keys, catalog brands × name
+prefixes, per-source buckets). When blocks grow with N, the next tier
+is MinHash/LSH over character shingles (operators/dedup.py
+``minhash_lsh_pairs`` with ``shingle_n`` on chars) as the candidate
+generator and this operator's exact levenshtein as the verify — the
+same audit-oracle vs scale-path layering as ``embedding_neardup`` vs
+``embedding_neardup_bucketed``.
 """
 
 from __future__ import annotations
