@@ -26,10 +26,11 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import tokens
+from mlx_vector_db_spark.operators.topk import bounded_global_rank
 
 __all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
 
@@ -128,12 +129,12 @@ def bm25_topk(
     scored = bm25_scores(docs, terms, text_col, id_col, k1, b)
     if round_scores is not None:
         scored = scored.withColumn("score", F.round("score", round_scores))
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, F.col("score"), "rank")
-    )
+    order = [F.col("score").desc(), F.col(id_col)]
+    # global ORDER BY LIMIT k first (plans as TakeOrderedAndProject:
+    # per-partition partial top-k, no single-partition WindowExec), then
+    # a positional rank over the already-k-row survivors
+    topk = scored.orderBy(*order).limit(int(k))
+    return bounded_global_rank(topk, order).select(id_col, F.col("score"), "rank")
 
 
 def rrf_fuse(
@@ -171,5 +172,8 @@ def rrf_fuse(
     )
     if round_scores is not None:
         fused = fused.withColumn("rrf_score", F.round("rrf_score", round_scores))
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
-    return fused.withColumn("rank", F.row_number().over(w))
+    # fused is bounded by construction (<= k rows per input arm), so the
+    # single-group rank moves only those rows
+    return bounded_global_rank(
+        fused, [F.col("rrf_score").desc(), F.col(id_col)]
+    )

@@ -147,12 +147,11 @@ def knn_query(
     raw = score_for_metric(metric, vec_col, q, a_norm=v_norm, b_norm=q_norm)
     scored = _annotate(metric, filtered, raw)
     ordered = scored.orderBy(*_order(metric, F.col("score"), id_col)).limit(int(k))
-    # rank is positional post-limit; a monotonic row_number over the
-    # already-k-row result is cheap.
-    from pyspark.sql import Window
+    # rank is positional post-limit; a row_number over the already-k-row
+    # result is cheap.
+    from mlx_vector_db_spark.operators.topk import bounded_global_rank
 
-    w = Window.orderBy(*_order(metric, F.col("score"), id_col))
-    return ordered.withColumn("rank", F.row_number().over(w))
+    return bounded_global_rank(ordered, _order(metric, F.col("score"), id_col))
 
 
 def knn_join(

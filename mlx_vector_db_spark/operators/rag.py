@@ -88,11 +88,14 @@ def retrieve_context(
             norm_col=norm_col,
         )
         .where(F.col("similarity") >= F.lit(float(min_similarity)))
-        # re-rank after the threshold filter: the walk order is over the
-        # *filtered* list (reference :736-741)
-        .withColumn("rank", F.row_number().over(Window.orderBy("rank")))
         .withColumn("query_id", F.lit(0))
     )
+    # re-rank after the threshold filter: the walk order is over the
+    # *filtered* list (reference :736-741); input is <= 2k rows post-limit
+    from mlx_vector_db_spark.operators.topk import bounded_global_rank
+
+    hits = bounded_global_rank(hits.withColumnRenamed("rank", "_prelim_rank"),
+                               [F.col("_prelim_rank")]).drop("_prelim_rank")
     return pack_context(
         hits, k=k, max_context_length=max_context_length, text_col=text_col
     ).drop("query_id")

@@ -44,3 +44,25 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).where(
         F.col(rank_col) <= F.lit(k)
     )
+
+
+def bounded_global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """1-based global rank for a result ALREADY bounded to a handful of
+    rows (post-``LIMIT k`` survivors, fused top-k arms, gate scalars).
+
+    A global rank needs a total order, which in Spark means one window
+    group; on a bounded input that is the right plan, not a smell — the
+    single partition the window moves data into holds only the bounded
+    rows. (Catalyst folds constant partition keys away, so the
+    ``WindowExec: No Partition Defined`` warning can't be avoided at the
+    plan level; ``session._silence_bounded_window_warn`` scopes it out.)
+
+    Do NOT call this on an unbounded DataFrame — ``ORDER BY + LIMIT``
+    (TakeOrderedAndProject) or :func:`top_k_per_group` first.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w))

@@ -59,4 +59,28 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warn(spark)
     return spark
+
+
+def _silence_bounded_window_warn(spark: SparkSession) -> None:
+    """Raise the ``WindowExec`` logger to ERROR.
+
+    The engine's only unpartitioned windows are post-``LIMIT k`` ranks
+    over results already bounded to a handful of rows
+    (``operators.topk.bounded_global_rank``), where WindowExec's "No
+    Partition Defined ... serious performance degradation" warning is
+    noise: the single partition it moves data into holds <= k rows by
+    construction. Catalyst strips constant partition keys, so the
+    warning cannot be avoided at the plan level; scope the suppression
+    to exactly that logger instead of lowering the global level.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec", level
+        )
+    except Exception:
+        pass  # logging backend not log4j2 (or shaded) — warning is cosmetic

@@ -48,6 +48,16 @@ def test_top_orders_plan_broadcasts_and_take_ordered(spark, sf_small):
     assert "SortMergeJoin" not in plan          # nothing big-big here
 
 
+def test_bm25_topk_is_take_ordered(spark, sf_small):
+    from mlx_vector_db_spark.operators.hybrid import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(bm25_topk(docs, ["the", "data"], k=10))
+    # global top-k is ORDER BY + LIMIT, not a corpus-wide rank window:
+    # per-partition heaps + driver merge, never a single-partition sort
+    assert "TakeOrderedAndProject(limit=10" in plan
+
+
 def test_text_stats_scan_is_column_pruned(spark, sf_small):
     plan = explain_str(QUERIES["text_stats"](spark, sf_small))
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
