@@ -264,14 +264,34 @@ def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keeper: str = "component",
     **kwargs,
 ) -> DataFrame:
-    """Corpus minus near-duplicates: for every near-dup pair, the larger
-    id is dropped (greedy min-id keeper — one pass, deterministic; full
-    connected-components clustering is a later-round iterative op)."""
+    """Corpus minus near-duplicates.
+
+    ``keeper`` picks the survivor rule applied to the near-dup pair graph:
+
+    - ``"component"`` (default): transitive clusters via
+      :func:`~mlx_vector_db_spark.operators.components.connected_components`
+      — one min-id survivor per connected component. This is the correct
+      corpus rule: with pairs (A,C) and (B,C) but no (A,B), all three are
+      one group and only min(A,B,C) survives. Costs the component loop's
+      few extra label-propagation shuffles over the (tiny) pair graph.
+    - ``"pairwise"``: drop ``id_b`` of every pair — one pass, no
+      iteration, but keeps any non-min node that only ever appeared as
+      ``id_a`` (B above survives), so clusters can retain >1 member.
+      Useful as the cheap first pass when pairs are known to be cliques
+      (e.g. exact-dup groups).
+    """
     pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **kwargs)
-    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(doomed, on=id_col, how="left_anti")
+    if keeper == "component":
+        from mlx_vector_db_spark.operators.components import dedup_keepers
+
+        return dedup_keepers(df, pairs, id_col=id_col)
+    if keeper == "pairwise":
+        doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(doomed, on=id_col, how="left_anti")
+    raise ValueError(f"keeper must be 'component' or 'pairwise' (got {keeper!r})")
 
 
 def simhash(text_col: str | Column, shingle_n: int = 2, seed: int = 7) -> Column:

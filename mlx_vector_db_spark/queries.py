@@ -46,10 +46,12 @@ from mlx_vector_db_spark.functions.text import (
 )
 from mlx_vector_db_spark.functions.time import event_time_col
 from mlx_vector_db_spark.functions.vector import l2_norm
+from mlx_vector_db_spark.functions.text import shingles
 from mlx_vector_db_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     jaccard_pairs,
+    minhash_dedup,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -1162,6 +1164,75 @@ def q_minhash_recall_gate(spark, sf_dir):
     return spark.createDataFrame([(bool(passed),)], "passed boolean").where("passed")
 
 
+def q_minhash_dedup_clustered(spark, sf_dir):
+    """Full near-dup dedup under the value-hash gate: MinHash-LSH pairs
+    -> connected components -> min-id keeper per transitive cluster
+    (the ``minhash_dedup(keeper="component")`` production path). The
+    oracle recomputes survivors in SQL from the exact Jaccard pair list
+    (banding's candidate recall on this corpus is exactly 1.0 — gated by
+    minhash_recall_gate — so the pair graphs coincide) with a DuckDB
+    recursive CTE deriving min-reachable-id per component."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = minhash_dedup(docs, threshold=0.5, keeper="component")
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_minhash_precision_gate(spark, sf_dir):
+    """MinHash emission precision, self-gated: every pair the banded
+    pipeline emits must satisfy the threshold on the exact STRING-shingle
+    Jaccard recomputed from the raw documents (the banded path verifies
+    on hashed shingle sets — this re-derivation catches both a banding
+    bug emitting wrong candidates and any hash-collision drift in the
+    verify stage). violations == 0 with a non-empty emission."""
+    docs = _t(spark, sf_dir, "documents")
+    found = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    sh = docs.select(
+        F.col("doc_id").alias("_sid"), shingles("text", 3).alias("_sh")
+    )
+    joined = (
+        found.join(sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b")), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    agg = joined.agg(
+        F.sum((jac < 0.5).cast("int")).cast("long").alias("violations"),
+        F.count("*").alias("_n"),
+    ).first()
+    passed = agg["_n"] > 0 and agg["violations"] == 0
+    return spark.createDataFrame(
+        [(int(agg["violations"] or 0), bool(passed))], "violations long, passed boolean"
+    ).where("passed")
+
+
+def q_simhash_precision_gate(spark, sf_dir):
+    """SimHash emission precision, self-gated: for every emitted pair,
+    re-derive both 64-bit fingerprints from the raw documents
+    (independent of the banding path's carried columns) and require the
+    recomputed Hamming distance to satisfy the bound. violations == 0
+    with a non-empty emission."""
+    from mlx_vector_db_spark.operators.dedup import hamming64, simhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    found = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    fp = simhash_signatures(docs, "text", "doc_id", 2, 7)
+    joined = (
+        found.join(fp.select(F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a")), on="id_a")
+        .join(fp.select(F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b")), on="id_b")
+    )
+    agg = joined.agg(
+        F.sum((hamming64(F.col("fp_a"), F.col("fp_b")) > 3).cast("int"))
+        .cast("long")
+        .alias("violations"),
+        F.count("*").alias("_n"),
+    ).first()
+    passed = agg["_n"] > 0 and agg["violations"] == 0
+    return spark.createDataFrame(
+        [(int(agg["violations"] or 0), bool(passed))], "violations long, passed boolean"
+    ).where("passed")
+
+
 def q_simhash_exactness_gate(spark, sf_dir):
     """The SimHash pigeonhole banding (uncapped) must find EXACTLY the
     brute-force Hamming<=3 pair set — banding into d+1 bands is a
@@ -2052,7 +2123,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "minhash_neardup_pairs": q_minhash_pairs,
     "minhash_recall_gate": q_minhash_recall_gate,
+    "minhash_precision_gate": q_minhash_precision_gate,
+    "minhash_dedup_clustered": q_minhash_dedup_clustered,
     "simhash_exactness_gate": q_simhash_exactness_gate,
+    "simhash_precision_gate": q_simhash_precision_gate,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     # -- text analysis / quality / cleaning ---------------------------
@@ -2076,11 +2150,8 @@ QUERIES: dict[str, QueryFn] = {
     "top_orders": q_top_orders,
     "top_customers_per_nation": q_top_customers_per_nation,
     "customers_without_orders": q_customers_without_orders,
-    "nation_volume": q_nation_volume,
     "promo_revenue": q_promo_revenue,
-    "small_qty_revenue": q_small_qty_revenue,
     "large_volume_customers": q_large_volume_customers,
-    "discounted_revenue": q_discounted_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "sales_opportunity": q_sales_opportunity,
     "orders_grouping_sets": q_orders_grouping_sets,
@@ -2094,6 +2165,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_view_purchase": q_events_view_purchase,
     "streaming_hourly_gate": q_streaming_hourly_gate,
     # ================= driver window boundary (50) ===================
+    "nation_volume": q_nation_volume,
+    "small_qty_revenue": q_small_qty_revenue,
+    "discounted_revenue": q_discounted_revenue,
     "knn_euclidean_topk": q_knn_euclidean,
     "knn_dot_topk": q_knn_dot,
     "knn_scored_conversions": q_knn_scored,
@@ -2137,8 +2211,8 @@ QUERIES: dict[str, QueryFn] = {
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
 }
 
-_JACCARD_SHINGLES_SQL = """
-WITH w AS (
+_JACCARD_SHINGLES_BODY = """
+w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
 ), s AS (
   SELECT doc_id,
@@ -2150,6 +2224,8 @@ WITH w AS (
   FROM w
 )
 """
+
+_JACCARD_SHINGLES_SQL = "WITH " + _JACCARD_SHINGLES_BODY
 
 _TEXT_NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
@@ -3029,6 +3105,37 @@ ORACLES: dict[str, str] = {
     """,
     "minhash_recall_gate": "SELECT TRUE AS passed",
     "simhash_exactness_gate": "SELECT TRUE AS passed",
+    "minhash_precision_gate": "SELECT 0::BIGINT AS violations, TRUE AS passed",
+    "simhash_precision_gate": "SELECT 0::BIGINT AS violations, TRUE AS passed",
+    # survivors of component-clustered near-dup dedup, recomputed
+    # entirely in SQL: exact Jaccard pairs (same shingle semantics as
+    # text_jaccard_pairs) -> undirected edges -> recursive reachability
+    # -> min reachable id per node = its component -> drop every node
+    # that is not its own component's min
+    "minhash_dedup_clustered": "WITH RECURSIVE "
+    + _JACCARD_SHINGLES_BODY
+    + """
+        , p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ),
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM p
+        ),
+        reach(node, r) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e) t
+          UNION
+          SELECT e.src, reach.r FROM e JOIN reach ON reach.node = e.dst
+        ),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+        SELECT d.doc_id::BIGINT AS doc_id
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
     # the encode stage must emit exactly one 384-wide vector per chunk:
     # keys from the chunker golden fixture, dim as a constant
     "embed_docs_384": """

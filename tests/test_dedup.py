@@ -91,6 +91,39 @@ def test_minhash_dedup_removes_dupes(corpus_df):
     assert set(range(4, 20)) <= ids
 
 
+def test_minhash_dedup_chain_keeps_component_min(spark):
+    """Transitive chain 1~3, 3~2 (but 1!~2): the component keeper must
+    collapse all three to the single min id, while the greedy pairwise
+    rule keeps 2 as well (it only ever appeared as a pair's id_a-side
+    survivor) — the exact over-retention the component rule fixes."""
+    toks = [f"t{i}" for i in range(1, 61)]
+    a, mid, far = (
+        " ".join(toks[0:40]),    # id 1
+        " ".join(toks[8:48]),    # id 3: j(1,3)=j(2,3)=0.652 >= 0.5
+        " ".join(toks[16:56]),   # id 2: j(1,2)=0.407 < 0.5
+    )
+    df = spark.createDataFrame(
+        [(1, a), (2, far), (3, mid)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 3), (2, 3)}            # a chain, not a clique
+    kept_comp = {
+        r["doc_id"]
+        for r in D.minhash_dedup(df, threshold=0.5, keeper="component").collect()
+    }
+    kept_pair = {
+        r["doc_id"]
+        for r in D.minhash_dedup(df, threshold=0.5, keeper="pairwise").collect()
+    }
+    assert kept_comp == {1}                     # min id of the component
+    assert kept_pair == {1, 2}                  # greedy rule over-retains 2
+    with pytest.raises(ValueError):
+        D.minhash_dedup(df, keeper="nope")
+
+
 def test_simhash_exact_dup_distance_zero(corpus_df):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              D.simhash_pairs(corpus_df, max_hamming=8).collect()}
