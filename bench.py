@@ -60,11 +60,25 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
+#: timed repetitions per query — the reported figure is the MEDIAN, so a
+#: concurrently loaded host (the round driver runs other work) doesn't
+#: alias one unlucky run into a plan-regression signal
+N_REPS = 3
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    return xs[len(xs) // 2] if len(xs) % 2 else (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
+
+def main() -> int:
     """Per-query error isolation everywhere: one broken plan must never
     zero the round's bench artifact (round 2 lost ALL its numbers to a
     single AnalysisException in the warm-up loop). Failed queries record
-    -1 with an error marker; the JSON line always prints; exit code 0."""
+    -1 with an error marker; the JSON line always prints. Returns the
+    exit code: 0 when clean, 1 when any query or warm-up step errored
+    (consumers keying off the exit code see breakage; the JSON still
+    carries every number that survived)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -117,9 +131,12 @@ def main() -> None:
             continue
         try:
             fn = QUERIES[name]
-            t0 = time.perf_counter()
-            _consume(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
+            reps: list[float] = []
+            for _ in range(N_REPS):
+                t0 = time.perf_counter()
+                _consume(fn(spark, sf_dir))
+                reps.append(time.perf_counter() - t0)
+            dt = _median(reps)
             timings[name] = round(dt, 3)
             total += dt
         except Exception as exc:  # noqa: BLE001
@@ -138,11 +155,14 @@ def main() -> None:
         _consume(  # warm this plan too before timing it
             knn_join_blocked(emb, queries, k=10, vec_col="embedding", id_col="vec_id")
         )
-        t0 = time.perf_counter()
-        _consume(
-            knn_join_blocked(emb, queries, k=10, vec_col="embedding", id_col="vec_id")
-        )
-        dt = time.perf_counter() - t0
+        reps = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            _consume(
+                knn_join_blocked(emb, queries, k=10, vec_col="embedding", id_col="vec_id")
+            )
+            reps.append(time.perf_counter() - t0)
+        dt = _median(reps)
         timings["knn_batch_all_vs_all"] = round(dt, 3)
         timings["knn_batch_qps"] = round(n_q / dt, 1)
         total += dt
@@ -155,17 +175,19 @@ def main() -> None:
         "metric": "bench_total_wall",
         "value": round(total, 3),
         "unit": "sec",
+        "reps_per_query": N_REPS,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
     try:
-        main()
+        rc = main()
     except Exception as exc:  # noqa: BLE001 — last-resort: still emit a line
         print(
             json.dumps(
@@ -179,4 +201,5 @@ if __name__ == "__main__":
                 }
             )
         )
-    sys.exit(0)
+        rc = 1
+    sys.exit(rc)

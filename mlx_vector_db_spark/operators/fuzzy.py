@@ -21,9 +21,8 @@ Scale ceiling, stated honestly: within a block the cost is still
 quadratic, so this operator is for blocking schemes whose block sizes
 stay bounded as the corpus grows (entity keys, catalog brands × name
 prefixes, per-source buckets). When blocks grow with N, the next tier
-is MinHash/LSH over character shingles (operators/dedup.py
-``minhash_lsh_pairs`` with ``shingle_n`` on chars) as the candidate
-generator and this operator's exact levenshtein as the verify — the
+is :func:`lsh_fuzzy_pairs`: MinHash/LSH over character shingles as the
+candidate generator and the same exact levenshtein as the verify — the
 same audit-oracle vs scale-path layering as ``embedding_neardup`` vs
 ``embedding_neardup_bucketed``.
 """
@@ -33,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_fuzzy_pairs"]
+__all__ = ["blocked_fuzzy_pairs", "lsh_fuzzy_pairs"]
 
 
 def blocked_fuzzy_pairs(
@@ -73,6 +72,68 @@ def blocked_fuzzy_pairs(
         .where(
             F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(max_distance)
         )
+        .withColumn("distance", F.levenshtein("_ta", "_tb"))
+        .where(F.col("distance") <= F.lit(max_distance))
+        .select("id_a", "id_b", "distance")
+    )
+
+
+def lsh_fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 2,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    jaccard_floor: float = 0.2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Fuzzy matching WITHOUT a blocking column — the scale tier past
+    :func:`blocked_fuzzy_pairs`' quadratic-within-block ceiling.
+
+    Candidate generation is MinHash-LSH over CHARACTER ``shingle_n``-grams
+    (each char becomes a token via a regexp projection, then the standard
+    banded pipeline from operators/dedup.py runs unchanged — one explode,
+    K min-aggs, self-join keyed on (band, band_hash), never all-pairs);
+    the verify is the exact JVM ``levenshtein`` on the RAW text, so
+    emitted pairs are exact — LSH can only cost recall, never precision.
+
+    Defaults are tuned for short edit-distance strings: ``bands=32`` of 2
+    rows each keeps per-band match probability high at the modest char
+    n-gram Jaccard a ``max_distance``-edit pair of a short string has
+    (each edit destroys at most ``shingle_n`` of its ``L`` shingles), and
+    ``jaccard_floor`` is a permissive candidate filter — the edit
+    distance, not Jaccard, is the accept test. Whitespace runs are
+    dropped by tokenization before shingling, so candidates are
+    space-insensitive; the exact verify is not.
+
+    Output: ``id_a, id_b, distance`` (<= max_distance), a subset of the
+    all-pairs truth with recall controlled by (num_hashes, bands).
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    from mlx_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    # every character its own whitespace-separated token: token n-grams
+    # downstream are then character n-grams
+    chars = F.regexp_replace(F.col(text_col), "(.)", "$1 ")
+    base = df.select(F.col(id_col).alias("_fid"), chars.alias("_chars"))
+    cand = minhash_lsh_pairs(
+        base,
+        text_col="_chars",
+        id_col="_fid",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=jaccard_floor,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
+    return (
+        cand.join(texts.select(F.col("_tid").alias("id_a"), F.col("_t").alias("_ta")), on="id_a")
+        .join(texts.select(F.col("_tid").alias("id_b"), F.col("_t").alias("_tb")), on="id_b")
+        .where(F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(max_distance))
         .withColumn("distance", F.levenshtein("_ta", "_tb"))
         .where(F.col("distance") <= F.lit(max_distance))
         .select("id_a", "id_b", "distance")

@@ -360,17 +360,29 @@ def knn_join_chunked(
     if cache_queries:
         # the sizing count below is then the ONLY full pass over the
         # query side: every per-chunk collect reads the cached blocks
-        # instead of re-scanning the source (n_chunks extra scans)
+        # instead of re-scanning the source (n_chunks extra scans).
+        # Multi-chunk callers own unpersisting the cached query side
+        # after consuming the result (as with cache_vectors); the
+        # single-chunk early return below unpersists itself, since one
+        # chunk means one collect and the cache would never be reused.
         queries = queries.persist()
     n_queries = queries.count()
     if n_queries == 0:
+        if cache_queries:
+            queries.unpersist()
         raise ValueError("empty query set")
     n_chunks = max(1, -(-n_queries // int(chunk_size)))
     if n_chunks == 1:
-        return knn_join_blocked(
+        out = knn_join_blocked(
             vectors, queries, k, metric, filter_metadata,
             vec_col, id_col, query_vec_col, query_id_col,
         )
+        if cache_queries:
+            # the block collect inside knn_join_blocked already ran: the
+            # cache did its one job; holding the blocks for the session
+            # lifetime would just leak executor memory
+            queries.unpersist()
+        return out
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
     filtered = apply_metadata_filter(vectors, filter_metadata).select(id_col, vec_col)

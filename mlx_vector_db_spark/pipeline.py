@@ -296,7 +296,14 @@ class TextPipeline:
             )
             chunks = chunks.join(src, on="document_id", how="left")
         embedded = embed_texts(chunks, self.encoder, self.dim)
-        return self.store.add_vectors(embedded)
+        # the append validates (one agg) then writes: persist so the
+        # chunk+encode stages run once, not once per pass — the encode is
+        # the expensive stage by construction (it's the model call)
+        embedded = embedded.persist()
+        try:
+            return self.store.add_vectors(embedded)
+        finally:
+            embedded.unpersist()
 
     def search_similar_texts(
         self, query: str, k: int = 10, **query_kwargs

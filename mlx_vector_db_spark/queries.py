@@ -752,7 +752,14 @@ def q_rag_pipeline(spark, sf_dir):
                        "document_source": "string"},
     )
     pipe = TextPipeline(store, RandomProjectionEncoder(384))
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    # 50 docs keeps every lifecycle stage exercised (chunk -> encode ->
+    # append -> retrieve) at a quarter of the sweep cost; a pushed-down
+    # id predicate (not limit) so the slice is deterministic and always
+    # contains doc_id 0, the retrieval target. coalesce(1) because 50
+    # docs fanned over 32 shuffle partitions pays a Python worker per
+    # empty partition in every Arrow stage — gate-slice tuning, not the
+    # production shape (at real scale the partitioning stays).
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).coalesce(1)
     pipe.index_documents(docs, chunk_size=400, overlap=50)
     target = docs.where(F.col("doc_id") == 0).first()
     out = pipe.retrieve_context(
@@ -900,15 +907,23 @@ def q_streaming_hourly_gate(spark, sf_dir):
     and the oracle is the same batch SQL events_hourly uses — proving
     stream == batch == DuckDB on identical data. (Complete mode so every
     window emits; append mode would hold back the final watermark-open
-    windows of a bounded replay.)"""
+    windows of a bounded replay.)
+
+    The replay streams a 4-file re-layout of events with one file per
+    trigger and REQUIRES >= 3 data micro-batches (query.recentProgress),
+    so the epoch machinery — state carried across batches, watermark
+    advancement — is provably exercised rather than collapsing into a
+    single batch that is a batch job in disguise."""
     import uuid as _uuid
 
     from mlx_vector_db_spark.streaming.ingest import (
         read_events_stream,
+        stage_events_multifile,
         windowed_event_counts,
     )
 
-    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    staged = stage_events_multifile(spark, f"{sf_dir}/events.parquet", n_files=4)
+    stream = read_events_stream(spark, staged)
     agg = windowed_event_counts(stream, window="1 hour")
     name = f"_stream_gate_{_uuid.uuid4().hex[:8]}"
     q = (
@@ -919,8 +934,15 @@ def q_streaming_hourly_gate(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
+        n_epochs = sum(
+            1 for p in q.recentProgress if int(p["numInputRows"]) > 0
+        )
     finally:
         q.stop()
+    if n_epochs < 3:
+        raise RuntimeError(
+            f"streaming gate expected >= 3 data micro-batches, saw {n_epochs}"
+        )
     out = spark.table(name)
     return out.select(
         F.unix_timestamp("window_start").alias("window_start"),
@@ -2070,6 +2092,40 @@ def q_part_fuzzy_pairs(spark, sf_dir):
     )
 
 
+def q_part_fuzzy_lsh_gate(spark, sf_dir):
+    """The unblocked scale tier of fuzzy matching, self-gated: char-
+    shingle MinHash candidates + exact levenshtein verify
+    (operators.fuzzy.lsh_fuzzy_pairs) against the all-pairs edit-
+    distance truth computed in-plan. precision must be exactly 1.0
+    (every emitted pair's distance is exact by construction — a
+    violation means the verify broke) and recall >= 0.9 (the banding
+    knob's contract). Runs on a 500-part slice so the quadratic truth
+    side stays audit-sized."""
+    from mlx_vector_db_spark.operators.fuzzy import lsh_fuzzy_pairs
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    lsh = lsh_fuzzy_pairs(part, "p_name", "p_partkey", max_distance=2)
+    truth = (
+        part.alias("a")
+        .join(part.alias("b"), F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.levenshtein("a.p_name", "b.p_name").alias("d"),
+        )
+        .where("d <= 2")
+    )
+    n_truth = truth.count()
+    n_lsh = lsh.count()
+    n_hit = lsh.join(truth, on=["id_a", "id_b"]).count()
+    precision_exact = n_hit == n_lsh
+    recall_ok = n_truth > 0 and n_hit / n_truth >= 0.9
+    passed = precision_exact and recall_ok
+    return spark.createDataFrame(
+        [(bool(passed),)], "passed boolean"
+    ).where("passed")
+
+
 def q_salted_join_parity(spark, sf_dir):
     """Skew-safe salted join, fully oracle-checked against the plain
     SQL join it must be indistinguishable from: scatter the left side
@@ -2209,6 +2265,7 @@ QUERIES: dict[str, QueryFn] = {
     "salted_join_parity": q_salted_join_parity,
     "streaming_knn_gate": q_streaming_knn_gate,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
+    "part_fuzzy_lsh_gate": q_part_fuzzy_lsh_gate,
 }
 
 _JACCARD_SHINGLES_BODY = """
@@ -3105,6 +3162,7 @@ ORACLES: dict[str, str] = {
     """,
     "minhash_recall_gate": "SELECT TRUE AS passed",
     "simhash_exactness_gate": "SELECT TRUE AS passed",
+    "part_fuzzy_lsh_gate": "SELECT TRUE AS passed",
     "minhash_precision_gate": "SELECT 0::BIGINT AS violations, TRUE AS passed",
     "simhash_precision_gate": "SELECT 0::BIGINT AS violations, TRUE AS passed",
     # survivors of component-clustered near-dup dedup, recomputed

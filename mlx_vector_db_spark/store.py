@@ -27,6 +27,14 @@ Spark-first mapping:
   optimize = file compaction (replaces "rebuild the index on every add").
 - query/batch_query build DataFrame plans via operators.knn — nothing
   here ever loops over collected rows.
+- durability: every mutation commits a MANIFEST — a JSON list of the
+  store's live data files, made current by one atomic ``os.replace`` of
+  a pointer file (the plain-parquet miniature of a table format's
+  snapshot commit). Readers resolve the file list through the pointer,
+  so a crash at ANY point of a mutation leaves them on the previous
+  snapshot: new files become visible only at the pointer flip, and
+  replaced files are unlinked only after it. Orphans from crashed
+  mutations are reaped by ``VectorStoreCatalog.vacuum``.
 
 Concurrency: single-writer per store (the reference holds an RLock per
 store, :63; at cluster scale the table format's optimistic concurrency
@@ -36,6 +44,7 @@ takes over).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import time
 import uuid
@@ -150,14 +159,20 @@ class VectorStoreCatalog:
         return VectorStore(self, cfg)
 
     def vacuum(self, min_age_seconds: int = 3600) -> int:
-        """Remove orphaned ``.staging-*`` directories left behind by
-        mutation swaps that crashed mid-flight (upsert/delete/optimize
-        write to a staging dir, then swap; a crash between the two
-        leaves the staging dir — invisible to readers but eating disk).
-        Only dirs older than ``min_age_seconds`` go, so an in-flight
-        swap on another handle is never raced. Returns the count
-        removed — the plain-parquet analog of ``VACUUM`` on a table
-        format."""
+        """Reap everything a crashed (or interrupted) mutation can
+        strand, none of which the manifest protocol lets readers see:
+
+        - ``.staging-*`` directories (crash before the staged files
+          moved in),
+        - data files not referenced by a store's CURRENT manifest
+          (crash after the pointer flip but before the replaced
+          originals were unlinked, or a crashed append),
+        - superseded ``manifest-*.json`` snapshots.
+
+        Only items older than ``min_age_seconds`` go, so an in-flight
+        mutation on another handle is never raced (its files exist
+        before its pointer flip). Returns the count removed — the
+        plain-parquet analog of ``VACUUM`` on a table format."""
         now = time.time()
         n = 0
         for p in self.root.glob("**/.staging-*"):
@@ -167,6 +182,33 @@ class VectorStoreCatalog:
                     n += 1
             except OSError:  # raced by a concurrent swap finishing
                 continue
+        for cfg in self.list_stores():
+            st = VectorStore(self, cfg)
+            live = st._live_files()
+            if live is None:  # legacy layout: every file is live
+                continue
+            live_set = {p.resolve() for p in live}
+            for f in st.data_dir.glob("**/*.parquet"):
+                try:
+                    if (
+                        f.resolve() not in live_set
+                        and now - f.stat().st_mtime > min_age_seconds
+                    ):
+                        f.unlink()
+                        n += 1
+                except OSError:
+                    continue
+            current = (st._manifest_dir / "CURRENT").read_text().strip()
+            for m in st._manifest_dir.glob("manifest-*.json"):
+                try:
+                    if (
+                        m.name != current
+                        and now - m.stat().st_mtime > min_age_seconds
+                    ):
+                        m.unlink()
+                        n += 1
+                except OSError:
+                    continue
         return n
 
     def store_exists(self, user_id: str, model_id: str) -> bool:
@@ -289,8 +331,13 @@ class VectorStore:
         #: Micro-batch ingest on one store handle then pays the max-id
         #: scan ONCE, not per batch. Deletes may leave this larger than
         #: the true max — safe: ids are allowed to be sparse, the cache
-        #: only needs to never go backwards.
+        #: only needs to never go backwards. Guarded by ``_id_token``:
+        #: the cache is trusted only while the store's file-set token is
+        #: the one it was computed (or last advanced) under, so a write
+        #: through ANOTHER handle or process invalidates it instead of
+        #: silently reissuing its ids.
         self._max_id_seen: int | None = None
+        self._id_token: str | None = None
         self.data_dir = (
             catalog.root
             / f"user_id={config.user_id}"
@@ -356,13 +403,80 @@ class VectorStore:
     def _cell_partitioned(self) -> bool:
         return bool((self.config.index or {}).get("partitioned"))
 
+    # -- manifest commit protocol ------------------------------------------
+    #
+    # Every mutation ends in _commit_manifest: write the live-file list
+    # to _manifests/manifest-<uuid>.json, then atomically os.replace the
+    # CURRENT pointer at it. The pointer flip is the ONE commit point —
+    # before it readers resolve the old snapshot (old files are still on
+    # disk; staged files are invisible because they're not in the old
+    # manifest), after it the new one. Replaced files are unlinked only
+    # post-flip, best-effort: a failure strands orphans that vacuum()
+    # reaps, never a wrong read. The _manifests/ dir name starts with
+    # '_' so Spark's file discovery ignores it.
+
+    @property
+    def _manifest_dir(self) -> Path:
+        return self.data_dir / "_manifests"
+
+    def _live_files(self) -> list[Path] | None:
+        """The committed snapshot's data files, or None when the store
+        has no manifest yet (legacy directory layout, or never written):
+        callers then fall back to the directory listing."""
+        ptr = self._manifest_dir / "CURRENT"
+        if not ptr.exists():
+            return None
+        name = ptr.read_text().strip()
+        data = json.loads((self._manifest_dir / name).read_text())
+        return [self.data_dir / rel for rel in data["files"]]
+
+    def _data_files(self) -> list[Path]:
+        live = self._live_files()
+        if live is not None:
+            return live
+        if not self.data_dir.exists():
+            return []
+        return sorted(self.data_dir.glob("**/*.parquet"))
+
+    def _files_token(self) -> str:
+        """Cheap identity of the store's committed file set — changes on
+        every manifest commit (and on any file churn for legacy dirs)."""
+        ptr = self._manifest_dir / "CURRENT"
+        if ptr.exists():
+            return ptr.read_text().strip()
+        if not self.data_dir.exists():
+            return "<empty>"
+        return "|".join(sorted(str(p) for p in self.data_dir.glob("**/*.parquet")))
+
+    def _commit_manifest(self, files: Sequence[Path]) -> None:
+        """Atomic snapshot commit: manifest write + pointer flip."""
+        rels = sorted(
+            str(Path(f).relative_to(self.data_dir)) for f in set(files)
+        )
+        mid = uuid.uuid4().hex
+        mname = f"manifest-{mid}.json"
+        self._manifest_dir.mkdir(parents=True, exist_ok=True)
+        (self._manifest_dir / mname).write_text(
+            json.dumps({"files": rels, "committed_at": time.time()})
+        )
+        tmp = self._manifest_dir / f".CURRENT.tmp-{mid}"
+        tmp.write_text(mname)
+        os.replace(tmp, self._manifest_dir / "CURRENT")  # the commit point
+        # our own commit: keep the max-id cache trusted under the new token
+        self._id_token = mname
+
     def to_df(self) -> DataFrame:
-        """The store as a DataFrame (scan, with pushdown-capable columns)."""
-        if not self.data_dir.exists() or not any(
-            self.data_dir.glob("**/*.parquet")
-        ):
+        """The store as a DataFrame (scan, with pushdown-capable columns),
+        resolved through the current manifest snapshot when one exists."""
+        files = self._data_files()
+        if not files:
             return self._empty()
-        return self.catalog.spark.read.schema(self.schema).parquet(str(self.data_dir))
+        reader = self.catalog.spark.read.schema(self.schema)
+        if self._cell_partitioned():
+            # explicit file lists drop Hive partition-dir resolution;
+            # basePath restores the centroid_id partition column
+            reader = reader.option("basePath", str(self.data_dir))
+        return reader.parquet(*[str(f) for f in files])
 
     # -- ingest ------------------------------------------------------------
 
@@ -503,13 +617,21 @@ class VectorStore:
     def _next_id(self) -> int:
         """Smallest id larger than every id ever visible in the store
         (0 when empty) — the auto-assignment base. The max-id scan runs
-        only when ``_max_id_seen`` is cold (new handle, or invalidated by
-        a DataFrame write whose ids weren't known driver-side)."""
+        only when ``_max_id_seen`` is cold (new handle, invalidated by a
+        DataFrame write whose ids weren't known driver-side, or — checked
+        here — a write that landed through a DIFFERENT handle/process
+        since the cache was computed, detected by the file-set token;
+        trusting a stale cache would reissue existing ids and corrupt
+        every id-keyed op)."""
+        token = self._files_token()
+        if self._max_id_seen is not None and token != self._id_token:
+            self._max_id_seen = None  # foreign write detected
         if self._max_id_seen is None:
             rows = self.to_df().agg(F.max("id")).collect()
             self._max_id_seen = (
                 int(rows[0][0]) if rows and rows[0][0] is not None else -1
             )
+            self._id_token = token
         return self._max_id_seen + 1
 
     def _note_ids(self, ids: Sequence[int] | None) -> None:
@@ -551,14 +673,30 @@ class VectorStore:
         inheriting the input's partitioning: a 500-row python batch
         otherwise fans out into one tiny file per shuffle partition
         (small-file problem), while a billion-row ingest still gets
-        ceil(n/rows_per_file) parallel writers."""
+        ceil(n/rows_per_file) parallel writers.
+
+        Commit: the new part-files join the manifest only after the write
+        finishes — a crashed append strands invisible orphans (vacuum
+        reaps them), never a torn snapshot."""
         rows_per_file = 500_000
         n_files = max(1, -(-n_rows // rows_per_file))
         out = out.repartition(n_files) if n_files > 1 else out.coalesce(1)
+        live_before = self._data_files()
+        phys_before = (
+            set(self.data_dir.glob("**/*.parquet"))
+            if self.data_dir.exists()
+            else set()
+        )
         writer = out.write.mode(mode)
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
         writer.parquet(str(self.data_dir))
+        added = [
+            f
+            for f in self.data_dir.glob("**/*.parquet")
+            if f not in phys_before
+        ]
+        self._commit_manifest([*live_before, *added])
 
     # -- pruned-rewrite machinery (plain-parquet analog of a table
     # -- format's stats-pruned MERGE/DELETE; see SCALE.md) -----------------
@@ -572,7 +710,7 @@ class VectorStore:
         import pyarrow.parquet as papq
 
         out: list[tuple[Path, int | None, int | None]] = []
-        for f in sorted(self.data_dir.glob("**/*.parquet")):
+        for f in self._data_files():
             lo: int | None = None
             hi: int | None = None
             try:
@@ -624,22 +762,38 @@ class VectorStore:
         return touched, untouched
 
     def _swap_pruned_files(self, staging: Path, touched: list[Path]) -> None:
-        """Replace only the rewritten files: unlink the touched originals,
-        then move the staged part-files in under collision-free names,
-        preserving Hive partition subdirs (``centroid_id=N/``) so a
-        cell-partitioned layout's pruned rewrite lands rows back in
-        their cells. NOT crash-atomic on plain parquet (a crash between
-        the unlink and the moves loses the touched slice) — a table
-        format's atomic snapshot commit is the real fix at scale
-        (SCALE.md); the win here is that untouched files are never
-        rewritten at all."""
-        for f in touched:
-            f.unlink()
+        """Replace only the rewritten files, crash-atomically: move the
+        staged part-files in under collision-free names (preserving Hive
+        partition subdirs, ``centroid_id=N/``, so a cell-partitioned
+        rewrite lands rows back in their cells), commit a manifest whose
+        live set is ``(old - touched) + staged``, and only then unlink
+        the touched originals. A crash before the pointer flip leaves
+        readers on the old snapshot (originals untouched, staged files
+        invisible); a crash after it leaves the new snapshot live with
+        the originals stranded as orphans for vacuum() — never a lost
+        slice. Untouched files are never rewritten at all."""
+        live = set(self._data_files())
+        staged: list[Path] = []
         for p in staging.glob("**/*.parquet"):
             dest_dir = self.data_dir / p.relative_to(staging).parent
             dest_dir.mkdir(parents=True, exist_ok=True)
-            p.rename(dest_dir / f"part-{uuid.uuid4().hex}.parquet")
+            dest = dest_dir / f"part-{uuid.uuid4().hex}.parquet"
+            p.rename(dest)
+            staged.append(dest)
+        self._commit_manifest([*(live - set(touched)), *staged])
+        for f in touched:
+            try:
+                f.unlink()
+            except OSError:  # stranded orphan — vacuum reaps it
+                pass
         shutil.rmtree(staging, ignore_errors=True)
+
+    def _swap_all_files(self, staging: Path) -> None:
+        """Full-rewrite commit (optimize/build_index/build_pq/truncating
+        mutations): same protocol as the pruned swap with every current
+        live file replaced. Replaces the old rmtree+rename, whose window
+        between the two calls read as an empty store."""
+        self._swap_pruned_files(staging, sorted(set(self._data_files())))
 
     def upsert_vectors(
         self,
@@ -667,9 +821,12 @@ class VectorStore:
         Rewrite pruning: only parquet files whose footer id min/max
         range intersects the batch's id range are rewritten — untouched
         files stay in place byte-for-byte (the same file-level pruning a
-        table format's MERGE does from manifest stats). Falls back to
-        the full staging swap under a cell-partitioned layout, where
-        centroid reassignment can move rows across partition dirs.
+        table format's MERGE does from manifest stats). The pruned path
+        handles the cell-partitioned layout too: the touched files are
+        read with ``basePath`` so their partition column resolves, and
+        the staged rewrite is partitioned back into (possibly different)
+        cell dirs. The full staging swap runs only when every file
+        overlaps the batch's id range (or the store is empty).
 
         Job budget: ONE aggregation over the batch (count + duplicate +
         dimension + id-range together) and ONE write; all before/after
@@ -688,6 +845,11 @@ class VectorStore:
             F.max("id").alias("hi"),
         ).first()
         n_new = int(row["n"])
+        if n_new == 0:
+            # empty batch: a no-op MERGE, not a crash (the agg's lo/hi
+            # are NULL and must never reach _partition_files_by_ids)
+            new.unpersist()
+            return 0, 0
         if row["bad"]:
             new.unpersist()
             raise ValueError(f"embedding dimension mismatch: store expects {dim}")
@@ -752,8 +914,7 @@ class VectorStore:
         writer.parquet(str(staging))
         before = int(obs_b.get["n"])
         after = int(obs_a.get["n"])
-        shutil.rmtree(self.data_dir, ignore_errors=True)
-        staging.rename(self.data_dir)
+        self._swap_all_files(staging)
         new.unpersist()
         inserted = after - before
         return n_new - inserted, inserted
@@ -827,8 +988,7 @@ class VectorStore:
             ).parquet(str(staging))
         else:
             out.write.mode("overwrite").parquet(str(staging))
-        shutil.rmtree(self.data_dir, ignore_errors=True)
-        staging.rename(self.data_dir)
+        self._swap_all_files(staging)
         self.config.index = index.to_dict()
         self.config.index["partitioned"] = bool(partition_by_cell)
         self._ivf_cache = index
@@ -898,8 +1058,7 @@ class VectorStore:
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
         writer.parquet(str(staging))
-        shutil.rmtree(self.data_dir, ignore_errors=True)
-        staging.rename(self.data_dir)
+        self._swap_all_files(staging)
         self.config.pq = pqc.to_dict()
         self.config.pq["residual"] = bool(use_residual)
         self._pq_cache = pqc
@@ -1181,7 +1340,7 @@ class VectorStore:
 
         if ids is None and filter_metadata is None:
             raise ValueError("provide ids and/or filter_metadata")
-        if not self.data_dir.exists() or not any(self.data_dir.glob("**/*.parquet")):
+        if not self._data_files():
             return 0
         spark = self.catalog.spark
         fields = [f.name for f in self.schema.fields]
@@ -1235,13 +1394,30 @@ class VectorStore:
         writer.parquet(str(staging))
         before = int(obs_b.get["n"])
         after = int(obs_a.get["n"])
-        shutil.rmtree(self.data_dir, ignore_errors=True)
-        staging.rename(self.data_dir)
+        self._swap_all_files(staging)
         return before - after
 
     def clear(self) -> None:
-        """TRUNCATE (reference service/optimized_vector_store.py:198-209)."""
-        shutil.rmtree(self.data_dir, ignore_errors=True)
+        """TRUNCATE (reference service/optimized_vector_store.py:198-209).
+
+        Commits an empty manifest FIRST (the atomic truncate), then
+        reclaims the data files best-effort — a crash mid-way leaves
+        readers on the committed empty snapshot, never on a partially
+        deleted directory listing."""
+        if self.data_dir.exists():
+            files = self._data_files()
+            self._commit_manifest([])
+            for f in files:
+                try:
+                    f.unlink()
+                except OSError:  # orphan — vacuum reaps it
+                    pass
+            # reap now-empty Hive partition dirs (best-effort)
+            for d in sorted(self.data_dir.glob("centroid_id=*"), reverse=True):
+                try:
+                    d.rmdir()
+                except OSError:
+                    pass
         self._max_id_seen = None
 
     def optimize(self, target_files: int = 4, sort_by: str | None = None) -> int:
@@ -1278,10 +1454,9 @@ class VectorStore:
             )
         else:
             df.coalesce(target_files).write.mode("overwrite").parquet(str(staging))
-        shutil.rmtree(self.data_dir, ignore_errors=True)
-        staging.rename(self.data_dir)
+        self._swap_all_files(staging)
         self._max_id_seen = None  # layout changed; recompute lazily
-        return len(list(self.data_dir.glob("**/*.parquet")))
+        return len(self._data_files())
 
     # -- SQL surface -------------------------------------------------------
 
@@ -1320,9 +1495,7 @@ class VectorStore:
             "index_type": (self.config.index or {}).get("type", "none"),
             "pq": bool(self.config.pq),
             "cell_partitioned": self._cell_partitioned(),
-            "files": len(list(self.data_dir.glob("**/*.parquet")))
-            if self.data_dir.exists()
-            else 0,
+            "files": len(self._data_files()),
         }
 
     def health_check(self) -> dict[str, Any]:

@@ -26,6 +26,8 @@ rather than a bespoke in-memory dict.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -47,6 +49,46 @@ EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def stage_events_multifile(
+    spark: SparkSession,
+    events_path: str,
+    n_files: int = 4,
+    stage_root: str | None = None,
+) -> str:
+    """Re-lay a bounded events table as ``n_files`` parquet files in a
+    staging directory and return that directory.
+
+    A single-file table replayed through :func:`read_events_stream`
+    collapses into ONE micro-batch no matter what ``maxFilesPerTrigger``
+    says — the epoch machinery (watermark advancement, state eviction,
+    idempotent ledger under replay) never actually turns over. Streaming
+    the multi-file copy with one file per trigger provably crosses
+    >= ``n_files`` epochs; gates assert it via ``query.recentProgress``.
+
+    The staged copy is keyed by source path + file count and reused
+    across calls (a ``_SUCCESS`` marker completes the write), so
+    repeated gate runs pay the re-layout once.
+    """
+    import os
+    import tempfile
+
+    key = hashlib.md5(
+        f"{os.path.abspath(events_path)}::{n_files}".encode()
+    ).hexdigest()[:12]
+    root = stage_root or os.path.join(
+        tempfile.gettempdir(), "mlx_vector_db_spark-event-stages"
+    )
+    stage = os.path.join(root, f"events-{key}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            spark.read.parquet(events_path)
+            .repartition(int(n_files))
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+    return stage
 
 
 def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:

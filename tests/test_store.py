@@ -388,6 +388,117 @@ def test_catalog_vacuum_removes_orphaned_staging(catalog):
     assert st.count() == 4
 
 
+# -- manifest snapshot commit: crash-atomicity of mutations ---------------
+
+
+def test_mutation_crash_before_commit_keeps_old_snapshot(catalog, monkeypatch):
+    """Kill the swap after the staged files moved in but before the
+    pointer flip: readers must still resolve the pre-mutation snapshot,
+    vacuum must reap the stranded staged files, and a retry must land."""
+    import mlx_vector_db_spark.store as S
+
+    st = catalog.create_store("crash1", "m", dimension=4)
+    st.add_vectors([[float(i), 0.0, 0.0, 0.0] for i in range(50)],
+                   ids=list(range(50)))
+    before_ids = {r["id"] for r in st.to_df().select("id").collect()}
+    n_files_before = len(st._data_files())
+
+    def boom(self, files):
+        raise OSError("simulated crash before manifest commit")
+
+    with monkeypatch.context() as m:
+        m.setattr(S.VectorStore, "_commit_manifest", boom)
+        with pytest.raises(OSError):
+            st.delete_vectors(ids=[3, 4])
+    # fresh handle (as after a process restart): pre-mutation snapshot
+    st2 = catalog.get_store("crash1", "m")
+    assert {r["id"] for r in st2.to_df().select("id").collect()} == before_ids
+    # the crashed rewrite stranded orphan part-files next to the live ones
+    orphans = set(st2.data_dir.glob("**/*.parquet")) - set(st2._data_files())
+    assert orphans
+    assert catalog.vacuum(min_age_seconds=0) >= len(orphans)
+    assert not set(st2.data_dir.glob("**/*.parquet")) - set(st2._data_files())
+    assert len(st2._data_files()) == n_files_before
+    # retry succeeds on the intact snapshot
+    assert st2.delete_vectors(ids=[3, 4]) == 2
+    assert st2.count() == 48
+
+
+def test_mutation_crash_at_pointer_flip_keeps_old_snapshot(catalog, monkeypatch):
+    """Kill the swap at the atomic rename itself: same contract."""
+    import mlx_vector_db_spark.store as S
+
+    st = catalog.create_store("crash2", "m", dimension=4)
+    st.add_vectors([[float(i), 0.0, 0.0, 0.0] for i in range(20)],
+                   ids=list(range(20)))
+    before_ids = {r["id"] for r in st.to_df().select("id").collect()}
+    real_replace = S.os.replace
+
+    def boom(src, dst):
+        if "CURRENT" in str(dst):
+            raise OSError("simulated crash at pointer flip")
+        return real_replace(src, dst)
+
+    with monkeypatch.context() as m:
+        m.setattr(S.os, "replace", boom)
+        with pytest.raises(OSError):
+            st.upsert_vectors([[9.0, 9.0, 9.0, 9.0]], ids=[5])
+    st2 = catalog.get_store("crash2", "m")
+    assert {r["id"] for r in st2.to_df().select("id").collect()} == before_ids
+    assert list(st2.to_df().where("id = 5").first()["embedding"]) == [
+        5.0, 0.0, 0.0, 0.0,
+    ]
+    # retry applies the update
+    assert st2.upsert_vectors([[9.0, 9.0, 9.0, 9.0]], ids=[5]) == (1, 0)
+    assert list(st2.to_df().where("id = 5").first()["embedding"]) == [
+        9.0, 9.0, 9.0, 9.0,
+    ]
+
+
+def test_orphaned_originals_after_commit_are_invisible_and_vacuumed(
+    catalog, monkeypatch
+):
+    """Kill the post-commit unlink of replaced originals: the new
+    snapshot is already live (the delete happened), the stranded
+    originals are invisible to readers, and vacuum reclaims them."""
+    from pathlib import Path
+
+    st = catalog.create_store("crash3", "m", dimension=4)
+    st.add_vectors([[float(i), 0.0, 0.0, 0.0] for i in range(30)],
+                   ids=list(range(30)))
+    real_unlink = Path.unlink
+
+    def flaky_unlink(self, *a, **kw):
+        if self.suffix == ".parquet" and "crash3" in str(self):
+            raise OSError("simulated crash during orphan unlink")
+        return real_unlink(self, *a, **kw)
+
+    with monkeypatch.context() as m:
+        m.setattr(Path, "unlink", flaky_unlink)
+        assert st.delete_vectors(ids=[7]) == 1  # commit already landed
+    st2 = catalog.get_store("crash3", "m")
+    assert st2.count() == 29
+    assert st2.to_df().where("id = 7").count() == 0
+    orphans = set(st2.data_dir.glob("**/*.parquet")) - set(st2._data_files())
+    assert orphans
+    assert catalog.vacuum(min_age_seconds=0) >= len(orphans)
+    assert st2.count() == 29  # live data untouched by the reap
+
+
+def test_second_handle_write_invalidates_auto_id_cache(catalog):
+    """Two handles on one store: after handle B appends, handle A's next
+    auto-id add must re-scan (manifest token changed) instead of
+    reissuing ids from its stale cache."""
+    a = catalog.create_store("twoh", "m", dimension=4)
+    a.add_vectors([[1.0, 0.0, 0.0, 0.0]] * 5)          # ids 0-4, warms cache
+    b = catalog.get_store("twoh", "m")
+    b.add_vectors([[2.0, 0.0, 0.0, 0.0]] * 5)          # ids 5-9 via B
+    a.add_vectors([[3.0, 0.0, 0.0, 0.0]] * 5)          # A must start at 10
+    df = a.to_df()
+    assert df.count() == 15
+    assert df.select("id").distinct().count() == 15    # no id reuse
+
+
 def test_optimize_sort_by_makes_pruning_surgical(catalog):
     """Interleaved appends give every file an overlapping id range (any
     point delete must rewrite them all); optimize(sort_by='id')

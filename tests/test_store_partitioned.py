@@ -32,7 +32,8 @@ def store(spark, tmp_path):
 
 
 def test_layout_is_hive_partitioned(store):
-    subdirs = {p.name for p in store.data_dir.iterdir() if p.is_dir()}
+    subdirs = {p.name for p in store.data_dir.iterdir()
+               if p.is_dir() and not p.name.startswith("_")}  # _manifests is metadata
     assert subdirs and all(d.startswith("centroid_id=") for d in subdirs)
     assert store.stats()["cell_partitioned"] is True
     assert store.count() == N
@@ -60,7 +61,8 @@ def test_append_lands_in_cell_subdir(store):
 def test_delete_and_optimize_preserve_layout(store):
     removed = store.delete_vectors(ids=[0, 1, 2])
     assert removed == 3 and store.count() == N - 3
-    subdirs = {p.name for p in store.data_dir.iterdir() if p.is_dir()}
+    subdirs = {p.name for p in store.data_dir.iterdir()
+               if p.is_dir() and not p.name.startswith("_")}  # _manifests is metadata
     assert all(d.startswith("centroid_id=") for d in subdirs)
     store.optimize()
     assert store.count() == N - 3
@@ -107,7 +109,8 @@ def test_partitioned_pruned_delete_preserves_untouched_files(spark, tmp_path):
     for p, m in untouched.items():
         assert survivors[p] == m
     # layout still Hive-partitioned and queryable via partition pruning
-    subdirs = {p.name for p in st.data_dir.iterdir() if p.is_dir()}
+    subdirs = {p.name for p in st.data_dir.iterdir()
+               if p.is_dir() and not p.name.startswith("_")}  # _manifests is metadata
     assert all(d.startswith("centroid_id=") for d in subdirs)
     assert st.to_df().where("id = 5003").count() == 0
     assert st.to_df().where("id = 3").count() == 1

@@ -31,6 +31,48 @@ def _run_to_memory(df, name):
     return q
 
 
+def test_multifile_replay_crosses_micro_batch_epochs(spark, sf_small):
+    """The staged multi-file replay must run >= 3 data micro-batches
+    (one file per trigger) AND still aggregate to exactly the batch
+    result — state provably carries across epochs instead of the whole
+    replay collapsing into one batch."""
+    from mlx_vector_db_spark.streaming.ingest import stage_events_multifile
+
+    staged = stage_events_multifile(
+        spark, f"{sf_small}/events.parquet", n_files=4
+    )
+    stream = read_events_stream(spark, staged)
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("epoch_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    epochs = sum(1 for p in q.recentProgress if int(p["numInputRows"]) > 0)
+    q.stop()
+    assert epochs >= 3, f"expected >= 3 data micro-batches, saw {epochs}"
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM epoch_counts").collect()
+    }
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    exp = {
+        (r["ws"], r["event_type"]): (r["n"], r["s"])
+        for r in (
+            ev.withColumn("event_time", events_ts(ev))
+            .groupBy(
+                F.date_trunc("hour", "event_time").alias("ws"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for key, (n, s) in got.items():
+        assert exp[key][0] == n
+
+
 def test_windowed_counts_match_batch(spark, sf_small):
     stream = read_events_stream(spark, sf_small)
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
