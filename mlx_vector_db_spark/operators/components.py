@@ -42,6 +42,10 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # edges join into EVERY propagation round: checkpoint once so the
+    # (possibly expensive) pair-generation lineage — a MinHash banding
+    # pipeline, say — runs once, not once per round
+    edges = edges.localCheckpoint(eager=True)
     # initial label: the node's own id and every neighbor's id, collapsed
     labels = (
         edges.groupBy("src")
