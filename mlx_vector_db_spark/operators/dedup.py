@@ -186,21 +186,34 @@ def minhash_lsh_pairs(
     # minhash_signature inlines the shingle subtree K times —
     # CollapseProject defeats common-subexpression reuse across
     # higher-order functions — which measured ~60x slower at sf0.1.)
+    # The SAME aggregate also collect_sets the 64-bit shingle hashes the
+    # exact-verify stage needs, so the corpus is tokenized+hashed ONCE —
+    # the old separate verify-side projection re-ran the whole shingle
+    # pipeline over every document. The folded 32-bit registers exist
+    # only inside the min expressions; the verify sets stay 64-bit, so
+    # emitted jaccards are bit-identical to the two-pass version.
     a, b = _minhash_coeffs(num_hashes, seed)
     base = rebalance_for_compute(df, id_col, text_col)
     exploded = base.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(_hashed_shingles(text_col, shingle_n)).alias("_hs"),
-    ).select("_id", _fold32(F.col("_hs")).alias("_h"))
+    )
+    folded = _fold32(F.col("_hs"))
     sig = exploded.groupBy("_id").agg(
+        F.collect_set("_hs").alias("_sh"),
         *[
             F.coalesce(
-                F.min(F.pmod(F.col("_h") * F.lit(a[k]) + F.lit(b[k]), F.lit(_MERSENNE_P))),
+                F.min(F.pmod(folded * F.lit(a[k]) + F.lit(b[k]), F.lit(_MERSENNE_P))),
                 F.lit(_MERSENNE_P),
             ).alias(f"_h{k}")
             for k in range(num_hashes)
         ]
     )
+    # materialize once, lineage-truncated: banding reads it, and the
+    # verify joins read it twice more. A lazy localCheckpoint (not
+    # persist) so the blocks are context-cleaned when the frame goes out
+    # of scope instead of pinning executor storage for the session.
+    sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -241,11 +254,10 @@ def minhash_lsh_pairs(
     )
     # exact verify over hashed shingle sets: integer array_intersect /
     # array_union, identical Jaccard up to 64-bit hash collisions (the
-    # string-set variant with a DuckDB oracle lives in jaccard_pairs)
-    sh = base.select(
-        F.col(id_col).alias("_sid"),
-        _hashed_shingles(text_col, shingle_n).alias("_sh"),
-    )
+    # string-set variant with a DuckDB oracle lives in jaccard_pairs).
+    # The sets come from the checkpointed aggregate above — no second
+    # pass over the text.
+    sh = sig.select(F.col("_id").alias("_sid"), "_sh")
     cand = (
         cand.join(sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a")), on="id_a")
         .join(sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b")), on="id_b")
