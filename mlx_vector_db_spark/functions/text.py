@@ -29,6 +29,7 @@ __all__ = [
     "tokens",
     "text_quality",
     "shingles",
+    "shingles_from_tokens",
     "doc_fingerprint",
     "language_scores",
     "detect_language",
@@ -213,11 +214,14 @@ def detect_language(col: Column | str, min_score: float = 0.0) -> Column:
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (for MinHash / Jaccard). Texts with
-    fewer than ``n`` tokens yield their whole token sequence as one
-    shingle."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """:func:`shingles` over an already-tokenized ``array<string>``
+    column. Callers that can materialize the token array in its own
+    projection first (``df.select(tokens(c).alias("_toks"))``) should:
+    the per-index lambda below references the token array per shingle,
+    and higher-order-function lambdas evaluate outside codegen CSE — an
+    inline ``split()`` there is re-run for EVERY index (O(m·len) per
+    doc, measured 4× slower on the documents table)."""
     k = F.lit(int(n))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
@@ -226,6 +230,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(grams)
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (for MinHash / Jaccard). Texts with
+    fewer than ``n`` tokens yield their whole token sequence as one
+    shingle. Expression form — tokenizes inline; prefer
+    :func:`shingles_from_tokens` over a materialized token column in
+    DataFrame-level operators (see its docstring for why)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def doc_fingerprint(col: Column | str) -> Column:

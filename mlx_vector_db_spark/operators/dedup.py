@@ -68,15 +68,22 @@ def _fold32(col: Column) -> Column:
     return col.bitwiseAND(F.lit((1 << 32) - 1))
 
 
-def _hashed_shingles(col: Column | str, n: int, seed: int | None = None) -> Column:
-    """Distinct 64-bit shingle hashes WITHOUT materializing shingle
-    strings: xxhash64 hashes each token slice (an array column) in
-    place. Building the joined n-gram strings (~shingle-count string
-    allocations per document) was the dominant cost of the signature
-    stage, not the hashing or the min-aggregation. Tokenization matches
+def _hashed_shingles_from_tokens(
+    toks: Column, n: int, seed: int | None = None
+) -> Column:
+    """Distinct 64-bit shingle hashes over an already-tokenized
+    ``array<string>`` column: xxhash64 hashes each token slice (an array
+    column) in place, WITHOUT materializing shingle strings — building
+    the joined n-gram strings (~shingle-count string allocations per
+    document) was the dominant cost of the signature stage.
+
+    ``toks`` must be a materialized column (its own projection), not an
+    inline ``tokens(text)`` expression: the per-index lambda references
+    it once per shingle, and higher-order-function lambdas evaluate
+    outside codegen CSE, so an inline split() is re-run for EVERY index
+    — O(m·len) per doc. Tokenization matches
     :func:`mlx_vector_db_spark.functions.text.shingles` (short texts
     yield their whole token sequence as one shingle)."""
-    toks = tokens(col)
     k = F.lit(int(n))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
@@ -87,6 +94,13 @@ def _hashed_shingles(col: Column | str, n: int, seed: int | None = None) -> Colu
     return F.array_distinct(
         F.when(F.size(toks) == 0, F.array().cast("array<bigint>")).otherwise(grams)
     )
+
+
+def _hashed_shingles(col: Column | str, n: int, seed: int | None = None) -> Column:
+    """Expression form of :func:`_hashed_shingles_from_tokens` —
+    tokenizes inline (pays the per-index re-split; fine for the
+    tiny-input expression APIs, wrong for corpus-scale operators)."""
+    return _hashed_shingles_from_tokens(tokens(col), n, seed)
 
 
 def exact_dedup(
@@ -194,9 +208,15 @@ def minhash_lsh_pairs(
     # emitted jaccards are bit-identical to the two-pass version.
     a, b = _minhash_coeffs(num_hashes, seed)
     base = rebalance_for_compute(df, id_col, text_col)
-    exploded = base.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(_hashed_shingles(text_col, shingle_n)).alias("_hs"),
+    # tokens in their own projection: the shingle lambda slices the
+    # token array per index, and an inline split() would re-run per
+    # shingle (HOF lambdas evaluate outside codegen CSE)
+    tokd = base.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    exploded = tokd.select(
+        "_id",
+        F.explode_outer(
+            _hashed_shingles_from_tokens(F.col("_toks"), shingle_n)
+        ).alias("_hs"),
     )
     folded = _fold32(F.col("_hs"))
     sig = exploded.groupBy("_id").agg(
@@ -353,9 +373,16 @@ def simhash_signatures(
     bit-vote aggregates (same single-pass shape as the MinHash
     signature; the :func:`simhash` expression form recomputes the
     shingle subtree per bit and is only sensible for tiny inputs)."""
-    exploded = rebalance_for_compute(df, id_col, text_col).select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(_hashed_shingles(text_col, shingle_n, seed=seed)).alias("_h"),
+    exploded = (
+        rebalance_for_compute(df, id_col, text_col)
+        # materialized token projection — see _hashed_shingles_from_tokens
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .select(
+            "_id",
+            F.explode_outer(
+                _hashed_shingles_from_tokens(F.col("_toks"), shingle_n, seed=seed)
+            ).alias("_h"),
+        )
     )
     votes = exploded.groupBy("_id").agg(
         *[
@@ -447,12 +474,21 @@ def jaccard_pairs(
     """Exact n-gram Jaccard pairs, all-pairs within ``block_col`` groups
     (or globally when ``block_col`` is None — small data only; use
     :func:`minhash_lsh_pairs` at scale)."""
-    base = rebalance_for_compute(
-        df, id_col, text_col, *([block_col] if block_col else [])
-    ).select(
-        F.col(id_col).alias("_id"),
-        shingles(text_col, shingle_n).alias("_sh"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    from mlx_vector_db_spark.functions.text import shingles_from_tokens
+
+    base = (
+        rebalance_for_compute(df, id_col, text_col, *([block_col] if block_col else []))
+        # materialized token projection — see _hashed_shingles_from_tokens
+        .select(
+            F.col(id_col).alias("_id"),
+            tokens(text_col).alias("_toks"),
+            *([F.col(block_col).alias("_blk")] if block_col else []),
+        )
+        .select(
+            "_id",
+            shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"),
+            *(["_blk"] if block_col else []),
+        )
     )
     on = ["_blk"] if block_col else None
     left = base.select(*(["_blk"] if block_col else []), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))

@@ -208,14 +208,26 @@ def winnow_fingerprints(
     Gram hashes are the first 8 md5 hex digits, so any engine
     reproduces the exact fingerprint values (the portability trick
     :func:`~mlx_vector_db_spark.operators.sampling.sample_key` uses).
+
+    The gram-hash array is materialized in its own projection before
+    the sliding-min pass. Inlining it into the per-window lambda makes
+    Catalyst re-evaluate the whole md5 transform for EVERY window index
+    (codegen CSE does not reach inside higher-order-function lambdas) —
+    O(m²) hashing, measured 50× slower at 500 docs. CollapseProject
+    keeps the two projections separate because the array is non-cheap
+    and multiply referenced.
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1 (got k={k}, w={w})")
     grams = word_ngrams(text_col, k)
-    h = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        ).alias("_gram_hashes"),
     )
+    h = F.col("_gram_hashes")
     m = F.size(h)
     nwin = m - F.lit(w - 1)
     windowed = F.transform(
@@ -227,7 +239,7 @@ def winnow_fingerprints(
         .when(nwin >= 1, windowed)
         .otherwise(F.array(F.array_min(h)))
     )
-    return df.select(
+    return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
     )
 
