@@ -1573,6 +1573,43 @@ def q_quality_classifier(spark, sf_dir):
     return out.select("doc_id", "n_feats", F.round("score", 6).alias("score"))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The end-to-end corpus-curation composition every pretraining
+    pipeline runs before tokenization — language ID -> quality filters
+    -> exact dedup -> surviving docs with token budgets — as ONE
+    declarative plan, fully value-gated against the SQL oracle.
+
+    Plan shape (the 100 TB shape): stage 1 is a single narrow map-only
+    projection computing every per-doc signal (lang scores, token
+    stats, BPE-proxy token count, canonical fingerprint) in one pass
+    over the text — no shuffle; stage 2 is a codegen'd filter that
+    pushes ahead of the dedup shuffle, so only survivors shuffle;
+    stage 3 is one map-side-combinable min-agg on the fingerprint plus
+    a semi-join back — the exact_dedup keeper shape. Total: one
+    aggregation shuffle + one join shuffle over the FILTERED corpus.
+    """
+    from mlx_vector_db_spark.functions.text import bpe_ish_token_count
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    q = text_quality("text")
+    sig = docs.select(
+        "doc_id",
+        detect_language("text").alias("lang_pred"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        doc_fingerprint("text").alias("_fp"),
+    )
+    kept = sig.where(
+        (F.col("lang_pred") != "und") & F.col("n_tokens").between(20, 95)
+    )
+    keepers = kept.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(keepers, on=["_fp", "doc_id"], how="left_semi").select(
+        "doc_id", "lang_pred", "n_tokens", "stopword_ratio", "n_bpe_tokens"
+    )
+
+
 def q_customer_order_distribution(spark, sf_dir):
     """TPC-H Q13 shape: conditional LEFT join + two-level aggregation
     (orders-per-customer, then customers-per-count). The join condition
@@ -2191,6 +2228,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition": q_doc_repetition,
     "ngram_contamination": q_ngram_contamination,
     "quality_classifier": q_quality_classifier,
+    "curation_pipeline": q_curation_pipeline,
     "pii_redact": q_pii_redact,
     "chunk_documents": q_chunk_documents,
     "embed_docs_384": q_embed_docs_384,
@@ -2209,7 +2247,6 @@ QUERIES: dict[str, QueryFn] = {
     "promo_revenue": q_promo_revenue,
     "large_volume_customers": q_large_volume_customers,
     "waiting_suppliers": q_waiting_suppliers,
-    "sales_opportunity": q_sales_opportunity,
     "orders_grouping_sets": q_orders_grouping_sets,
     "approx_distinct_gate": q_approx_distinct_gate,
     "approx_quantile_gate": q_approx_quantile_gate,
@@ -2221,6 +2258,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_view_purchase": q_events_view_purchase,
     "streaming_hourly_gate": q_streaming_hourly_gate,
     # ================= driver window boundary (50) ===================
+    "sales_opportunity": q_sales_opportunity,
     "nation_volume": q_nation_volume,
     "small_qty_revenue": q_small_qty_revenue,
     "discounted_revenue": q_discounted_revenue,
@@ -2895,6 +2933,48 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_feats,
                round(1.0 / (1.0 + exp(-(m + 0.05))), 6) AS score
         FROM scored
+    """,
+    "curation_pipeline": f"""
+        WITH w AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(text), '\\s+') AS words,
+                 list_transform(string_split_regex(trim(text), '\\s+'),
+                                x -> lower(x)) AS lwords
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, words,
+                 len(list_filter(lwords, x -> x IN {_LANG_SETS['de']}))::DOUBLE
+                   / greatest(len(lwords), 1) AS s_de,
+                 len(list_filter(lwords, x -> x IN {_LANG_SETS['en']}))::DOUBLE
+                   / greatest(len(lwords), 1) AS s_en,
+                 len(list_filter(lwords, x -> x IN {_LANG_SETS['es']}))::DOUBLE
+                   / greatest(len(lwords), 1) AS s_es,
+                 len(list_filter(lwords, x -> x IN {_LANG_SETS['fr']}))::DOUBLE
+                   / greatest(len(lwords), 1) AS s_fr
+          FROM w
+        ), sig AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+                      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_es >= s_fr THEN 'es'
+                      ELSE 'fr' END AS lang_pred,
+                 len(words)::BIGINT AS n_tokens,
+                 round(len(list_filter(words, x -> lower(x) IN
+                         ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+                       / len(words), 6) AS stopword_ratio,
+                 list_sum(list_transform(words,
+                         x -> ceil(length(x) / 4.0)::BIGINT))::BIGINT AS n_bpe_tokens,
+                 {_TEXT_NORM_SQL} AS fp
+          FROM s
+        ), kept AS (
+          SELECT * FROM sig
+          WHERE lang_pred <> 'und' AND n_tokens BETWEEN 20 AND 95
+        ), keepers AS (
+          SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY 1
+        )
+        SELECT k.doc_id, k.lang_pred, k.n_tokens, k.stopword_ratio, k.n_bpe_tokens
+        FROM kept k JOIN keepers USING (fp, doc_id)
     """,
     "customer_order_distribution": """
         SELECT c_count, count(*)::BIGINT AS custdist FROM (

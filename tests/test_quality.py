@@ -194,3 +194,27 @@ def test_ngram_contamination_no_broadcast_path(spark):
     eval_df = _docs(spark, [(2, "a b c")])
     out = ngram_contamination(train, eval_df, n=3, broadcast_eval=False).collect()
     assert [(r.doc_id, r.n_shared_grams) for r in out] == [(1, 1)]
+
+
+def test_curation_pipeline_dedup_and_filters(spark, tmp_path):
+    """The curation composition on crafted rows: the exact-dedup stage
+    keeps the min doc_id of an identical-text pair (the sf0.01 corpus
+    has no exact dups, so the catalog oracle can't exercise this arm),
+    and the token-count / language filters drop out-of-range and
+    marker-free docs."""
+    from mlx_vector_db_spark.queries import q_curation_pipeline
+
+    en = "the quick brown fox and the lazy dog of the town " * 3  # 33 toks
+    rows = [
+        (1, en),                      # kept
+        (5, en),                      # exact dup of 1 -> dropped (5 > 1)
+        (2, en + "extra"),            # kept (34 tokens, distinct fp)
+        (3, "short of the text"),     # 4 tokens -> dropped by range
+        (4, "zz yy xx ww vv " * 5),   # no lang markers -> 'und' -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_curation_pipeline(spark, str(tmp_path)).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert all(r["lang_pred"] == "en" for r in out)
+    assert out[0]["n_tokens"] == 33 and out[1]["n_tokens"] == 34
