@@ -2322,6 +2322,36 @@ w AS (
 
 _JACCARD_SHINGLES_SQL = "WITH " + _JACCARD_SHINGLES_BODY
 
+#: exact 3-gram Jaccard pairs (j >= 0.5) via the relational formulation:
+#: explode shingles, equi-join on the shingle, count intersections per
+#: pair, derive the union from set sizes. Equivalent to per-pair
+#: list_intersect for any threshold > 0 and ~15x faster in DuckDB.
+#: MATERIALIZED pins the shingle CTE so it is built once, not inlined
+#: into both join sides.
+_JACCARD_PAIRS_BODY = (
+    _JACCARD_SHINGLES_BODY.replace("), s AS (", "), s AS MATERIALIZED (")
+    + """
+        , jg AS (
+          SELECT doc_id, unnest(sh) AS tok FROM s
+        ), ji AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM jg a JOIN jg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), jsz AS (
+          SELECT doc_id, len(sh) AS n FROM s
+        ), jp AS (
+          SELECT ji.id_a, ji.id_b,
+                 ji.inter::DOUBLE / (na.n + nb.n - ji.inter) AS jac
+          FROM ji
+          JOIN jsz na ON na.doc_id = ji.id_a
+          JOIN jsz nb ON nb.doc_id = ji.id_b
+          WHERE ji.inter::DOUBLE / (na.n + nb.n - ji.inter) >= 0.5
+        )
+    """
+)
+
+_JACCARD_PAIRS_SQL = "WITH " + _JACCARD_PAIRS_BODY
+
 _TEXT_NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
 _LANG_SETS = {
@@ -3100,14 +3130,14 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY 1
     """,
-    "text_jaccard_pairs": _JACCARD_SHINGLES_SQL
-    + """
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    # relational set-intersection (explode -> equi-join on shingle ->
+    # group-count) instead of per-pair list_intersect over the quadratic
+    # pair space: identical results for any threshold > 0 (a pair with
+    # empty intersection can't reach it), ~15x faster — and it is the
+    # independent formulation, not the Spark one (which intersects
+    # collected arrays per LSH-candidate pair)
+    "text_jaccard_pairs": _JACCARD_PAIRS_SQL + """
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp
     """,
     "orders_late_exists": """
         SELECT o_orderpriority, count(*) AS n_orders
@@ -3251,14 +3281,9 @@ ORACLES: dict[str, str] = {
     # -> min reachable id per node = its component -> drop every node
     # that is not its own component's min
     "minhash_dedup_clustered": "WITH RECURSIVE "
-    + _JACCARD_SHINGLES_BODY
+    + _JACCARD_PAIRS_BODY
     + """
-        , p AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM s a JOIN s b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-        ),
+        , p AS (SELECT id_a, id_b FROM jp),
         e AS (
           SELECT id_a AS src, id_b AS dst FROM p
           UNION
