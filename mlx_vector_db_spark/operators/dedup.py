@@ -471,13 +471,28 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs, all-pairs within ``block_col`` groups
-    (or globally when ``block_col`` is None — small data only; use
-    :func:`minhash_lsh_pairs` at scale)."""
+    """Exact n-gram Jaccard pairs (all-pairs within ``block_col`` groups,
+    or global when None), j >= ``threshold``.
+
+    For ``threshold > 0`` the plan is the relational set-intersection:
+    explode shingles, equi-join on the shingle value (+ block), count
+    intersections per pair, derive the union from per-doc set sizes —
+    only pairs sharing at least one shingle ever meet, which is exactly
+    the j > 0 pairs, so results are identical to the naive quadratic
+    scan while the shuffle key is the shingle, never the corpus. This
+    makes EXACT Jaccard scale-shaped too (the caveat is a hot shingle
+    shared by f docs contributing f² join rows — boilerplate corpora
+    should pre-drop stop-shingles or use :func:`minhash_lsh_pairs`,
+    whose banding bounds candidate fan-out by design).
+
+    ``threshold <= 0`` keeps the literal all-pairs form (a zero-overlap
+    pair has j = 0.0 and must be emitted) — audit scale only.
+    """
     from mlx_vector_db_spark.functions.text import shingles_from_tokens
 
+    blk = [block_col] if block_col else []
     base = (
-        rebalance_for_compute(df, id_col, text_col, *([block_col] if block_col else []))
+        rebalance_for_compute(df, id_col, text_col, *blk)
         # materialized token projection — see _hashed_shingles_from_tokens
         .select(
             F.col(id_col).alias("_id"),
@@ -490,9 +505,33 @@ def jaccard_pairs(
             *(["_blk"] if block_col else []),
         )
     )
-    on = ["_blk"] if block_col else None
-    left = base.select(*(["_blk"] if block_col else []), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    right = base.select(*(["_blk"] if block_col else []), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    bcols = ["_blk"] if block_col else []
+    if threshold > 0:
+        # shingle sets are reused by the exploded join side AND the two
+        # size joins; truncate lineage so tokenization runs once
+        base = base.localCheckpoint(eager=False)
+        g = base.select("_id", *bcols, F.explode("_sh").alias("_tok"))
+        inter = (
+            g.select(F.col("_id").alias("id_a"), *bcols, "_tok")
+            .join(
+                g.select(F.col("_id").alias("id_b"), *bcols, "_tok"),
+                on=["_tok", *bcols],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
+        )
+        sz = base.select(F.col("_id"), F.size("_sh").cast("double").alias("_n"))
+        return (
+            inter.join(sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), on="id_a")
+            .join(sz.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), on="id_b")
+            .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+            .where(F.col("jaccard") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "jaccard")
+        )
+    on = bcols or None
+    left = base.select(*bcols, F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    right = base.select(*bcols, F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     joined = left.join(right, on=on) if on else left.crossJoin(right)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
