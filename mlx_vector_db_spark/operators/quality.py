@@ -163,9 +163,30 @@ def repetition_signals(
     Documents shorter than 2 (resp. 3) words report 0.0 for the
     bigram (trigram) signals.
     """
-    s1 = _run_length_stats(hashed_word_ngrams(text_col, 1))
-    s2 = _run_length_stats(hashed_word_ngrams(text_col, 2))
-    s3 = _run_length_stats(hashed_word_ngrams(text_col, 3))
+    # word-hash array materialized once: the three gram builders and six
+    # run-length aggregates all reference it, and HOF evaluation happens
+    # outside codegen CSE, so the inline hashed_word_ngrams form re-split
+    # and re-hashed the text per reference (2.5x slower at sf0.1)
+    toks = tokens(text_col)
+    hashed = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_sz"),
+        F.transform(toks, lambda w: F.xxhash64(w)).alias("_wh"),
+    )
+    h, sz = F.col("_wh"), F.col("_sz")
+
+    def grams(n: int) -> Column:
+        width = F.greatest(sz - F.lit(n - 1), F.lit(0))
+        out = F.slice(h, 1, width)
+        for j in range(1, n):
+            out = F.zip_with(
+                out, F.slice(h, 1 + j, width), lambda a, b: F.xxhash64(a, b)
+            )
+        return F.when(sz >= n, out).otherwise(F.array().cast("array<long>"))
+
+    s1 = _run_length_stats(grams(1))
+    s2 = _run_length_stats(grams(2))
+    s3 = _run_length_stats(grams(3))
 
     def frac(num: Column, den: Column) -> Column:
         return F.round(
@@ -175,7 +196,7 @@ def repetition_signals(
             6,
         )
 
-    return df.select(
+    return hashed.select(
         F.col(id_col),
         frac(s1["mx"], s1["n"]).alias("top_word_frac"),
         frac(s2["mx"], s2["n"]).alias("top_bigram_frac"),
