@@ -195,40 +195,42 @@ def minhash_lsh_pairs(
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
 
-    # One explode + K min-aggregates computes all K minhashes in a single
-    # pass with map-side combine. (The expression form in
-    # minhash_signature inlines the shingle subtree K times —
-    # CollapseProject defeats common-subexpression reuse across
-    # higher-order functions — which measured ~60x slower at sf0.1.)
-    # The SAME aggregate also collect_sets the 64-bit shingle hashes the
-    # exact-verify stage needs, so the corpus is tokenized+hashed ONCE —
-    # the old separate verify-side projection re-ran the whole shingle
-    # pipeline over every document. The folded 32-bit registers exist
-    # only inside the min expressions; the verify sets stay 64-bit, so
-    # emitted jaccards are bit-identical to the two-pass version.
+    # MAP-ONLY signatures: all K minhashes are array_min over transforms
+    # of the per-doc shingle-hash array — no explode, no groupBy, so the
+    # (doc, shingle) rows NEVER shuffle (the r3 explode + K-min-agg form
+    # shuffled every shingle hash of the corpus; at 100 TB that shuffle
+    # was the stage's cost — measured 2x even at sf0.1). The trick that
+    # makes this viable is materializing the shingle and folded arrays
+    # in their own projections first: HOF lambdas evaluate outside
+    # codegen CSE, so the naive expression form (minhash_signature)
+    # re-derives the shingle subtree K times, ~60x slower. The same
+    # materialized 64-bit array feeds the exact-verify stage, so the
+    # corpus is tokenized + hashed ONCE; the folded 32-bit registers
+    # exist only inside the min expressions and emitted jaccards are
+    # bit-identical to the aggregate form.
     a, b = _minhash_coeffs(num_hashes, seed)
     base = rebalance_for_compute(df, id_col, text_col)
     # tokens in their own projection: the shingle lambda slices the
     # token array per index, and an inline split() would re-run per
     # shingle (HOF lambdas evaluate outside codegen CSE)
     tokd = base.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
-    exploded = tokd.select(
-        "_id",
-        F.explode_outer(
-            _hashed_shingles_from_tokens(F.col("_toks"), shingle_n)
-        ).alias("_hs"),
+    hdf = tokd.select(
+        "_id", _hashed_shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
     )
-    folded = _fold32(F.col("_hs"))
-    sig = exploded.groupBy("_id").agg(
-        F.collect_set("_hs").alias("_sh"),
-        *[
-            F.coalesce(
-                F.min(F.pmod(folded * F.lit(a[k]) + F.lit(b[k]), F.lit(_MERSENNE_P))),
-                F.lit(_MERSENNE_P),
-            ).alias(f"_h{k}")
-            for k in range(num_hashes)
-        ]
+    fdf = hdf.select(
+        "_id", "_sh", F.transform("_sh", lambda h: _fold32(h)).alias("_f")
     )
+
+    def min_hash_k(k: int) -> Column:
+        def perm(h: Column) -> Column:
+            return F.pmod(h * F.lit(a[k]) + F.lit(b[k]), F.lit(_MERSENNE_P))
+
+        # empty shingle array (empty text) -> sentinel signature
+        return F.coalesce(
+            F.array_min(F.transform(F.col("_f"), perm)), F.lit(_MERSENNE_P)
+        ).alias(f"_h{k}")
+
+    sig = fdf.select("_id", "_sh", *[min_hash_k(k) for k in range(num_hashes)])
     # materialize once, lineage-truncated: banding reads it, and the
     # verify joins read it twice more. A lazy localCheckpoint (not
     # persist) so the blocks are context-cleaned when the frame goes out
@@ -369,39 +371,43 @@ def simhash_signatures(
     shingle_n: int = 2,
     seed: int = 7,
 ) -> DataFrame:
-    """SimHash fingerprints as (_id, _fp) — explode + hash-once + 64
-    bit-vote aggregates (same single-pass shape as the MinHash
-    signature; the :func:`simhash` expression form recomputes the
-    shingle subtree per bit and is only sensible for tiny inputs)."""
-    exploded = (
+    """SimHash fingerprints as (_id, _fp) — MAP-ONLY: 64 per-bit vote
+    ``aggregate`` passes over the materialized per-doc shingle-hash
+    array, so the (doc, shingle) rows never shuffle (the r3 form
+    exploded them into a 64-sum groupBy — a corpus-wide shuffle whose
+    only purpose was re-associating shingles with their own doc). The
+    :func:`simhash` expression form recomputes the shingle subtree per
+    bit and is only sensible for tiny inputs."""
+    hdf = (
         rebalance_for_compute(df, id_col, text_col)
         # materialized token projection — see _hashed_shingles_from_tokens
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
         .select(
             "_id",
-            F.explode_outer(
-                _hashed_shingles_from_tokens(F.col("_toks"), shingle_n, seed=seed)
-            ).alias("_h"),
+            _hashed_shingles_from_tokens(
+                F.col("_toks"), shingle_n, seed=seed
+            ).alias("_sh"),
         )
     )
-    votes = exploded.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright("_h", bit).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_v{bit}")
-            for bit in range(64)
-        ]
-    )
+
+    def vote(bit: int) -> Column:
+        def step(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(F.col("_sh"), F.lit(0), step)
+
     fp = None
     for bit in range(64):
         weight = -(1 << 63) if bit == 63 else (1 << bit)
-        term = F.when(F.col(f"_v{bit}") > 0, F.lit(weight).cast("long")).otherwise(
+        # empty docs: zero votes -> bit unset -> fp = 0, matching the
+        # exploded form (NULL shingle voted -1 on every bit there)
+        term = F.when(vote(bit) > 0, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         fp = term if fp is None else fp + term
-    return votes.select("_id", fp.alias("_fp"))
+    return hdf.select("_id", fp.alias("_fp"))
 
 
 def simhash_pairs(
