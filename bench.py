@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "text_stats",
     "dedup_exact",
     "minhash_neardup_pairs",
+    "text_jaccard_pairs",
+    "curation_pipeline",
     "chunk_documents",
     "embed_docs_384",
     "doc_repetition",

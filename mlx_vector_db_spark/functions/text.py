@@ -127,15 +127,21 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     )
 
 
-def text_quality(col: Column | str) -> dict[str, Column]:
+def text_quality(col: Column | str, toks: Column | None = None) -> dict[str, Column]:
     """Quality-scoring signals as named expressions (training-data
     filtering staples): char/token counts, mean token length,
     punctuation / digit / uppercase / whitespace ratios, and a
     stopword ratio over a small fixed English stopword list.
+
+    Pass ``toks`` (a MATERIALIZED token-array column from a prior
+    projection) when composing several token signals in one plan: the
+    stopword/mean-length lambdas evaluate outside codegen CSE, so the
+    inline ``tokens(col)`` default re-splits the text once per signal.
     """
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(c)
-    toks = tokens(c)
+    if toks is None:
+        toks = tokens(c)
     n_tokens = F.size(toks)
     nz = F.greatest(n_chars, F.lit(1)).cast("double")
     nt = F.greatest(n_tokens, F.lit(0)).cast("double")
@@ -175,10 +181,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def language_scores(col: Column | str) -> dict[str, Column]:
+def language_scores(
+    col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
     """Per-language marker-hit ratio (hits / tokens), one column per
-    language in :data:`LANG_MARKERS`."""
-    toks = tokens(col)
+    language in :data:`LANG_MARKERS`. ``toks`` as in
+    :func:`text_quality` — the four marker filters each re-split the
+    text when tokenization is inline."""
+    if toks is None:
+        toks = tokens(col)
     nt = F.greatest(F.size(toks), F.lit(1)).cast("double")
 
     def hit_ratio(markers: tuple[str, ...]) -> Column:
@@ -193,11 +204,13 @@ def language_scores(col: Column | str) -> dict[str, Column]:
     return {lang: hit_ratio(markers) for lang, markers in LANG_MARKERS.items()}
 
 
-def detect_language(col: Column | str, min_score: float = 0.0) -> Column:
+def detect_language(
+    col: Column | str, min_score: float = 0.0, toks: Column | None = None
+) -> Column:
     """argmax over :func:`language_scores`, 'und' (undetermined) when no
     marker hits / below ``min_score``. Deterministic tie-break: language
-    name ascending."""
-    scores = language_scores(col)
+    name ascending. ``toks`` as in :func:`text_quality`."""
+    scores = language_scores(col, toks=toks)
     # struct comparison is field-order: score first, then -index, so a
     # score tie resolves to the alphabetically first language.
     pairs = F.array(

@@ -598,9 +598,13 @@ def q_text_stats(spark, sf_dir):
     """Token/quality stats per document (pipeline extension)."""
     from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
+    from mlx_vector_db_spark.functions.text import tokens
+
     docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    q = text_quality("text")
-    return docs.select(
+    # materialized token projection — HOF signal lambdas re-split inline
+    tokd = docs.select("doc_id", "text", tokens("text").alias("_toks"))
+    q = text_quality("text", toks=F.col("_toks"))
+    return tokd.select(
         "doc_id",
         q["n_chars"].cast("long").alias("n_chars"),
         q["n_tokens"].cast("long").alias("n_tokens"),
@@ -613,8 +617,13 @@ def q_lang_detect(spark, sf_dir):
     """Marker-lexicon language ID (pipeline extension)."""
     from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
+    from mlx_vector_db_spark.functions.text import tokens
+
     docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return docs.select("doc_id", detect_language("text").alias("lang_pred"))
+    tokd = docs.select("doc_id", tokens("text").alias("_toks"))
+    return tokd.select(
+        "doc_id", detect_language("text", toks=F.col("_toks")).alias("lang_pred")
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1395,8 +1404,12 @@ def q_source_lang_agreement(spark, sf_dir):
     marker-lexicon detector agrees with the label. Detection is pure
     codegen expressions; the rollup is one partial-aggregated shuffle
     on a low-cardinality key."""
-    docs = _t(spark, sf_dir, "documents")
-    agree = (detect_language("text") == F.col("lang")).cast("int")
+    from mlx_vector_db_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "lang", tokens("text").alias("_toks")
+    )
+    agree = (detect_language("_toks", toks=F.col("_toks")) == F.col("lang")).cast("int")
     return docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(agree).alias("n_agree"),
@@ -1588,19 +1601,36 @@ def q_curation_pipeline(spark, sf_dir):
     a semi-join back — the exact_dedup keeper shape. Total: one
     aggregation shuffle + one join shuffle over the FILTERED corpus.
     """
-    from mlx_vector_db_spark.functions.text import bpe_ish_token_count
+    from mlx_vector_db_spark.functions.text import tokens
     from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
     docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    q = text_quality("text")
-    sig = docs.select(
+    # token array materialized once: every signal below walks it via HOF
+    # lambdas, which evaluate outside codegen CSE — inline tokens() was
+    # re-splitting the text ~once per signal reference
+    tokd = docs.select("doc_id", "text", tokens("text").alias("_toks"))
+    toks = F.col("_toks")
+    q = text_quality("text", toks=toks)
+    bpe = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int")
+    )
+    sig = tokd.select(
         "doc_id",
-        detect_language("text").alias("lang_pred"),
+        detect_language("text", toks=toks).alias("lang_pred"),
         q["n_tokens"].cast("long").alias("n_tokens"),
         F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
-        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
         doc_fingerprint("text").alias("_fp"),
     )
+    # lazily checkpoint the signal table: (a) predicate pushdown would
+    # otherwise inline the heavy lang/token expressions into a filter
+    # BELOW the rebalance exchange — onto the raw file scan's (few)
+    # input partitions, serializing the compute the rebalance exists to
+    # spread; (b) the keeper aggregate and the survivor side otherwise
+    # each recompute the whole signal branch from the scan. At real
+    # scale this materialization IS the pipeline's stage-1 output (the
+    # per-doc signal table you'd persist anyway).
+    sig = sig.localCheckpoint(eager=False)
     kept = sig.where(
         (F.col("lang_pred") != "und") & F.col("n_tokens").between(20, 95)
     )
