@@ -31,6 +31,7 @@ from mlx_vector_db_spark.functions.text import tokens
 
 __all__ = [
     "repetition_signals",
+    "repeated_spans",
     "ngram_contamination",
     "word_ngrams",
     "hashed_word_ngrams",
@@ -201,6 +202,50 @@ def repetition_signals(
         frac(s1["mx"], s1["n"]).alias("top_word_frac"),
         frac(s2["mx"], s2["n"]).alias("top_bigram_frac"),
         frac(s3["dup"], s3["n"]).alias("dup_trigram_frac"),
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate-span mining (the Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    word-level): word ``n``-grams that occur in at least ``min_docs``
+    distinct documents, with corpus-wide document and occurrence
+    counts. A pipeline uses the result as a boilerplate/contamination
+    lexicon — to strip the spans, to stop-list them before MinHash, or
+    to flag template-heavy sources.
+
+    Output: ``gram, n_docs, n_occurrences`` (n_docs >= min_docs).
+
+    Scale: the word-count shape — one explode, one hash aggregation on
+    the gram with map-side partial aggregation (count_distinct plans as
+    a two-phase expand+agg). The gram strings themselves are the
+    shuffle key here because they ARE the result; a count-only variant
+    should group on :func:`hashed_word_ngrams` output instead and
+    shuffle 8-byte longs.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1 (got {min_docs})")
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    g = rebalance_for_compute(df, id_col, text_col).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count_distinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
     )
 
 

@@ -1494,6 +1494,22 @@ def q_doc_winnow_fp(spark, sf_dir):
     return winnow_fingerprints(docs, k=4, w=4)
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Cross-document duplicate-span mining: 6-grams appearing in >= 2
+    distinct documents, with doc/occurrence counts (the dedup-spans
+    lexicon a pretraining pipeline strips or stop-lists). One explode +
+    one map-side-combinable gram aggregation."""
+    from mlx_vector_db_spark.operators.quality import repeated_spans
+
+    return repeated_spans(
+        _t(spark, sf_dir, "documents"), n=6, min_docs=2
+    ).select(
+        "gram",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
 def q_events_multi_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: day AND day+hour
     granularities in ONE scan via GROUPING SETS (the Expand operator
@@ -2317,6 +2333,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_agreement": q_source_lang_agreement,
     "weighted_mixture": q_weighted_mixture,
     "doc_winnow_fp": q_doc_winnow_fp,
+    "repeated_spans": q_repeated_spans,
     "events_multi_rollup": q_events_multi_rollup,
     "boilerplate_removal": q_boilerplate_removal,
     "customer_order_distribution": q_customer_order_distribution,
@@ -2909,6 +2926,22 @@ ORACLES: dict[str, str] = {
           FROM h
         )
         SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM m
+    """,
+    "repeated_spans": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws) - 4),
+                        i -> array_to_string(ws[i:i+5], ' '))) AS gram
+          FROM w WHERE len(ws) >= 6
+        )
+        SELECT gram,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occurrences
+        FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
     """,
     "pii_redact": """
         WITH s AS (

@@ -218,3 +218,23 @@ def test_curation_pipeline_dedup_and_filters(spark, tmp_path):
     assert [r["doc_id"] for r in out] == [1, 2]
     assert all(r["lang_pred"] == "en" for r in out)
     assert out[0]["n_tokens"] == 33 and out[1]["n_tokens"] == 34
+
+
+def test_repeated_spans_counts(spark):
+    """Hand-computed: a 6-gram shared by two docs (one doc has it
+    twice) is mined with (n_docs=2, n_occurrences=3); spans unique to
+    one doc are excluded at min_docs=2."""
+    from mlx_vector_db_spark.operators.quality import repeated_spans
+
+    span = "a b c d e f"
+    rows = [
+        (1, span + " tail1 tail2"),
+        (2, "head " + span + " " + span),  # overlapping repeats: 2 occurrences
+        (3, "entirely different words here now ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["gram"]: r for r in repeated_spans(docs, n=6, min_docs=2).collect()}
+    assert span in out
+    assert out[span]["n_docs"] == 2 and out[span]["n_occurrences"] == 3
+    # doc 3's grams are solo -> absent
+    assert all(g.split()[0] not in ("entirely",) for g in out)
