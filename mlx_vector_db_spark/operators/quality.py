@@ -35,6 +35,7 @@ __all__ = [
     "ngram_contamination",
     "word_ngrams",
     "hashed_word_ngrams",
+    "ngrams_from_word_hashes",
     "winnow_fingerprints",
     "hashed_feature_buckets",
     "hashed_linear_score",
@@ -61,18 +62,16 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     return F.when(sz >= n, out).otherwise(F.array().cast("array<string>"))
 
 
-def hashed_word_ngrams(col: Column | str, n: int) -> Column:
-    """64-bit hashes of word ``n``-grams as ``array<long>`` — the shuffle
-    representation. Words are xxhash64-ed once, then n-grams are built by
-    CHAINING hashes (``h_gram = xxhash64(h_prefix, h_word)``) instead of
-    concatenating strings, so no gram string is ever materialized; the
-    downstream shuffle moves 8-byte longs. Counting/joining on these is
-    exact up to 64-bit collisions (~2^-64 per pair)."""
+def ngrams_from_word_hashes(h: Column, sz: Column, n: int) -> Column:
+    """Chained n-gram hashes from a MATERIALIZED word-hash array ``h``
+    (+ its size ``sz``): ``h_gram = xxhash64(h_prefix, h_word)`` zipped
+    over shifted slices — no gram string is ever built. Pass attribute
+    columns from a prior projection, not inline expressions: each
+    ``slice`` references ``h`` once, and n-gram chaining references it
+    ``n`` times, which re-evaluates an inline subtree n-fold (HOF/array
+    expressions evaluate outside codegen CSE)."""
     if n < 1:
         raise ValueError(f"n must be >= 1 (got {n})")
-    toks = tokens(col)
-    sz = F.size(toks)
-    h = F.transform(toks, lambda w: F.xxhash64(w))
     width = F.greatest(sz - F.lit(n - 1), F.lit(0))
     out = F.slice(h, 1, width)
     for j in range(1, n):
@@ -82,6 +81,24 @@ def hashed_word_ngrams(col: Column | str, n: int) -> Column:
             lambda a, b: F.xxhash64(a, b),
         )
     return F.when(sz >= n, out).otherwise(F.array().cast("array<long>"))
+
+
+def hashed_word_ngrams(col: Column | str, n: int) -> Column:
+    """64-bit hashes of word ``n``-grams as ``array<long>`` — the shuffle
+    representation. Words are xxhash64-ed once, then n-grams are built by
+    CHAINING hashes (``h_gram = xxhash64(h_prefix, h_word)``) instead of
+    concatenating strings, so no gram string is ever materialized; the
+    downstream shuffle moves 8-byte longs. Counting/joining on these is
+    exact up to 64-bit collisions (~2^-64 per pair).
+
+    Expression form — tokenizes and hashes inline, so the chain
+    re-evaluates the word-hash subtree ~n times; corpus-scale operators
+    materialize the word-hash array and use
+    :func:`ngrams_from_word_hashes` instead."""
+    toks = tokens(col)
+    return ngrams_from_word_hashes(
+        F.transform(toks, lambda w: F.xxhash64(w)), F.size(toks), n
+    )
 
 
 def _run_length_stats(grams: Column) -> Column:
@@ -175,19 +192,9 @@ def repetition_signals(
         F.transform(toks, lambda w: F.xxhash64(w)).alias("_wh"),
     )
     h, sz = F.col("_wh"), F.col("_sz")
-
-    def grams(n: int) -> Column:
-        width = F.greatest(sz - F.lit(n - 1), F.lit(0))
-        out = F.slice(h, 1, width)
-        for j in range(1, n):
-            out = F.zip_with(
-                out, F.slice(h, 1 + j, width), lambda a, b: F.xxhash64(a, b)
-            )
-        return F.when(sz >= n, out).otherwise(F.array().cast("array<long>"))
-
-    s1 = _run_length_stats(grams(1))
-    s2 = _run_length_stats(grams(2))
-    s3 = _run_length_stats(grams(3))
+    s1 = _run_length_stats(ngrams_from_word_hashes(h, sz, 1))
+    s2 = _run_length_stats(ngrams_from_word_hashes(h, sz, 2))
+    s3 = _run_length_stats(ngrams_from_word_hashes(h, sz, 3))
 
     def frac(num: Column, den: Column) -> Column:
         return F.round(
@@ -413,11 +420,16 @@ def ngram_contamination(
     """
 
     def grams(df: DataFrame) -> DataFrame:
-        return df.select(
+        # word-hash array materialized first — see ngrams_from_word_hashes
+        toks = tokens(text_col)
+        hdf = df.select(
             F.col(id_col),
-            F.explode(
-                F.array_distinct(hashed_word_ngrams(text_col, n))
-            ).alias("gh"),
+            F.transform(toks, lambda w: F.xxhash64(w)).alias("_wh"),
+            F.size(toks).alias("_sz"),
+        )
+        gr = ngrams_from_word_hashes(F.col("_wh"), F.col("_sz"), n)
+        return hdf.select(
+            F.col(id_col), F.explode(F.array_distinct(gr)).alias("gh")
         )
 
     ev = grams(eval_df).select("gh").distinct()
