@@ -418,6 +418,7 @@ def simhash_pairs(
     shingle_n: int = 2,
     seed: int = 7,
     max_bucket_size: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with banded blocking.
 
@@ -435,7 +436,14 @@ def simhash_pairs(
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    fp = simhash_signatures(df, text_col, id_col, shingle_n, seed)
+    # callers that also consume the fingerprints (gates, audits) pass a
+    # precomputed/checkpointed (_id, _fp) frame to avoid recomputing the
+    # signature projection per consumer
+    fp = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, text_col, id_col, shingle_n, seed)
+    )
     bands = fp.select(
         "_id",
         "_fp",

@@ -1272,8 +1272,16 @@ def q_simhash_exactness_gate(spark, sf_dir):
     from mlx_vector_db_spark.operators.dedup import hamming64, simhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    banded = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
-    fp = simhash_signatures(docs, "text", "doc_id", 2, 7)
+    # fingerprints feed the banded arm, the brute-force arm, and three
+    # count actions: checkpoint once instead of recomputing per consumer
+    fp = simhash_signatures(docs, "text", "doc_id", 2, 7).localCheckpoint(
+        eager=False
+    )
+    banded = (
+        simhash_pairs(docs, max_hamming=3, signatures=fp)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     left = fp.select(F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
     right = fp.select(F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
     brute = (
@@ -1281,6 +1289,7 @@ def q_simhash_exactness_gate(spark, sf_dir):
         .where(F.col("id_a") < F.col("id_b"))
         .where(hamming64(F.col("fp_a"), F.col("fp_b")) <= F.lit(3))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     n_banded = banded.count()
     n_brute = brute.count()
