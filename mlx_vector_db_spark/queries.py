@@ -46,7 +46,6 @@ from mlx_vector_db_spark.functions.text import (
 )
 from mlx_vector_db_spark.functions.time import event_time_col
 from mlx_vector_db_spark.functions.vector import l2_norm
-from mlx_vector_db_spark.functions.text import shingles
 from mlx_vector_db_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
@@ -1188,7 +1187,12 @@ def q_minhash_recall_gate(spark, sf_dir):
     every emitted pair is exact-verified."""
     docs = _t(spark, sf_dir, "documents")
     found = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    exact = jaccard_pairs(docs, threshold=0.5, shingle_n=3).select("id_a", "id_b")
+    # two actions (count + join) consume the exact set — checkpoint it
+    exact = (
+        jaccard_pairs(docs, threshold=0.5, shingle_n=3)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     n_exact = exact.count()
     n_found = found.join(exact, on=["id_a", "id_b"]).count()
     passed = n_exact > 0 and n_found / n_exact >= 0.8
@@ -1216,10 +1220,13 @@ def q_minhash_precision_gate(spark, sf_dir):
     bug emitting wrong candidates and any hash-collision drift in the
     verify stage). violations == 0 with a non-empty emission."""
     docs = _t(spark, sf_dir, "documents")
+    from mlx_vector_db_spark.functions.text import shingles_from_tokens, tokens
+
     found = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    # materialized token projection — inline shingles() re-splits per index
     sh = docs.select(
-        F.col("doc_id").alias("_sid"), shingles("text", 3).alias("_sh")
-    )
+        F.col("doc_id").alias("_sid"), tokens("text").alias("_toks")
+    ).select("_sid", shingles_from_tokens(F.col("_toks"), 3).alias("_sh"))
     joined = (
         found.join(sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a")), on="id_a")
         .join(sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b")), on="id_b")
