@@ -2214,6 +2214,10 @@ def q_part_fuzzy_lsh_gate(spark, sf_dir):
         )
         .where("d <= 2")
     )
+    # both sides feed two actions each — checkpoint so the quadratic
+    # truth join and the LSH pipeline run once, not per count
+    truth = truth.localCheckpoint(eager=False)
+    lsh = lsh.localCheckpoint(eager=False)
     n_truth = truth.count()
     n_lsh = lsh.count()
     n_hit = lsh.join(truth, on=["id_a", "id_b"]).count()
