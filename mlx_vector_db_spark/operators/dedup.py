@@ -536,13 +536,32 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
         )
         sz = base.select(F.col("_id"), F.size("_sh").cast("double").alias("_n"))
-        return (
+        nonempty = (
             inter.join(sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), on="id_a")
             .join(sz.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), on="id_b")
             .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
             .where(F.col("jaccard") >= F.lit(float(threshold)))
             .select("id_a", "id_b", "jaccard")
         )
+        # empty-empty pairs: J(∅, ∅) is defined as 1.0 here (two empty
+        # texts ARE duplicates) but no shingle row exists to join them —
+        # emit them from the (normally tiny) empty-doc slice. This IS a
+        # degenerate all-pairs bucket: a corpus with millions of empty
+        # docs should drop them (or exact_dedup them) first, exactly as
+        # with any other boilerplate bucket.
+        empties = base.where(F.size("_sh") == 0).select("_id", *bcols)
+        ep = (
+            empties.select(F.col("_id").alias("id_a"), *bcols)
+            .join(empties.select(F.col("_id").alias("id_b"), *bcols), on=bcols or None, how="inner")
+            if bcols
+            else empties.select(F.col("_id").alias("id_a")).crossJoin(
+                empties.select(F.col("_id").alias("id_b"))
+            )
+        )
+        empty_pairs = ep.where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", F.lit(1.0).alias("jaccard")
+        )
+        return nonempty.unionByName(empty_pairs)
     on = bcols or None
     left = base.select(*bcols, F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     right = base.select(*bcols, F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))

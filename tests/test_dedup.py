@@ -203,3 +203,46 @@ def test_simhash_max_bucket_size(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert not any(a < 20 and b < 20 for a, b in got)
     assert (100, 101) in got
+
+
+def test_jaccard_pairs_relational_matches_quadratic(spark):
+    """The threshold>0 relational set-intersection path must emit
+    exactly the pairs the literal all-pairs form finds at the same
+    threshold (filtering the threshold=0 audit form post-hoc)."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),      # high overlap with 1
+        (3, "p q r s t u v w"),      # disjoint
+        (4, "a b c d e f g h"),      # identical to 1
+        (5, ""),                      # empty text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rel = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    quad = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(docs, threshold=0.0).collect()
+        if r["jaccard"] >= 0.4
+    }
+    assert rel == quad and (1, 4) in rel and rel[(1, 4)] == 1.0
+
+
+def test_jaccard_pairs_empty_empty_pair(spark):
+    """Two empty documents are duplicates (J(∅,∅) = 1.0) and must be
+    emitted by BOTH the relational and the quadratic path."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, "a b c d")], "doc_id long, text string"
+    )
+    for thr in (0.5, 0.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, threshold=thr).collect()
+            if r["jaccard"] >= 0.5
+        }
+        assert got == {(1, 2): 1.0}, (thr, got)
