@@ -78,3 +78,30 @@ def test_store_query_prunes_columns(spark, tmp_path):
     st.add_vectors([[0.1, 0.2, 0.3, 0.4]] * 8, [{"category": "A"}] * 8)
     plan = explain_str(st.query([0.1, 0.2, 0.3, 0.4], k=2, filter_metadata={"category": "A"}))
     assert "PushedFilters: [IsNotNull(category), EqualTo(category,A)]" in plan
+
+
+def test_jaccard_pairs_relational_plan_no_cross_join(spark, sf_small):
+    """threshold > 0 exact Jaccard must plan as a shingle-keyed
+    equi-join + count aggregation — never a cartesian/nested-loop scan
+    of the pair space."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(jaccard_pairs(docs, threshold=0.5))
+    # the only nested-loop join allowed is the (normally empty)
+    # empty-doc duplicate branch, which joins two filtered-empty sides
+    assert plan.count("CartesianProduct") <= 1
+    assert "HashAggregate" in plan  # intersection counts aggregate
+    assert "array_intersect" not in plan  # no per-pair set ops at threshold>0
+
+
+def test_signature_stages_are_map_only(spark, sf_small):
+    """MinHash/SimHash signature computation must not shuffle: no
+    hash-partitioned Exchange may appear in the fingerprint subplans
+    (the rebalance RoundRobin repartition is the only exchange)."""
+    from mlx_vector_db_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(simhash_signatures(docs))
+    assert "hashpartitioning" not in plan
+    assert "roundrobin" in plan.lower()  # the compute rebalance remains
