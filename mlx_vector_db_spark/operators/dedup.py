@@ -10,13 +10,15 @@ Beyond the reference's surface (SURVEY.md §7.3 milestone 6) — the suite a
   minhashes -> band buckets -> candidate pairs inside buckets -> exact
   Jaccard verify. The band join is a self-equi-join on (band, band_hash):
   at scale this is THE standard near-dedup shuffle shape; no cross join
-  ever materializes. Minhashing itself is pure column expressions
-  (xxhash64 seeded per hash function) — JVM-side, no Python.
-- :func:`simhash` / :func:`simhash_pairs` — 64-bit simhash with banded
-  Hamming blocking (pigeonhole: hamming <= d pairs must share one of
-  d+1 bands).
-- :func:`jaccard_pairs` — exact n-gram Jaccard within caller-supplied
-  blocks (for small/blocked data; LSH is the scale path).
+  ever materializes. Signatures are MAP-ONLY pure column expressions
+  (one xxhash64 base hash per shingle + a universal hash family; the
+  (doc, shingle) rows never shuffle) — JVM-side, no Python.
+- :func:`simhash` / :func:`simhash_pairs` / :func:`simhash_dedup` —
+  64-bit simhash (map-only bit-vote aggregates) with banded Hamming
+  blocking (pigeonhole: hamming <= d pairs must share one of d+1 bands).
+- :func:`jaccard_pairs` — exact n-gram Jaccard; threshold > 0 plans as
+  a shingle-keyed equi-join (scale-shaped), threshold <= 0 keeps the
+  literal all-pairs audit form.
 - :func:`embedding_neardup_pairs` — cosine near-duplicates over an
   embedding column; exact all-pairs within blocks, with an optional
   random-hyperplane bucket column as the blocker at scale.
@@ -38,6 +40,7 @@ __all__ = [
     "minhash_dedup",
     "simhash",
     "simhash_pairs",
+    "simhash_dedup",
     "jaccard_pairs",
     "embedding_neardup_pairs",
 ]
@@ -318,6 +321,29 @@ def minhash_dedup(
       (e.g. exact-dup groups).
     """
     pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **kwargs)
+    if keeper == "component":
+        from mlx_vector_db_spark.operators.components import dedup_keepers
+
+        return dedup_keepers(df, pairs, id_col=id_col)
+    if keeper == "pairwise":
+        doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(doomed, on=id_col, how="left_anti")
+    raise ValueError(f"keeper must be 'component' or 'pairwise' (got {keeper!r})")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keeper: str = "component",
+    **kwargs,
+) -> DataFrame:
+    """Corpus minus SimHash near-duplicates — the :func:`minhash_dedup`
+    twin over Hamming-banded pairs (:func:`simhash_pairs` takes the
+    ``max_hamming``/``shingle_n``/``seed``/``max_bucket_size`` kwargs).
+    Same keeper rules: ``"component"`` keeps one min-id survivor per
+    transitive cluster; ``"pairwise"`` drops ``id_b`` of every pair."""
+    pairs = simhash_pairs(df, text_col=text_col, id_col=id_col, **kwargs)
     if keeper == "component":
         from mlx_vector_db_spark.operators.components import dedup_keepers
 

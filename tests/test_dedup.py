@@ -246,3 +246,21 @@ def test_jaccard_pairs_empty_empty_pair(spark):
             if r["jaccard"] >= 0.5
         }
         assert got == {(1, 2): 1.0}, (thr, got)
+
+
+def test_simhash_dedup_component_keeper(spark):
+    """simhash_dedup with the component rule keeps exactly min-id per
+    near-identical cluster (three docs differing by one rare token form
+    one transitive cluster at max_hamming=3)."""
+    from mlx_vector_db_spark.operators.dedup import simhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today "
+    rows = [
+        (10, base * 4),
+        (11, base * 4 + "x"),
+        (12, base * 4 + "y"),
+        (50, "completely different content about spark shuffles and joins " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in simhash_dedup(docs, max_hamming=6).collect())
+    assert kept == [10, 50]
