@@ -1397,6 +1397,52 @@ class VectorStore:
         self._swap_all_files(staging)
         return before - after
 
+    def dedup_vectors(
+        self, threshold: float = 0.98, use_index: bool = True
+    ) -> int:
+        """Remove near-duplicate vectors (cosine >= ``threshold``),
+        keeping the min id of every transitive near-dup cluster
+        (connected components over the pair graph — the
+        ``minhash_dedup(keeper="component")`` rule applied to the
+        store's own embeddings). Returns the number of rows removed.
+
+        With an IVF/LSH index present (and ``use_index``), candidate
+        pairs are generated only INSIDE index cells
+        (``bucket_col="centroid_id"``) — the scale path; a near-dup
+        pair split across cells survives, so recall is bounded by the
+        bucketer exactly as in
+        :func:`~mlx_vector_db_spark.operators.dedup.embedding_neardup_pairs`.
+        Without an index the exact all-pairs variant runs — audit scale
+        only. Doomed ids route through :meth:`delete_vectors`'s
+        stats-pruned rewrite; the id list transits the driver, which is
+        fine at any realistic duplicate fraction (it is the CLUSTER
+        members, not the corpus).
+        """
+        from mlx_vector_db_spark.operators.components import connected_components
+        from mlx_vector_db_spark.operators.dedup import embedding_neardup_pairs
+
+        if not self._data_files():
+            return 0
+        df = self.to_df()
+        bucket = (
+            "centroid_id" if (use_index and self.config.index is not None) else None
+        )
+        pairs = embedding_neardup_pairs(
+            df,
+            vec_col="embedding",
+            id_col="id",
+            threshold=threshold,
+            bucket_col=bucket,
+        ).select("id_a", "id_b")
+        comp = connected_components(pairs)
+        doomed = [
+            int(r["node"])
+            for r in comp.where(F.col("node") != F.col("component")).collect()
+        ]
+        if not doomed:
+            return 0
+        return self.delete_vectors(ids=doomed)
+
     def clear(self) -> None:
         """TRUNCATE (reference service/optimized_vector_store.py:198-209).
 

@@ -534,3 +534,40 @@ def test_optimize_sort_by_makes_pruning_surgical(catalog):
     for p, m in untouched_after.items():
         assert survivors[p] == m
     assert st.count() == 299
+
+
+def test_dedup_vectors_component_keeper(catalog):
+    """dedup_vectors removes every near-identical vector except the
+    min id of each transitive cluster; distinct vectors survive."""
+    st = catalog.create_store("u9", "dedup", dimension=8, metric="cosine")
+    base = RNG.random(8).astype(np.float32)
+    other = -base  # cosine -1 vs base: never a near-dup
+    third = RNG.random(8).astype(np.float32)
+    vecs = [
+        base,
+        base * 2.0,            # same direction as id 0 -> cosine 1.0
+        base + 1e-4,           # near-identical to id 0
+        other,
+        third,
+    ]
+    st.add_vectors([v.tolist() for v in vecs])
+    removed = st.dedup_vectors(threshold=0.999)
+    assert removed == 2
+    kept = sorted(r["id"] for r in st.to_df().select("id").collect())
+    assert kept == [0, 3, 4]
+    # idempotent: second pass removes nothing
+    assert st.dedup_vectors(threshold=0.999) == 0
+
+
+def test_dedup_vectors_uses_index_cells(catalog):
+    """With an IVF index, dedup still removes exact duplicates (same
+    vector always lands in the same cell, so in-cell candidate
+    generation finds it)."""
+    st = catalog.create_store("u9", "dedupivf", dimension=8, metric="cosine")
+    vecs = RNG.random((40, 8)).astype(np.float32)
+    dup = np.vstack([vecs, vecs[:5]])  # 5 exact duplicates appended
+    st.add_vectors(dup.tolist())
+    st.build_index(kind="ivf", nlist=4, seed=1)
+    removed = st.dedup_vectors(threshold=0.9999, use_index=True)
+    assert removed == 5
+    assert st.count() == 40
