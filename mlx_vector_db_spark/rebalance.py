@@ -8,6 +8,14 @@ cluster size. The guard shuffles the *narrow* projection (a few MB of
 id + text) out to the default parallelism only when the input is
 under-partitioned; any real wide scan (a 100 TB table is thousands of
 splits) passes through untouched, shuffle-free.
+
+Known hazard (found r4): the guard protects PROJECTIONS, but predicate
+pushdown can hop over the repartition — a ``where()`` on expensive
+computed columns gets its aliases inlined into a Filter BELOW this
+exchange, serializing exactly the compute the rebalance spreads onto
+the raw scan's few input partitions. When filtering on heavy signals,
+lazily ``localCheckpoint()`` the signal projection first (see
+``q_curation_pipeline``) — pushdown cannot cross an RDD scan.
 """
 
 from __future__ import annotations
