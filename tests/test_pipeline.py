@@ -212,3 +212,44 @@ def test_sentence_transformer_encoder_pickle_ships_name_only():
     clone = pickle.loads(state)
     a, b = enc(["same text"]), clone(["same text"])
     assert np.allclose(a, b, atol=1e-6)
+
+
+def test_pretraining_export_composition(spark, tmp_path):
+    """The pretraining data path end-to-end: curation (lang + token
+    filters + dedup keeper) -> token-budget packing -> deterministic
+    sharded export. Invariants: every curated doc is exported exactly
+    once, every pack bin respects the budget, and re-exporting yields
+    an identical manifest (retry-stable)."""
+    import pyspark.sql.functions as F
+
+    from mlx_vector_db_spark.operators.packing import greedy_pack
+    from mlx_vector_db_spark.queries import q_curation_pipeline
+    from mlx_vector_db_spark.sources.export import export_shards, read_shards
+
+    en = "the quick brown fox and the lazy dog of the town keep running "
+    rows = [(i, en * 2 + f"tail{i}") for i in range(30)]
+    rows += [(100, rows[0][1]), (101, "short of it")]  # dup + too-short
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    curated = q_curation_pipeline(spark, str(tmp_path))
+    packed = greedy_pack(curated, token_col="n_bpe_tokens", budget=256)
+    # bins respect the budget
+    over = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .where(F.col("t") > 256)
+        .count()
+    )
+    assert over == 0
+
+    out = str(tmp_path / "shards")
+    m1 = {r["shard"]: r["n_rows"] for r in export_shards(packed, out, n_shards=4).collect()}
+    back = read_shards(spark, out)
+    assert back.count() == curated.count() == 30  # dup 100 + short 101 dropped
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in curated.select("doc_id").collect()
+    )
+    # deterministic re-export: identical manifest
+    m2 = {r["shard"]: r["n_rows"] for r in export_shards(packed, out, n_shards=4).collect()}
+    assert m1 == m2
