@@ -668,6 +668,75 @@ class VectorStore:
         self._write_batch(out, n_added, mode="append")
         return n_added
 
+    def add_vectors_dedup(
+        self,
+        vectors: Sequence[Sequence[float]] | DataFrame,
+        metadata: Sequence[Mapping[str, Any]] | None = None,
+        threshold: float = 0.98,
+    ) -> tuple[int, int]:
+        """Dedup-on-write: append only batch rows that are NOT near
+        duplicates (cosine >= ``threshold``) of an existing vector or of
+        an earlier row in the same batch (min id per in-batch cluster
+        survives). Returns ``(n_added, n_rejected)``.
+
+        The incremental-curation shape: a daily ingest screens itself
+        against the corpus instead of re-running corpus-wide dedup.
+        With an IVF index the store side is pruned to the batch's cells
+        before scoring; without one the screen scans the store once per
+        batch (both sides stream through a join — no driver collect).
+        The plain :meth:`add_vectors` hot path is untouched; this
+        method pays the screening joins by design. Auto-assigned ids of
+        rejected rows are skipped, leaving id gaps — ids are unique,
+        never dense.
+        """
+        from mlx_vector_db_spark.functions.vector import cosine_similarity
+        from mlx_vector_db_spark.operators.components import dedup_keepers
+        from mlx_vector_db_spark.operators.dedup import embedding_neardup_pairs
+
+        batch, n_known = self._prepare_batch(vectors, metadata, None)
+        batch = batch.localCheckpoint(eager=False)  # reused by 2-3 joins
+        n_batch = self._count_and_validate(batch) if n_known is None else n_known
+        if n_batch == 0:
+            return (0, 0)
+
+        survivors = batch
+        if self._data_files():
+            store_side = self.to_df().select(
+                F.col("embedding").alias("_s_emb"),
+                *(
+                    [F.col("centroid_id").alias("_s_cell")]
+                    if self.config.index is not None
+                    else []
+                ),
+            )
+            if self.config.index is not None:
+                cond = F.col("centroid_id") == F.col("_s_cell")
+                joined = survivors.join(store_side, cond)
+            else:
+                joined = survivors.crossJoin(store_side)
+            doomed = (
+                joined.where(
+                    cosine_similarity("embedding", "_s_emb")
+                    >= F.lit(float(threshold))
+                )
+                .select("id")
+                .distinct()
+            )
+            survivors = survivors.join(doomed, on="id", how="left_anti")
+        # in-batch screen: min id per near-dup cluster survives
+        pairs = embedding_neardup_pairs(
+            survivors,
+            vec_col="embedding",
+            id_col="id",
+            threshold=threshold,
+            bucket_col="centroid_id" if self.config.index is not None else None,
+        ).select("id_a", "id_b")
+        survivors = dedup_keepers(survivors, pairs, id_col="id")
+        n_added = survivors.count()
+        if n_added:
+            self._write_batch(survivors, n_added, mode="append")
+        return (int(n_added), int(n_batch - n_added))
+
     def _write_batch(self, out: DataFrame, n_rows: int, mode: str) -> None:
         """Append-path writer. Sizes output files by row count instead of
         inheriting the input's partitioning: a 500-row python batch

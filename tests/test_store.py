@@ -571,3 +571,24 @@ def test_dedup_vectors_uses_index_cells(catalog):
     removed = st.dedup_vectors(threshold=0.9999, use_index=True)
     assert removed == 5
     assert st.count() == 40
+
+
+def test_add_vectors_dedup_screens_store_and_batch(catalog):
+    """Dedup-on-write: batch rows near-identical to existing vectors or
+    to earlier batch rows are rejected; distinct rows append."""
+    st = catalog.create_store("u9", "ingest", dimension=8, metric="cosine")
+    base = RNG.random((10, 8)).astype(np.float32)
+    st.add_vectors(base.tolist())
+    fresh = -base[:3]  # cosine -1 vs originals: genuinely new
+    batch = np.vstack([
+        base[:2] * 1.5,   # dups of store rows (same direction)
+        fresh,
+        fresh[0:1] * 2.0, # in-batch dup of the first fresh row
+    ])
+    added, rejected = st.add_vectors_dedup(batch.tolist(), threshold=0.999)
+    assert (added, rejected) == (3, 3)
+    assert st.count() == 13
+    # idempotent: replaying the same batch adds nothing
+    added2, rejected2 = st.add_vectors_dedup(batch.tolist(), threshold=0.999)
+    assert (added2, rejected2) == (0, 6)
+    assert st.count() == 13
