@@ -299,6 +299,7 @@ def ingest_batch(
     query_name: str = "vector_ingest",
     operations_log: str | None = None,
     seen_epochs: set | None = None,
+    dedup_threshold: float | None = None,
 ) -> int:
     """Idempotently append one (micro-)batch to a store.
 
@@ -353,7 +354,14 @@ def ingest_batch(
         ).coalesce(1).write.mode("append").parquet(operations_log)
 
     try:
-        n = store.add_vectors(batch_df)
+        if dedup_threshold is not None:
+            # dedup-on-write: each micro-batch screens itself against the
+            # store and its own earlier rows (store.add_vectors_dedup)
+            n, _rejected = store.add_vectors_dedup(
+                batch_df, threshold=dedup_threshold
+            )
+        else:
+            n = store.add_vectors(batch_df)
     except Exception:
         # failed batches are visible in job_status (and NOT added to
         # seen_epochs: the retry must re-attempt this epoch)
@@ -371,8 +379,13 @@ def streaming_ingest_vectors(
     checkpoint_dir: str,
     query_name: str = "vector_ingest",
     operations_log: str | None = None,
+    dedup_threshold: float | None = None,
 ):
     """Append a streaming DataFrame of vectors into a VectorStore.
+
+    ``dedup_threshold`` turns on dedup-on-write: each micro-batch is
+    screened against the store (and itself) at that cosine threshold
+    before appending — continuous incremental curation.
 
     Each micro-batch goes through the store's normal add path (norm
     projection + append) — chunked ingestion (reference S6). Progress is
@@ -398,6 +411,7 @@ def streaming_ingest_vectors(
             query_name=query_name,
             operations_log=operations_log,
             seen_epochs=seen,
+            dedup_threshold=dedup_threshold,
         )
 
     return (

@@ -516,3 +516,35 @@ def test_streaming_knn_sink_idempotent_on_epoch_replay(spark, tmp_path):
     score_knn_batch(store, batch, 1, sink, k=2)
     assert spark.read.parquet(sink).count() == 16
     assert spark.read.parquet(sink).select("epoch_id").distinct().count() == 2
+
+
+def test_streaming_ingest_dedup_on_write(spark, tmp_path):
+    """dedup_threshold screens each micro-batch against the store: a
+    second file repeating the first file's vectors adds nothing; novel
+    vectors still land."""
+    rng = np.random.default_rng(7)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    base = [(i, rng.random(8).astype(np.float32).tolist()) for i in range(10)]
+    novel = [
+        (100 + i, (-np.array(v, dtype=np.float32)).tolist()) for i, (_, v) in enumerate(base[:4])
+    ]
+    spark.createDataFrame(base, "id long, embedding array<float>").coalesce(1)\
+        .write.mode("append").parquet(str(src))
+    spark.createDataFrame(base[:6] + novel, "id long, embedding array<float>")\
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("stream", "dedup", dimension=8)
+    stream = (
+        spark.readStream.schema("id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_ingest_vectors(
+        stream, store, str(tmp_path / "ckpt"), dedup_threshold=0.999
+    )
+    q.processAllAvailable()
+    q.stop()
+    # 10 from batch 1 + only the 4 novel rows from batch 2
+    assert store.count() == 14
