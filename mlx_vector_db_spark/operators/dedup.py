@@ -138,8 +138,14 @@ def minhash_signature(
 
     Each hash function k is ``min over shingles of (a_k * h(shingle) +
     b_k) mod P`` where h is one shared 32-bit base hash — all JVM
-    built-ins inside whole-stage codegen; no Python worker is involved,
-    and the shingle string is hashed once, not K times.
+    built-ins, no Python worker.
+
+    Expression-form caveat: the K ``array_min`` lambdas each reference
+    the inline shingle subtree, which HOF evaluation re-derives per
+    hash function (~K-fold re-tokenization — fine for single rows /
+    tiny inputs, wrong for a corpus). :func:`minhash_lsh_pairs`
+    computes the same signatures map-only over a MATERIALIZED
+    shingle-hash array; use that shape for anything at scale.
     """
     a, b = _minhash_coeffs(num_hashes, seed)
     hashed = F.transform(_hashed_shingles(text_col, shingle_n), _fold32)
