@@ -2102,6 +2102,42 @@ def q_store_lifecycle_gate(spark, sf_dir):
     )
 
 
+def q_ingest_dedup_gate(spark, sf_dir):
+    """Dedup-on-write under the value gate: a store seeded with
+    embeddings [0, 50) screens a batch of [25, 75) at cosine >= 0.999 —
+    the overlapping 25 rows are EXACT duplicates and must be rejected,
+    the disjoint 25 must land (uniform-random 64-dim vectors can't hit
+    0.999 by chance). The oracle recomputes both counts from the raw
+    table's id ranges, so the gate pins the screen's accept AND reject
+    behavior on real data."""
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"vdb-ingest-dedup-gate-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    cat = VectorStoreCatalog(spark, root)
+    st = cat.create_store("gate", "dedup", dimension=64)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    st.add_vectors(emb.where(F.col("id") < 50))
+    added, rejected = st.add_vectors_dedup(
+        emb.where((F.col("id") >= 25) & (F.col("id") < 75)).select("embedding"),
+        threshold=0.999,
+    )
+    n_total = st.count()
+    return spark.createDataFrame(
+        [(int(added), int(rejected), int(n_total))],
+        "n_added long, n_rejected long, n_vectors long",
+    )
+
+
 def q_streaming_knn_gate(spark, sf_dir):
     """Streaming vector search under the value gate: the embeddings
     table's first 20 vectors replayed as a bounded query stream, scored
@@ -2367,6 +2403,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_components": q_dedup_components,
     "packing_gate": q_packing_gate,
     "store_lifecycle_gate": q_store_lifecycle_gate,
+    "ingest_dedup_gate": q_ingest_dedup_gate,
     "salted_join_parity": q_salted_join_parity,
     "streaming_knn_gate": q_streaming_knn_gate,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
@@ -3498,6 +3535,14 @@ ORACLES: dict[str, str] = {
                16::BIGINT AS n_probes,
                16::BIGINT AS n_self_hits
         FROM embeddings
+    """,
+    "ingest_dedup_gate": """
+        SELECT (SELECT count(*) FROM embeddings
+                WHERE vec_id >= 50 AND vec_id < 75)::BIGINT AS n_added,
+               (SELECT count(*) FROM embeddings
+                WHERE vec_id >= 25 AND vec_id < 50)::BIGINT AS n_rejected,
+               (SELECT count(*) FROM embeddings
+                WHERE vec_id < 75)::BIGINT AS n_vectors
     """,
     "salted_join_parity": """
         SELECT o.o_orderkey, o.o_custkey, c.c_name,
