@@ -115,11 +115,14 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def bpe_ish_token_count(col: Column | str) -> Column:
+def bpe_ish_token_count(col: Column | str, toks: Column | None = None) -> Column:
     """A BPE-ish proxy token count: word pieces of <=4 chars — i.e.
     ``sum(ceil(len(word)/4))`` — the standard cheap estimator when no
-    tokenizer is shipped (the image has no tokenizer libs)."""
-    toks = tokens(col)
+    tokenizer is shipped (the image has no tokenizer libs). ``toks`` as
+    in :func:`text_quality` (pass a materialized token array when
+    composing several token signals in one plan)."""
+    if toks is None:
+        toks = tokens(col)
     return F.aggregate(
         toks,
         F.lit(0),

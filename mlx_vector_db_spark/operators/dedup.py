@@ -199,6 +199,13 @@ def minhash_lsh_pairs(
     max_bucket_size²; a pair sharing a dropped bucket is still found
     through any of its other ``bands-1`` bands, so recall degrades
     gracefully rather than the job dying.
+
+    Precondition: ``id_col`` values must be UNIQUE (it is the document
+    key). A duplicated id yields one signature row per occurrence, and
+    the verify joins then fan each of its candidate pairs out once per
+    occurrence — exact-dedup or drop duplicate ids first (the r3
+    explode+groupBy form silently merged duplicate ids' shingle sets
+    instead, which was no more correct, just quieter).
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
@@ -303,18 +310,12 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_dedup(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    keeper: str = "component",
-    **kwargs,
+def _apply_keeper(
+    df: DataFrame, pairs: DataFrame, id_col: str, keeper: str
 ) -> DataFrame:
-    """Corpus minus near-duplicates.
+    """The ONE survivor-rule dispatcher both dedup twins share.
 
-    ``keeper`` picks the survivor rule applied to the near-dup pair graph:
-
-    - ``"component"`` (default): transitive clusters via
+    - ``"component"``: transitive clusters via
       :func:`~mlx_vector_db_spark.operators.components.connected_components`
       — one min-id survivor per connected component. This is the correct
       corpus rule: with pairs (A,C) and (B,C) but no (A,B), all three are
@@ -326,7 +327,6 @@ def minhash_dedup(
       Useful as the cheap first pass when pairs are known to be cliques
       (e.g. exact-dup groups).
     """
-    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **kwargs)
     if keeper == "component":
         from mlx_vector_db_spark.operators.components import dedup_keepers
 
@@ -335,6 +335,20 @@ def minhash_dedup(
         doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return df.join(doomed, on=id_col, how="left_anti")
     raise ValueError(f"keeper must be 'component' or 'pairwise' (got {keeper!r})")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keeper: str = "component",
+    **kwargs,
+) -> DataFrame:
+    """Corpus minus near-duplicates. ``keeper`` picks the survivor rule
+    applied to the near-dup pair graph — see :func:`_apply_keeper` for
+    the ``"component"`` (default) vs ``"pairwise"`` semantics."""
+    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **kwargs)
+    return _apply_keeper(df, pairs, id_col, keeper)
 
 
 def simhash_dedup(
@@ -347,17 +361,9 @@ def simhash_dedup(
     """Corpus minus SimHash near-duplicates — the :func:`minhash_dedup`
     twin over Hamming-banded pairs (:func:`simhash_pairs` takes the
     ``max_hamming``/``shingle_n``/``seed``/``max_bucket_size`` kwargs).
-    Same keeper rules: ``"component"`` keeps one min-id survivor per
-    transitive cluster; ``"pairwise"`` drops ``id_b`` of every pair."""
+    Keeper rules shared via :func:`_apply_keeper`."""
     pairs = simhash_pairs(df, text_col=text_col, id_col=id_col, **kwargs)
-    if keeper == "component":
-        from mlx_vector_db_spark.operators.components import dedup_keepers
-
-        return dedup_keepers(df, pairs, id_col=id_col)
-    if keeper == "pairwise":
-        doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        return df.join(doomed, on=id_col, how="left_anti")
-    raise ValueError(f"keeper must be 'component' or 'pairwise' (got {keeper!r})")
+    return _apply_keeper(df, pairs, id_col, keeper)
 
 
 def simhash(text_col: str | Column, shingle_n: int = 2, seed: int = 7) -> Column:
@@ -409,7 +415,9 @@ def simhash_signatures(
     exploded them into a 64-sum groupBy — a corpus-wide shuffle whose
     only purpose was re-associating shingles with their own doc). The
     :func:`simhash` expression form recomputes the shingle subtree per
-    bit and is only sensible for tiny inputs."""
+    bit and is only sensible for tiny inputs. ``id_col`` must be unique
+    (a duplicated id yields one fingerprint row per occurrence — see
+    the precondition note on :func:`minhash_lsh_pairs`)."""
     hdf = (
         rebalance_for_compute(df, id_col, text_col)
         # materialized token projection — see _hashed_shingles_from_tokens
@@ -533,6 +541,13 @@ def jaccard_pairs(
 
     ``threshold <= 0`` keeps the literal all-pairs form (a zero-overlap
     pair has j = 0.0 and must be emitted) — audit scale only.
+
+    NULL ``text_col`` rows are treated as EMPTY documents (shingle set
+    coalesced to []): they pair at 1.0 with other empty/NULL docs and
+    with nothing else, in BOTH paths. (Without the coalesce, the
+    quadratic form's NULL set propagates through array_union into a
+    NULL union, pairing a NULL doc with EVERYTHING at 1.0, while the
+    relational form pairs it with nothing — both wrong, and divergent.)
     """
     from mlx_vector_db_spark.functions.text import shingles_from_tokens
 
@@ -547,7 +562,10 @@ def jaccard_pairs(
         )
         .select(
             "_id",
-            shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"),
+            F.coalesce(
+                shingles_from_tokens(F.col("_toks"), shingle_n),
+                F.array().cast("array<string>"),
+            ).alias("_sh"),
             *(["_blk"] if block_col else []),
         )
     )

@@ -34,6 +34,7 @@ __all__ = [
     "repeated_spans",
     "ngram_contamination",
     "word_ngrams",
+    "word_ngrams_from_tokens",
     "hashed_word_ngrams",
     "ngrams_from_word_hashes",
     "winnow_fingerprints",
@@ -42,14 +43,13 @@ __all__ = [
 ]
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
-    """Space-joined word ``n``-grams of a text column as
-    ``array<string>`` (empty when the document has fewer than ``n``
-    words). Built with ``slice``/``zip_with`` so the whole expression
-    stays inside whole-stage codegen — no UDF, no shuffle."""
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """:func:`word_ngrams` over an already-tokenized (and MATERIALIZED)
+    ``array<string>`` column — the chain references the token array ~n
+    times, which re-evaluates an inline ``tokens()`` subtree n-fold
+    (array expressions evaluate outside codegen CSE)."""
     if n < 1:
         raise ValueError(f"n must be >= 1 (got {n})")
-    toks = tokens(col)
     sz = F.size(toks)
     width = sz - F.lit(n - 1)
     out = F.slice(toks, 1, F.greatest(width, F.lit(0)))
@@ -60,6 +60,14 @@ def word_ngrams(col: Column | str, n: int) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     return F.when(sz >= n, out).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Space-joined word ``n``-grams of a text column as
+    ``array<string>`` (empty when the document has fewer than ``n``
+    words). Expression form — corpus-scale operators should tokenize in
+    their own projection and use :func:`word_ngrams_from_tokens`."""
+    return word_ngrams_from_tokens(tokens(col), n)
 
 
 def ngrams_from_word_hashes(h: Column, sz: Column, n: int) -> Column:
@@ -242,9 +250,14 @@ def repeated_spans(
         raise ValueError(f"min_docs must be >= 1 (got {min_docs})")
     from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
-    g = rebalance_for_compute(df, id_col, text_col).select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    g = (
+        rebalance_for_compute(df, id_col, text_col)
+        # materialized token projection — see word_ngrams_from_tokens
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .select(
+            "_id",
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
+        )
     )
     return (
         g.groupBy("gram")

@@ -1246,15 +1246,21 @@ def q_minhash_precision_gate(spark, sf_dir):
 
 def q_simhash_precision_gate(spark, sf_dir):
     """SimHash emission precision, self-gated: for every emitted pair,
-    re-derive both 64-bit fingerprints from the raw documents
-    (independent of the banding path's carried columns) and require the
-    recomputed Hamming distance to satisfy the bound. violations == 0
+    join the 64-bit fingerprints back from the (checkpointed, single)
+    fingerprint pass and require the freshly recomputed Hamming
+    distance to satisfy the bound — catching a banding bug emitting
+    wrong candidates or a mangled in-join distance. violations == 0
     with a non-empty emission."""
     from mlx_vector_db_spark.operators.dedup import hamming64, simhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    found = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
-    fp = simhash_signatures(docs, "text", "doc_id", 2, 7)
+    # one checkpointed fingerprint pass feeds banding AND the re-join
+    fp = simhash_signatures(docs, "text", "doc_id", 2, 7).localCheckpoint(
+        eager=False
+    )
+    found = simhash_pairs(docs, max_hamming=3, signatures=fp).select(
+        "id_a", "id_b"
+    )
     joined = (
         found.join(fp.select(F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a")), on="id_a")
         .join(fp.select(F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b")), on="id_b")
@@ -1633,7 +1639,7 @@ def q_curation_pipeline(spark, sf_dir):
     a semi-join back — the exact_dedup keeper shape. Total: one
     aggregation shuffle + one join shuffle over the FILTERED corpus.
     """
-    from mlx_vector_db_spark.functions.text import tokens
+    from mlx_vector_db_spark.functions.text import bpe_ish_token_count, tokens
     from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
     docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -1643,26 +1649,25 @@ def q_curation_pipeline(spark, sf_dir):
     tokd = docs.select("doc_id", "text", tokens("text").alias("_toks"))
     toks = F.col("_toks")
     q = text_quality("text", toks=toks)
-    bpe = F.aggregate(
-        toks, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int")
-    )
     sig = tokd.select(
         "doc_id",
         detect_language("text", toks=toks).alias("lang_pred"),
         q["n_tokens"].cast("long").alias("n_tokens"),
         F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
-        bpe.cast("long").alias("n_bpe_tokens"),
+        bpe_ish_token_count("text", toks=toks).cast("long").alias("n_bpe_tokens"),
         doc_fingerprint("text").alias("_fp"),
     )
-    # lazily checkpoint the signal table: (a) predicate pushdown would
-    # otherwise inline the heavy lang/token expressions into a filter
-    # BELOW the rebalance exchange — onto the raw file scan's (few)
-    # input partitions, serializing the compute the rebalance exists to
-    # spread; (b) the keeper aggregate and the survivor side otherwise
-    # each recompute the whole signal branch from the scan. At real
-    # scale this materialization IS the pipeline's stage-1 output (the
-    # per-doc signal table you'd persist anyway).
-    sig = sig.localCheckpoint(eager=False)
+    # barrier the signal table: (a) predicate pushdown would otherwise
+    # inline the heavy lang/token expressions into a filter BELOW the
+    # rebalance exchange — onto the raw scan's (few) input partitions,
+    # serializing the compute (see rebalance.pushdown_barrier); (b) the
+    # keeper aggregate and the survivor side otherwise each recompute
+    # the whole signal branch from the scan. At real scale this
+    # materialization IS the pipeline's stage-1 output (the per-doc
+    # signal table you'd persist anyway).
+    from mlx_vector_db_spark.rebalance import pushdown_barrier
+
+    sig = pushdown_barrier(sig)
     kept = sig.where(
         (F.col("lang_pred") != "und") & F.col("n_tokens").between(20, 95)
     )

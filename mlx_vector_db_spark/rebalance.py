@@ -14,7 +14,7 @@ pushdown can hop over the repartition — a ``where()`` on expensive
 computed columns gets its aliases inlined into a Filter BELOW this
 exchange, serializing exactly the compute the rebalance spreads onto
 the raw scan's few input partitions. When filtering on heavy signals,
-lazily ``localCheckpoint()`` the signal projection first (see
+wrap the signal projection in :func:`pushdown_barrier` first (see
 ``q_curation_pipeline``) — pushdown cannot cross an RDD scan.
 """
 
@@ -22,7 +22,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["rebalance_for_compute"]
+__all__ = ["rebalance_for_compute", "pushdown_barrier"]
+
+
+def pushdown_barrier(df: DataFrame) -> DataFrame:
+    """Stop predicate pushdown from hopping below this point.
+
+    Use when a downstream ``where()`` references EXPENSIVE computed
+    columns over a rebalanced frame: Catalyst inlines deterministic
+    aliases into the pushed filter, which then executes below the
+    rebalance exchange — on the raw scan's (few) input partitions,
+    serializing exactly the compute :func:`rebalance_for_compute`
+    spreads. A lazy ``localCheckpoint`` truncates the lineage to an RDD
+    scan, which no rule pushes through; it also caches the frame, which
+    is usually what a multiply-consumed signal table wants anyway.
+    """
+    return df.localCheckpoint(eager=False)
 
 
 def rebalance_for_compute(df: DataFrame, *cols: str | Column) -> DataFrame:

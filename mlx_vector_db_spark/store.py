@@ -732,6 +732,9 @@ class VectorStore:
             bucket_col="centroid_id" if self.config.index is not None else None,
         ).select("id_a", "id_b")
         survivors = dedup_keepers(survivors, pairs, id_col="id")
+        # two actions consume survivors (count + write) — checkpoint so
+        # the store-screen join and in-batch component pass run ONCE
+        survivors = survivors.localCheckpoint(eager=False)
         n_added = survivors.count()
         if n_added:
             self._write_batch(survivors, n_added, mode="append")
