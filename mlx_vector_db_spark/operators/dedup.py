@@ -557,15 +557,16 @@ def jaccard_pairs(
         # materialized token projection — see _hashed_shingles_from_tokens
         .select(
             F.col(id_col).alias("_id"),
-            tokens(text_col).alias("_toks"),
+            # NULL text -> empty token array (the empty-doc rule); an
+            # un-coalesced NULL flows into a [NULL] shingle set
+            F.coalesce(
+                tokens(text_col), F.array().cast("array<string>")
+            ).alias("_toks"),
             *([F.col(block_col).alias("_blk")] if block_col else []),
         )
         .select(
             "_id",
-            F.coalesce(
-                shingles_from_tokens(F.col("_toks"), shingle_n),
-                F.array().cast("array<string>"),
-            ).alias("_sh"),
+            shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"),
             *(["_blk"] if block_col else []),
         )
     )

@@ -264,3 +264,21 @@ def test_simhash_dedup_component_keeper(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in simhash_dedup(docs, max_hamming=6).collect())
     assert kept == [10, 50]
+
+
+def test_jaccard_pairs_null_text_is_empty_doc(spark):
+    """NULL text behaves as an empty document in BOTH paths: it pairs
+    at 1.0 with other empty/NULL docs and with nothing else (the
+    quadratic form previously paired a NULL doc with EVERYTHING)."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e")], "doc_id long, text string"
+    )
+    for thr in (0.5, 0.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, threshold=thr).collect()
+            if r["jaccard"] >= 0.5
+        }
+        assert got == {(1, 2): 1.0}, (thr, got)
