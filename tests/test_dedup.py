@@ -282,3 +282,31 @@ def test_jaccard_pairs_null_text_is_empty_doc(spark):
             if r["jaccard"] >= 0.5
         }
         assert got == {(1, 2): 1.0}, (thr, got)
+
+
+def test_jaccard_pairs_paths_agree_on_random_corpus(spark):
+    """Relational and quadratic paths must agree on a randomized corpus
+    with a small vocabulary (heavy shingle sharing), empties, and
+    varied lengths — one seeded corpus, one Spark job per path."""
+    import numpy as np
+
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 14))
+        rows.append((i, " ".join(rng.choice(vocab, size=n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.3, 0.7):
+        rel = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs(docs, threshold=thr).collect()
+        }
+        quad = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs(docs, threshold=0.0).collect()
+            if r["jaccard"] >= thr
+        }
+        assert rel == quad, (thr, len(rel), len(quad))
