@@ -1834,6 +1834,70 @@ def q_sales_opportunity(spark, sf_dir):
     )
 
 
+def q_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: lost revenue from returned line items per
+    customer, top 20. The lineitem returnflag filter pushes to the
+    scan; customer and nation broadcast; the one big shuffle is
+    lineitem⋈orders on the order key; top-20 plans as
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per supplier nation per order year over
+    parts whose name carries a token. Part (filtered), supplier, and
+    nation broadcast; lineitem⋈orders is the only corpus-sized
+    shuffle; year extraction happens before the aggregate so the
+    groupBy keys are narrow."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains("gear")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    # no partsupp table in this schema: a 60%-of-list supply-cost
+    # stand-in keeps the Q9 profit shape (price*(1-disc) - cost)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("l_extendedprice")
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(F.round(F.sum(profit), 4).alias("profit"))
+
+
 def q_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape: five-way join with two roles for the same
     dimension (nation as supplier-side and customer-side), yearly
@@ -2367,6 +2431,8 @@ QUERIES: dict[str, QueryFn] = {
     # ================= driver window boundary (50) ===================
     "sales_opportunity": q_sales_opportunity,
     "nation_volume": q_nation_volume,
+    "returned_item_revenue": q_returned_item_revenue,
+    "product_profit": q_product_profit,
     "small_qty_revenue": q_small_qty_revenue,
     "discounted_revenue": q_discounted_revenue,
     "knn_euclidean_topk": q_knn_euclidean,
@@ -3201,6 +3267,32 @@ ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY c.c_mktsegment
+    """,
+    "returned_item_revenue": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               round(any_value(c.c_acctbal), 2) AS acctbal
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    "product_profit": """
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate)::BIGINT AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * l.l_extendedprice), 4) AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%gear%'
+        GROUP BY 1, 2
     """,
     "nation_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
