@@ -524,6 +524,7 @@ def jaccard_pairs(
     block_col: str | None = None,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (all-pairs within ``block_col`` groups,
     or global when None), j >= ``threshold``.
@@ -534,13 +535,35 @@ def jaccard_pairs(
     only pairs sharing at least one shingle ever meet, which is exactly
     the j > 0 pairs, so results are identical to the naive quadratic
     scan while the shuffle key is the shingle, never the corpus. This
-    makes EXACT Jaccard scale-shaped too (the caveat is a hot shingle
-    shared by f docs contributing f² join rows — boilerplate corpora
-    should pre-drop stop-shingles or use :func:`minhash_lsh_pairs`,
-    whose banding bounds candidate fan-out by design).
+    makes EXACT Jaccard scale-shaped too.
+
+    ``max_shingle_freq`` caps the one remaining 100x failure mode: a hot
+    shingle shared by f documents (site boilerplate, license headers)
+    contributes f² join rows — one straggler task at corpus scale.
+    Shingles whose document frequency (within the block, when blocked)
+    exceeds the cap are dropped *before* the self-join, bounding
+    per-shingle fan-out at max_shingle_freq², exactly the
+    ``max_bucket_size`` contract on :func:`minhash_lsh_pairs`. Recall
+    then degrades gracefully instead of the job dying: a pair is still
+    found through any surviving shared shingle, and because per-doc set
+    sizes stay UNCAPPED the reported jaccard for a pair that shared a
+    dropped shingle is an under-estimate — capped output is always a
+    SUBSET of uncapped output (threshold precision is never hurt; pairs
+    whose every shared shingle is hot are missed, like a dropped LSH
+    bucket). The frequency count shares the join's shingle clustering,
+    so the cap adds no extra shuffle.
 
     ``threshold <= 0`` keeps the literal all-pairs form (a zero-overlap
-    pair has j = 0.0 and must be emitted) — audit scale only.
+    pair has j = 0.0 and must be emitted) — audit scale only;
+    ``max_shingle_freq`` is ignored there (no shingle join exists).
+
+    Precondition: ``id_col`` values must be UNIQUE (it is the document
+    key). A duplicated id yields one shingle-set row per occurrence; in
+    the relational path the intersection count then double-counts every
+    shared shingle and the two size joins fan each pair out once per
+    occurrence — duplicated output rows with WRONG jaccard values (the
+    quadratic path merely duplicates rows). Exact-dedup or drop
+    duplicate ids first, as with :func:`minhash_lsh_pairs`.
 
     NULL ``text_col`` rows are treated as EMPTY documents (shingle set
     coalesced to []): they pair at 1.0 with other empty/NULL docs and
@@ -576,6 +599,15 @@ def jaccard_pairs(
         # size joins; truncate lineage so tokenization runs once
         base = base.localCheckpoint(eager=False)
         g = base.select("_id", *bcols, F.explode("_sh").alias("_tok"))
+        if max_shingle_freq is not None:
+            # doc-frequency filter BEFORE the self-join; the window is
+            # keyed on the join key so it rides the same clustering
+            freq_w = Window.partitionBy("_tok", *bcols)
+            g = (
+                g.withColumn("_df", F.count(F.lit(1)).over(freq_w))
+                .where(F.col("_df") <= F.lit(int(max_shingle_freq)))
+                .drop("_df")
+            )
         inter = (
             g.select(F.col("_id").alias("id_a"), *bcols, "_tok")
             .join(

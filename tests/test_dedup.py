@@ -310,3 +310,64 @@ def test_jaccard_pairs_paths_agree_on_random_corpus(spark):
             if r["jaccard"] >= thr
         }
         assert rel == quad, (thr, len(rel), len(quad))
+
+
+def test_jaccard_pairs_max_shingle_freq_caps_boilerplate(spark):
+    """A boilerplate shingle shared by 10x-median docs is dropped before
+    the self-join: boilerplate-only pairs vanish (bounded fan-out) while
+    pairs sharing non-hot shingles survive with UNCHANGED jaccard (per-doc
+    set sizes stay uncapped)."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} u{i} v{i}") for i in range(20)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(docs, threshold=0.5, max_shingle_freq=5).collect()
+    }
+    # the hot shingles really did create pairs the cap must remove
+    assert any(a < 20 and b < 20 for a, b in uncapped)
+    # cap drops every boilerplate-only pair (their shared shingles all
+    # have df=20 > 5) — bounded candidate fan-out
+    assert not any(a < 20 and b < 20 for a, b in capped)
+    # the genuine near-dup pair survives, value unchanged
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # graceful-degradation contract: capped results are a SUBSET
+    assert set(capped) <= set(uncapped)
+    # and never over-estimate: jaccard is a lower bound under the cap
+    assert all(capped[p] <= uncapped[p] for p in capped)
+
+
+def test_jaccard_pairs_capped_subset_randomized(spark):
+    """Randomized parity: for any corpus and cap, capped pairs are a
+    subset of uncapped pairs and capped jaccard never exceeds true."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 12))
+        rows.append((i, " ".join(rng.choice(vocab, size=n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    for cap in (2, 6):
+        capped = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs(docs, threshold=0.3, max_shingle_freq=cap).collect()
+        }
+        assert set(capped) <= set(uncapped), cap
+        assert all(capped[p] <= uncapped[p] for p in capped), cap
