@@ -32,7 +32,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_fuzzy_pairs", "lsh_fuzzy_pairs"]
+__all__ = ["fuzzy_pairs", "blocked_fuzzy_pairs", "lsh_fuzzy_pairs"]
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 2,
+    block_cols: list[str] | str | None = None,
+    **lsh_knobs,
+) -> DataFrame:
+    """Tier dispatcher for fuzzy matching — one entry point, the recall
+    knobs of both tiers exposed uniformly.
+
+    With ``block_cols``: :func:`blocked_fuzzy_pairs` (exact within the
+    block, quadratic per block — bounded-block schemes only; recall is
+    limited by the blocking choice). Without: :func:`lsh_fuzzy_pairs`
+    (char-shingle MinHash candidates + exact levenshtein verify; recall
+    is controlled by the LSH knobs, precision stays exact). Both emit
+    ``id_a, id_b, distance`` with ``id_a < id_b`` and
+    ``distance <= max_distance``, so callers can switch tiers without
+    touching downstream code.
+
+    ``**lsh_knobs`` (``num_hashes``, ``bands``, ``shingle_n``,
+    ``jaccard_floor``, ``max_bucket_size``) forward to the LSH tier and
+    are rejected when a blocking column is given — a silent ignore
+    would mask a mis-tiered call.
+    """
+    if block_cols is not None:
+        if lsh_knobs:
+            raise ValueError(
+                f"LSH knobs {sorted(lsh_knobs)} have no effect on the "
+                "blocked tier; drop block_cols to use LSH candidates"
+            )
+        return blocked_fuzzy_pairs(
+            df, text_col, id_col, block_cols, max_distance=max_distance
+        )
+    return lsh_fuzzy_pairs(
+        df, text_col, id_col, max_distance=max_distance, **lsh_knobs
+    )
 
 
 def blocked_fuzzy_pairs(

@@ -150,6 +150,33 @@ def q_knn_cosine_filtered(spark, sf_dir):
     return _knn(spark, sf_dir, "cosine", label=3)
 
 
+def q_knn_chunked_parity(spark, sf_dir):
+    """Huge-Q chunked k-NN (operators/knn.py knn_join_chunked), value-
+    gated directly against the DuckDB brute-force oracle: 30 queries
+    hash-bucketed into chunks of 8 (so the multi-chunk union path — not
+    the single-chunk fallback — is what the driver checks) must produce
+    bit-identical ranks and 6-dp scores to a single exact scan. The
+    chunked==broadcast parity pytest (tests/test_knn.py) covers the
+    pairwise equivalence; this entry pins the chunked tier to ground
+    truth in the driver artifact."""
+    from mlx_vector_db_spark.operators.knn import knn_join_chunked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join_chunked(
+        emb, queries, k=5, metric="cosine",
+        vec_col="embedding", id_col="vec_id", chunk_size=8,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_embedding_stats(spark, sf_dir):
     """Per-label store stats (reference A2/A3)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -784,6 +811,34 @@ def q_rag_pipeline(spark, sf_dir):
         F.round("similarity", 6).alias("similarity"),
         "chunk_length",
         "chunk_text",
+    )
+
+
+def q_rag_pack_gate(spark, sf_dir):
+    """Value gate for the greedy skip-packing walk (operators/rag.py
+    pack_context, reference integrations/mlx_lm_pipeline.py:741-752):
+    per-lang candidate lists (top 10 docs by doc_id, walk order = rank)
+    packed into a 1200-char budget. Overflowing docs are SKIPPED, not a
+    break — a later shorter doc still packs — so the DuckDB oracle is a
+    recursive CTE stepping rank-by-rank and accumulating only kept
+    lengths (a plain window cumsum would charge the budget for skipped
+    rows and diverge). At sf0.01 the slice genuinely exercises the skip
+    path (rank gaps in the packed output)."""
+    from mlx_vector_db_spark.operators.rag import pack_context
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    hits = docs.select("lang", "doc_id", "text").withColumn(
+        "rank", F.row_number().over(w)
+    ).where(F.col("rank") <= 10)
+    packed = pack_context(
+        hits, k=10, max_context_length=1200, text_col="text", group_col="lang"
+    )
+    return packed.select(
+        "lang",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("context_rank").cast("int").alias("context_rank"),
     )
 
 
@@ -2182,25 +2237,29 @@ def q_ingest_dedup_gate(spark, sf_dir):
     import os
     import shutil as _shutil
     import tempfile
+    import uuid as _uuid
 
     from mlx_vector_db_spark.store import VectorStoreCatalog
 
+    # uuid-suffixed scratch root: two concurrent harness runs at the
+    # same scale factor must not share (and rmtree) one live store
     root = os.path.join(
-        tempfile.gettempdir(),
-        f"vdb-ingest-dedup-gate-{os.path.basename(os.path.normpath(sf_dir))}",
+        tempfile.gettempdir(), f"vdb-ingest-dedup-gate-{_uuid.uuid4().hex[:8]}"
     )
-    _shutil.rmtree(root, ignore_errors=True)
-    cat = VectorStoreCatalog(spark, root)
-    st = cat.create_store("gate", "dedup", dimension=64)
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"), "embedding"
-    )
-    st.add_vectors(emb.where(F.col("id") < 50))
-    added, rejected = st.add_vectors_dedup(
-        emb.where((F.col("id") >= 25) & (F.col("id") < 75)).select("embedding"),
-        threshold=0.999,
-    )
-    n_total = st.count()
+    try:
+        cat = VectorStoreCatalog(spark, root)
+        st = cat.create_store("gate", "dedup", dimension=64)
+        emb = _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        st.add_vectors(emb.where(F.col("id") < 50))
+        added, rejected = st.add_vectors_dedup(
+            emb.where((F.col("id") >= 25) & (F.col("id") < 75)).select("embedding"),
+            threshold=0.999,
+        )
+        n_total = st.count()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [(int(added), int(rejected), int(n_total))],
         "n_added long, n_rejected long, n_vectors long",
@@ -2375,6 +2434,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- vector core + index accuracy gates ---------------------------
     "knn_cosine_topk": q_knn_cosine,
     "knn_cosine_filtered": q_knn_cosine_filtered,
+    "knn_chunked_parity": q_knn_chunked_parity,
     "embedding_stats": q_embedding_stats,
     "ivf_knn": q_ivf_knn,
     "pq_knn": q_pq_knn,
@@ -2389,46 +2449,57 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_precision_gate": q_minhash_precision_gate,
     "minhash_dedup_clustered": q_minhash_dedup_clustered,
+    "simhash_neardup_pairs": q_simhash_pairs,
     "simhash_exactness_gate": q_simhash_exactness_gate,
     "simhash_precision_gate": q_simhash_precision_gate,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+    "text_jaccard_pairs": q_text_jaccard_pairs,
     # -- text analysis / quality / cleaning ---------------------------
     "text_stats": q_text_stats,
     "lang_detect": q_lang_detect,
     "doc_repetition": q_doc_repetition,
     "ngram_contamination": q_ngram_contamination,
+    "repeated_spans": q_repeated_spans,
+    "doc_winnow_fp": q_doc_winnow_fp,
     "quality_classifier": q_quality_classifier,
     "curation_pipeline": q_curation_pipeline,
     "pii_redact": q_pii_redact,
     "chunk_documents": q_chunk_documents,
     "embed_docs_384": q_embed_docs_384,
     "rag_pipeline": q_rag_pipeline,
+    "rag_pack_gate": q_rag_pack_gate,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "multimodal_features": q_multimodal_features,
-    # -- sampling / export --------------------------------------------
+    # -- sampling / export / ingest -----------------------------------
     "stratified_sample": q_stratified_sample,
     "export_shard_plan": q_export_shard_plan,
+    "ingest_dedup_gate": q_ingest_dedup_gate,
     # -- relational / TPC-H analogs -----------------------------------
-    "pricing_summary": q_pricing_summary,
-    "top_orders": q_top_orders,
-    "top_customers_per_nation": q_top_customers_per_nation,
     "customers_without_orders": q_customers_without_orders,
-    "promo_revenue": q_promo_revenue,
-    "large_volume_customers": q_large_volume_customers,
-    "waiting_suppliers": q_waiting_suppliers,
     "orders_grouping_sets": q_orders_grouping_sets,
     "approx_distinct_gate": q_approx_distinct_gate,
     "approx_quantile_gate": q_approx_quantile_gate,
-    # -- temporal / windowing / streaming gate ------------------------
-    "events_hourly": q_events_hourly,
+    # -- temporal / windowing / fuzzy / streaming gate ----------------
     "events_sessionize": q_events_sessionize,
     "events_asof_purchase": q_events_asof,
     "part_price_bands": q_part_price_bands,
-    "events_view_purchase": q_events_view_purchase,
+    "part_fuzzy_lsh_gate": q_part_fuzzy_lsh_gate,
     "streaming_hourly_gate": q_streaming_hourly_gate,
     # ================= driver window boundary (50) ===================
+    # r5 rotation: the eight entries below were driver-green r1-r4 and
+    # are stable TPC-H/temporal analogs; they moved past the window to
+    # make room for the r4/r5 headline features above (the sweep and
+    # judge re-runs still oracle-check them every round).
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "promo_revenue": q_promo_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "waiting_suppliers": q_waiting_suppliers,
+    "events_hourly": q_events_hourly,
+    "events_view_purchase": q_events_view_purchase,
     "sales_opportunity": q_sales_opportunity,
     "nation_volume": q_nation_volume,
     "returned_item_revenue": q_returned_item_revenue,
@@ -2451,7 +2522,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_range_frame": q_events_range_frame,
     "events_json_extract": q_events_json,
     "distinct_users": q_distinct_users,
-    "text_jaccard_pairs": q_text_jaccard_pairs,
     "orders_late_exists": q_orders_late_exists,
     "customer_balance_tiles": q_customer_balance_tiles,
     "lineitem_quantity_quantiles": q_lineitem_quantity_quantiles,
@@ -2459,12 +2529,9 @@ QUERIES: dict[str, QueryFn] = {
     "user_journey": q_user_journey,
     "source_lang_agreement": q_source_lang_agreement,
     "weighted_mixture": q_weighted_mixture,
-    "doc_winnow_fp": q_doc_winnow_fp,
-    "repeated_spans": q_repeated_spans,
     "events_multi_rollup": q_events_multi_rollup,
     "boilerplate_removal": q_boilerplate_removal,
     "customer_order_distribution": q_customer_order_distribution,
-    "simhash_neardup_pairs": q_simhash_pairs,
     "events_unpivot": q_events_unpivot,
     "lineitem_conditional": q_lineitem_conditional,
     "orders_monthly_growth": q_orders_monthly_growth,
@@ -2474,11 +2541,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_components": q_dedup_components,
     "packing_gate": q_packing_gate,
     "store_lifecycle_gate": q_store_lifecycle_gate,
-    "ingest_dedup_gate": q_ingest_dedup_gate,
     "salted_join_parity": q_salted_join_parity,
     "streaming_knn_gate": q_streaming_knn_gate,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
-    "part_fuzzy_lsh_gate": q_part_fuzzy_lsh_gate,
 }
 
 _JACCARD_SHINGLES_BODY = """
@@ -2546,6 +2611,36 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
+    # the chunked tier must reproduce the same brute-force ground truth
+    # as the one-pass paths — same oracle, wider query set
+    "knn_chunked_parity": _KNN_ORACLE.format(
+        nq=30, k=5, where="", score=_COSINE_SQL, dir="DESC"
+    ),
+    # greedy skip-packing: recursive CTE walks rank order per lang and
+    # accumulates ONLY kept lengths (overflowing rows are skipped, not a
+    # break — reference integrations/mlx_lm_pipeline.py:741-752)
+    "rag_pack_gate": """
+WITH RECURSIVE hh AS (
+  SELECT lang, doc_id, length(text) AS len,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk
+  FROM documents WHERE text IS NOT NULL
+  QUALIFY rnk <= 10
+),
+walk AS (
+  SELECT lang, 0 AS rnk, 0::BIGINT AS total, 0 AS kept,
+         CAST(NULL AS BIGINT) AS doc_id, FALSE AS is_kept
+  FROM (SELECT DISTINCT lang FROM hh)
+  UNION ALL
+  SELECT hh.lang, hh.rnk,
+         CASE WHEN walk.total + hh.len <= 1200 THEN walk.total + hh.len ELSE walk.total END,
+         CASE WHEN walk.total + hh.len <= 1200 THEN walk.kept + 1 ELSE walk.kept END,
+         hh.doc_id,
+         walk.total + hh.len <= 1200
+  FROM walk JOIN hh ON hh.lang = walk.lang AND hh.rnk = walk.rnk + 1
+)
+SELECT lang, doc_id, rnk::INTEGER AS rank, kept::INTEGER AS context_rank
+FROM walk WHERE is_kept
+""",
     "knn_euclidean_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="",
         score="list_distance(v.ev, q.qv)", dir="ASC",

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 __all__ = ["rebalance_for_compute", "pushdown_barrier"]
 
 
-def pushdown_barrier(df: DataFrame) -> DataFrame:
+def pushdown_barrier(df: DataFrame, cache: bool = True) -> DataFrame:
     """Stop predicate pushdown from hopping below this point.
 
     Use when a downstream ``where()`` references EXPENSIVE computed
@@ -33,22 +33,79 @@ def pushdown_barrier(df: DataFrame) -> DataFrame:
     aliases into the pushed filter, which then executes below the
     rebalance exchange — on the raw scan's (few) input partitions,
     serializing exactly the compute :func:`rebalance_for_compute`
-    spreads. A lazy ``localCheckpoint`` truncates the lineage to an RDD
-    scan, which no rule pushes through; it also caches the frame, which
-    is usually what a multiply-consumed signal table wants anyway.
+    spreads.
+
+    ``cache=True`` (default): a lazy ``localCheckpoint`` truncates the
+    lineage to an RDD scan, which no rule pushes through; it also caches
+    the frame, which is what a multiply-consumed signal table wants.
+    TRADEOFFS the caller owns: the cached blocks live until the
+    DataFrame is garbage-collected (repeated pipeline builds in a long
+    session accumulate executor storage until the context cleaner runs),
+    and a localCheckpoint is NOT recomputable — losing an executor fails
+    the job instead of recomputing lineage.
+
+    ``cache=False``: a JVM-side RDD round-trip — same pushdown fence
+    (an RDD scan boundary), but nothing is cached, lineage stays
+    recomputable on executor loss, and rows never cross into Python.
+    Cost: the frame is deserialized from Tungsten rows once and the
+    codegen stage splits at the boundary; re-consuming the result
+    recomputes it. Pick this for single-consumer fences in long-lived
+    sessions.
     """
-    return df.localCheckpoint(eager=False)
+    if cache:
+        return df.localCheckpoint(eager=False)
+    spark = df.sparkSession
+    try:
+        jdf = df._jdf
+        fenced = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
+        return DataFrame(fenced, spark)
+    except Exception:  # pragma: no cover — connect / internal-API drift
+        return df.localCheckpoint(eager=False)
+
+
+#: (analyzed-plan semanticHash, target) -> under-partitioned? Bounded;
+#: cleared wholesale rather than LRU — the probe it saves is cheap
+#: enough that a cold restart costs one plan conversion per shape.
+_PROBE_CACHE: dict[tuple[int, int], bool] = {}
+_PROBE_CACHE_MAX = 1024
+
+
+def _under_partitioned(narrow: DataFrame, target: int) -> bool:
+    """True when ``narrow`` plans to fewer than ``target`` partitions.
+
+    ``df.rdd.getNumPartitions()`` converts the whole plan to a physical
+    RDD on every call — cheap but nonzero, and this guard sits inside
+    every signature/curation operator. The decision is memoized on the
+    ANALYZED plan's semanticHash: same logical plan + same parallelism
+    → same answer, so repeated invocations over the same table (bench
+    reps, multi-stage pipelines re-deriving a projection) skip the
+    conversion. A table whose file count changed under an identical
+    plan can serve one stale decision; the consequence is a missing or
+    extra repartition of a narrow projection, never wrong results.
+    """
+    try:
+        key = (narrow._jdf.queryExecution().analyzed().semanticHash(), target)
+    except Exception:  # pragma: no cover — connect / internal-API drift
+        return narrow.rdd.getNumPartitions() < target
+    hit = _PROBE_CACHE.get(key)
+    if hit is None:
+        hit = narrow.rdd.getNumPartitions() < target
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.clear()
+        _PROBE_CACHE[key] = hit
+    return hit
 
 
 def rebalance_for_compute(df: DataFrame, *cols: str | Column) -> DataFrame:
     """Project ``df`` down to ``cols`` (all columns when omitted) and,
     if the plan has fewer partitions than ``defaultParallelism``, round-
     robin repartition it to that width so the downstream per-row compute
-    uses every core. Inspecting the partition count plans the query but
-    launches no job."""
+    uses every core. The partition-count probe plans the query but
+    launches no job, and is memoized per plan fingerprint (see
+    :func:`_under_partitioned`)."""
     narrow = df.select(*cols) if cols else df
     sc = narrow.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
+    if _under_partitioned(narrow, target):
         narrow = narrow.repartition(target)
     return narrow

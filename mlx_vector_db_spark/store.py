@@ -48,6 +48,7 @@ import os
 import shutil
 import time
 import uuid
+import warnings
 from collections.abc import Mapping, Sequence
 from dataclasses import asdict, dataclass, field
 from pathlib import Path
@@ -668,11 +669,16 @@ class VectorStore:
         self._write_batch(out, n_added, mode="append")
         return n_added
 
+    #: unindexed dedup-on-write warns past this store size (full scan
+    #: per micro-batch); see ``max_unindexed_rows`` for the hard refusal
+    UNINDEXED_DEDUP_WARN_ROWS = 100_000
+
     def add_vectors_dedup(
         self,
         vectors: Sequence[Sequence[float]] | DataFrame,
         metadata: Sequence[Mapping[str, Any]] | None = None,
         threshold: float = 0.98,
+        max_unindexed_rows: int | None = 1_000_000,
     ) -> tuple[int, int]:
         """Dedup-on-write: append only batch rows that are NOT near
         duplicates (cosine >= ``threshold``) of an existing vector or of
@@ -688,10 +694,49 @@ class VectorStore:
         method pays the screening joins by design. Auto-assigned ids of
         rejected rows are skipped, leaving id gaps — ids are unique,
         never dense.
+
+        The scale cliff is surfaced at the API, not just documented: on
+        an UNINDEXED store the per-batch screen is a full store scan, so
+        past ``UNINDEXED_DEDUP_WARN_ROWS`` a ``ResourceWarning`` fires,
+        and past ``max_unindexed_rows`` the call REFUSES with guidance
+        to :meth:`build_index` first (pass ``max_unindexed_rows=None``
+        to accept the scans). The row count comes from parquet footer
+        metadata — a driver-side metadata read, never a data scan.
+
+        Screen semantics (incremental, NOT corpus-transitive): the
+        store screen and the in-batch pass are applied in sequence, so a
+        batch row B with cos(B, A) >= threshold can still land when A
+        itself was rejected by the store screen (A is gone before the
+        in-batch pair pass runs) — corpus-wide component dedup
+        (:meth:`dedup_vectors`) would have dropped B too. With an IVF
+        index the store screen also inherits cell-pruning recall: a
+        near-dup assigned to a neighboring cell is not seen. Both are
+        the standard incremental-screen trade; re-run
+        :meth:`dedup_vectors` offline when corpus-transitive guarantees
+        matter.
         """
         from mlx_vector_db_spark.functions.vector import cosine_similarity
         from mlx_vector_db_spark.operators.components import dedup_keepers
         from mlx_vector_db_spark.operators.dedup import embedding_neardup_pairs
+
+        if self.config.index is None and self._data_files():
+            approx = self._approx_row_count()
+            if max_unindexed_rows is not None and approx > max_unindexed_rows:
+                raise ValueError(
+                    f"dedup-on-write against an UNINDEXED store of ~{approx} "
+                    f"rows (> max_unindexed_rows={max_unindexed_rows}): every "
+                    "batch pays a full store scan. Build an IVF index first "
+                    "(build_index) so the screen prunes to cells, or pass "
+                    "max_unindexed_rows=None to accept the scans."
+                )
+            if approx > self.UNINDEXED_DEDUP_WARN_ROWS:
+                warnings.warn(
+                    f"add_vectors_dedup on an unindexed store of ~{approx} "
+                    "rows: each batch full-scans the store; build_index() "
+                    "would prune the screen to IVF cells",
+                    ResourceWarning,
+                    stacklevel=2,
+                )
 
         batch, n_known = self._prepare_batch(vectors, metadata, None)
         batch = batch.localCheckpoint(eager=False)  # reused by 2-3 joins
@@ -772,6 +817,22 @@ class VectorStore:
 
     # -- pruned-rewrite machinery (plain-parquet analog of a table
     # -- format's stats-pruned MERGE/DELETE; see SCALE.md) -----------------
+
+    def _approx_row_count(self) -> int:
+        """Store row count from parquet footer metadata (driver-side
+        metadata-only reads, no Spark job, no data scan) — the cheap
+        size probe for scale-cliff guards. Files with unreadable
+        footers count 0 (conservative: guards under-fire, never block a
+        healthy small store)."""
+        import pyarrow.parquet as papq
+
+        total = 0
+        for f in self._data_files():
+            try:
+                total += int(papq.ParquetFile(f).metadata.num_rows)
+            except Exception:  # noqa: BLE001 — conservative fallback
+                pass
+        return total
 
     def _file_id_ranges(self) -> list[tuple[Path, int | None, int | None]]:
         """(path, min_id, max_id) per data file, from parquet footer

@@ -166,3 +166,43 @@ def test_skewed_block_wall_time_bounded(spark):
     import math
     expected = sum(math.comb(6, 2) if r < 15 else math.comb(5, 2) for r in range(97))
     assert n_hot_zero == expected
+
+
+def test_fuzzy_pairs_dispatcher(spark):
+    """fuzzy_pairs routes to the blocked tier when block_cols is given
+    and the LSH tier otherwise; emitted pairs agree with the underlying
+    tiers; LSH knobs on the blocked tier are a loud error."""
+    from mlx_vector_db_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+        fuzzy_pairs,
+        lsh_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "b1", "widget deluxe model"),
+        (2, "b1", "widget delux model"),    # 1 edit from id 1
+        (3, "b1", "entirely different"),
+        (4, "b2", "widget deluxe model"),   # same text, other block
+    ]
+    df = spark.createDataFrame(rows, "id long, brand string, name string")
+
+    blocked = {(r["id_a"], r["id_b"], r["distance"]) for r in
+               fuzzy_pairs(df, "name", "id", max_distance=2,
+                           block_cols="brand").collect()}
+    want_blocked = {(r["id_a"], r["id_b"], r["distance"]) for r in
+                    blocked_fuzzy_pairs(df, "name", "id", "brand",
+                                        max_distance=2).collect()}
+    assert blocked == want_blocked == {(1, 2, 1)}
+
+    lsh = {(r["id_a"], r["id_b"], r["distance"]) for r in
+           fuzzy_pairs(df, "name", "id", max_distance=2,
+                       num_hashes=32, bands=16).collect()}
+    want_lsh = {(r["id_a"], r["id_b"], r["distance"]) for r in
+                lsh_fuzzy_pairs(df, "name", "id", max_distance=2,
+                                num_hashes=32, bands=16).collect()}
+    assert lsh == want_lsh
+    # unblocked tier can cross blocks: the identical (1, 4) pair appears
+    assert (1, 4, 0) in lsh
+
+    with pytest.raises(ValueError, match="no effect"):
+        fuzzy_pairs(df, "name", "id", block_cols="brand", num_hashes=32)

@@ -105,3 +105,38 @@ def test_signature_stages_are_map_only(spark, sf_small):
     plan = explain_str(simhash_signatures(docs))
     assert "hashpartitioning" not in plan
     assert "roundrobin" in plan.lower()  # the compute rebalance remains
+
+
+def test_rebalance_probe_memoized(spark, sf_small):
+    """The partition-count probe is memoized on the analyzed plan's
+    semanticHash: re-deriving the same projection from a fresh read does
+    not grow the cache, and a different projection does."""
+    from mlx_vector_db_spark.rebalance import _PROBE_CACHE, rebalance_for_compute
+
+    _PROBE_CACHE.clear()
+    a = spark.read.parquet(f"{sf_small}/documents.parquet")
+    rebalance_for_compute(a, "doc_id", "text")
+    assert len(_PROBE_CACHE) == 1
+    b = spark.read.parquet(f"{sf_small}/documents.parquet")
+    rebalance_for_compute(b, "doc_id", "text")
+    assert len(_PROBE_CACHE) == 1          # same shape -> cache hit
+    rebalance_for_compute(b, "doc_id")
+    assert len(_PROBE_CACHE) == 2          # new shape -> new entry
+
+
+def test_pushdown_barrier_noncaching_fences_filter(spark, sf_small):
+    """cache=False barrier: heavy computed-column filters stay ABOVE an
+    RDD-scan boundary (no parquet PushedFilters on the signal), rows
+    unchanged, and nothing is persisted."""
+    from mlx_vector_db_spark.rebalance import pushdown_barrier
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    fenced = pushdown_barrier(docs.select("doc_id", "text"), cache=False)
+    heavy = fenced.withColumn("sig", F.length("text")).where(F.col("sig") > 100)
+    plan = explain_str(heavy)
+    assert "ExistingRDD" in plan           # the fence is an RDD scan
+    got = heavy.count()
+    want = docs.where(F.length("text") > 100).count()
+    assert got == want
+    jsc = spark.sparkContext._jsc.sc()
+    assert len(jsc.getRDDStorageInfo()) == 0  # nothing cached by the fence

@@ -592,3 +592,38 @@ def test_add_vectors_dedup_screens_store_and_batch(catalog):
     added2, rejected2 = st.add_vectors_dedup(batch.tolist(), threshold=0.999)
     assert (added2, rejected2) == (0, 6)
     assert st.count() == 13
+
+
+def test_add_vectors_dedup_unindexed_scale_guard(catalog, monkeypatch):
+    """The no-index full-scan cliff is visible at the API: a warning past
+    UNINDEXED_DEDUP_WARN_ROWS, a refusal past max_unindexed_rows, silence
+    with max_unindexed_rows=None — and an indexed store never trips the
+    guard. Store size is faked via the footer-metadata probe so the test
+    stays tiny."""
+    import warnings as _w
+
+    from mlx_vector_db_spark.store import VectorStore
+
+    st = catalog.create_store("u10", "guard", dimension=8, metric="cosine")
+    base = RNG.random((5, 8)).astype(np.float32)
+    st.add_vectors(base.tolist())
+    fresh = -base[:2]
+
+    monkeypatch.setattr(VectorStore, "_approx_row_count", lambda self: 200_000)
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        st.add_vectors_dedup(fresh.tolist(), threshold=0.999)
+    assert any(issubclass(w.category, ResourceWarning) for w in got)
+
+    monkeypatch.setattr(VectorStore, "_approx_row_count", lambda self: 2_000_000)
+    with pytest.raises(ValueError, match="UNINDEXED"):
+        st.add_vectors_dedup(fresh.tolist(), threshold=0.999)
+    # explicit opt-out accepts the scan
+    st.add_vectors_dedup([(-base[2]).tolist()], threshold=0.999,
+                         max_unindexed_rows=None)
+    # an indexed store prunes to cells: guard must not fire at any size
+    st.build_index(kind="ivf", nlist=2, seed=1)
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        st.add_vectors_dedup([(-base[3]).tolist()], threshold=0.999)
+    assert not any(issubclass(w.category, ResourceWarning) for w in got)
