@@ -130,6 +130,8 @@ def test_pushdown_barrier_noncaching_fences_filter(spark, sf_small):
     unchanged, and nothing is persisted."""
     from mlx_vector_db_spark.rebalance import pushdown_barrier
 
+    jsc = spark.sparkContext._jsc.sc()
+    stored_before = len(jsc.getRDDStorageInfo())
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     fenced = pushdown_barrier(docs.select("doc_id", "text"), cache=False)
     heavy = fenced.withColumn("sig", F.length("text")).where(F.col("sig") > 100)
@@ -138,5 +140,6 @@ def test_pushdown_barrier_noncaching_fences_filter(spark, sf_small):
     got = heavy.count()
     want = docs.where(F.length("text") > 100).count()
     assert got == want
-    jsc = spark.sparkContext._jsc.sc()
-    assert len(jsc.getRDDStorageInfo()) == 0  # nothing cached by the fence
+    # the fence itself pins nothing (other tests' lazy checkpoints may
+    # already hold blocks in the shared session — assert no growth)
+    assert len(jsc.getRDDStorageInfo()) <= stored_before
