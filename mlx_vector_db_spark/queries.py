@@ -666,6 +666,24 @@ def q_text_jaccard_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_text_jaccard_capped(spark, sf_dir):
+    """The r5 hot-shingle cap under the value gate: exact Jaccard pairs
+    with ``max_shingle_freq=4`` — shingles in more than 4 documents are
+    dropped before the self-join (bounded fan-out; at sf0.01 the corpus
+    has shingles up to DF 7, so the cap genuinely removes join rows).
+    The oracle recomputes the SAME capped semantics relationally (DF
+    window filter before the equi-join, per-doc set sizes uncapped), so
+    the driver pins both the subset contract and the exact
+    lower-bounded jaccard values."""
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingle_n=3,
+        max_shingle_freq=4,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_orders_late_exists(spark, sf_dir):
     """Correlated EXISTS as a semi-join with a non-equi conjunct (TPC-H
     Q4 shape on our schema): orders with any line item shipped after the
@@ -2455,6 +2473,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "text_jaccard_pairs": q_text_jaccard_pairs,
+    "text_jaccard_capped": q_text_jaccard_capped,
     # -- text analysis / quality / cleaning ---------------------------
     "text_stats": q_text_stats,
     "lang_detect": q_lang_detect,
@@ -2480,7 +2499,6 @@ QUERIES: dict[str, QueryFn] = {
     "customers_without_orders": q_customers_without_orders,
     "orders_grouping_sets": q_orders_grouping_sets,
     "approx_distinct_gate": q_approx_distinct_gate,
-    "approx_quantile_gate": q_approx_quantile_gate,
     # -- temporal / windowing / fuzzy / streaming gate ----------------
     "events_sessionize": q_events_sessionize,
     "events_asof_purchase": q_events_asof,
@@ -2492,6 +2510,7 @@ QUERIES: dict[str, QueryFn] = {
     # are stable TPC-H/temporal analogs; they moved past the window to
     # make room for the r4/r5 headline features above (the sweep and
     # judge re-runs still oracle-check them every round).
+    "approx_quantile_gate": q_approx_quantile_gate,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "top_customers_per_nation": q_top_customers_per_nation,
@@ -3451,6 +3470,36 @@ FROM walk WHERE is_kept
     "text_jaccard_pairs": _JACCARD_PAIRS_SQL + """
         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp
     """,
+    # capped semantics: shingles with document frequency > 4 are removed
+    # BEFORE the pair join (QUALIFY window filter); per-doc set sizes
+    # stay UNCAPPED, so the reported jaccard is the same lower bound the
+    # Spark plan emits and capped output ⊆ uncapped output
+    "text_jaccard_capped": (
+        "WITH "
+        + _JACCARD_SHINGLES_BODY.replace("), s AS (", "), s AS MATERIALIZED (")
+        + """
+        , jg AS (
+          SELECT doc_id, unnest(sh) AS tok FROM s
+        ), jf AS (
+          SELECT doc_id, tok FROM jg
+          QUALIFY count(*) OVER (PARTITION BY tok) <= 4
+        ), ji AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM jf a JOIN jf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), jsz AS (
+          SELECT doc_id, len(sh) AS n FROM s
+        ), jp AS (
+          SELECT ji.id_a, ji.id_b,
+                 ji.inter::DOUBLE / (na.n + nb.n - ji.inter) AS jac
+          FROM ji
+          JOIN jsz na ON na.doc_id = ji.id_a
+          JOIN jsz nb ON nb.doc_id = ji.id_b
+          WHERE ji.inter::DOUBLE / (na.n + nb.n - ji.inter) >= 0.5
+        )
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp
+    """
+    ),
     "orders_late_exists": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders o
