@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_neardup_pairs",
     "text_jaccard_pairs",
+    "text_jaccard_capped",
     "curation_pipeline",
     "chunk_documents",
     "embed_docs_384",
