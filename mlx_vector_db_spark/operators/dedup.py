@@ -600,14 +600,26 @@ def jaccard_pairs(
         base = base.localCheckpoint(eager=False)
         g = base.select("_id", *bcols, F.explode("_sh").alias("_tok"))
         if max_shingle_freq is not None:
-            # doc-frequency filter BEFORE the self-join; the window is
-            # keyed on the join key so it rides the same clustering
-            freq_w = Window.partitionBy("_tok", *bcols)
-            g = (
-                g.withColumn("_df", F.count(F.lit(1)).over(freq_w))
-                .where(F.col("_df") <= F.lit(int(max_shingle_freq)))
-                .drop("_df")
+            # doc-frequency filter BEFORE the self-join, as an anti-join
+            # against the aggregated hot-shingle list rather than a
+            # window count over every (doc, shingle) row: the aggregate
+            # map-side combines to (shingle, df) — shuffle volume is
+            # distinct-shingles-per-partition, not the corpus — and the
+            # (normally tiny) hot list broadcasts, so g itself is never
+            # re-shuffled just to be filtered. (A window form would
+            # shuffle ALL shingle rows on the key — and, on the
+            # broadcast-join plans of small inputs, once PER SIDE.)
+            hot = (
+                g.groupBy("_tok", *bcols)
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") > F.lit(int(max_shingle_freq)))
+                .select("_tok", *bcols)
+                # tiny by contract (only shingles hotter than the cap);
+                # checkpoint so BOTH join sides read one materialized
+                # list instead of re-aggregating the corpus per side
+                .localCheckpoint(eager=False)
             )
+            g = g.join(hot, on=["_tok", *bcols], how="left_anti")
         inter = (
             g.select(F.col("_id").alias("id_a"), *bcols, "_tok")
             .join(

@@ -143,3 +143,18 @@ def test_pushdown_barrier_noncaching_fences_filter(spark, sf_small):
     # the fence itself pins nothing (other tests' lazy checkpoints may
     # already hold blocks in the shared session — assert no growth)
     assert len(jsc.getRDDStorageInfo()) <= stored_before
+
+
+def test_jaccard_cap_adds_no_shuffle(spark, sf_small):
+    """The max_shingle_freq filter is an anti-join against the
+    checkpointed hot-shingle list: the capped plan must add NO
+    hash-partitioned shuffle over the corpus (the hot-list aggregate
+    materializes once outside this plan; the per-side anti-joins
+    broadcast the tiny list)."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    uncapped = explain_str(jaccard_pairs(docs, threshold=0.5))
+    capped = explain_str(jaccard_pairs(docs, threshold=0.5, max_shingle_freq=4))
+    assert (capped.count("Exchange hashpartitioning")
+            <= uncapped.count("Exchange hashpartitioning"))
