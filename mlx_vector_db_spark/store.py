@@ -1531,7 +1531,10 @@ class VectorStore:
         return before - after
 
     def dedup_vectors(
-        self, threshold: float = 0.98, use_index: bool = True
+        self,
+        threshold: float = 0.98,
+        use_index: bool = True,
+        max_unindexed_rows: int | None = 1_000_000,
     ) -> int:
         """Remove near-duplicate vectors (cosine >= ``threshold``),
         keeping the min id of every transitive near-dup cluster
@@ -1546,7 +1549,12 @@ class VectorStore:
         bucketer exactly as in
         :func:`~mlx_vector_db_spark.operators.dedup.embedding_neardup_pairs`.
         Without an index the exact all-pairs variant runs — audit scale
-        only. Doomed ids route through :meth:`delete_vectors`'s
+        only, and the same guard as :meth:`add_vectors_dedup` makes the
+        cliff API-visible: a ``ResourceWarning`` past
+        ``UNINDEXED_DEDUP_WARN_ROWS`` and a refusal past
+        ``max_unindexed_rows`` (the all-pairs join is O(N²), far worse
+        than the per-batch scan the ingest path pays; pass ``None`` to
+        accept it). Doomed ids route through :meth:`delete_vectors`'s
         stats-pruned rewrite; the id list transits the driver, which is
         fine at any realistic duplicate fraction (it is the CLUSTER
         members, not the corpus).
@@ -1556,6 +1564,24 @@ class VectorStore:
 
         if not self._data_files():
             return 0
+        if not (use_index and self.config.index is not None):
+            approx = self._approx_row_count()
+            if max_unindexed_rows is not None and approx > max_unindexed_rows:
+                raise ValueError(
+                    f"dedup_vectors without an index on ~{approx} rows "
+                    f"(> max_unindexed_rows={max_unindexed_rows}) is an "
+                    "O(N²) all-pairs join. Build an IVF index first "
+                    "(build_index) for in-cell candidates, or pass "
+                    "max_unindexed_rows=None to accept the cost."
+                )
+            if approx > self.UNINDEXED_DEDUP_WARN_ROWS:
+                warnings.warn(
+                    f"dedup_vectors on an unindexed store of ~{approx} "
+                    "rows runs an O(N²) all-pairs join; build_index() "
+                    "would prune candidates to IVF cells",
+                    ResourceWarning,
+                    stacklevel=2,
+                )
         df = self.to_df()
         bucket = (
             "centroid_id" if (use_index and self.config.index is not None) else None

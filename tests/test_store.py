@@ -627,3 +627,28 @@ def test_add_vectors_dedup_unindexed_scale_guard(catalog, monkeypatch):
         _w.simplefilter("always")
         st.add_vectors_dedup([(-base[3]).tolist()], threshold=0.999)
     assert not any(issubclass(w.category, ResourceWarning) for w in got)
+
+
+def test_dedup_vectors_unindexed_scale_guard(catalog, monkeypatch):
+    """dedup_vectors without an index is O(N²): same warn/refuse/opt-out
+    contract as add_vectors_dedup."""
+    import warnings as _w
+
+    from mlx_vector_db_spark.store import VectorStore
+
+    st = catalog.create_store("u11", "guard2", dimension=8, metric="cosine")
+    base = RNG.random((6, 8)).astype(np.float32)
+    st.add_vectors(np.vstack([base, base[:1] * 2.0]).tolist())
+
+    monkeypatch.setattr(VectorStore, "_approx_row_count", lambda self: 200_000)
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        removed = st.dedup_vectors(threshold=0.999)
+    assert any(issubclass(w.category, ResourceWarning) for w in got)
+    assert removed == 1 and st.count() == 6  # warn still runs the dedup
+
+    monkeypatch.setattr(VectorStore, "_approx_row_count", lambda self: 2_000_000)
+    with pytest.raises(ValueError, match="O\\(N"):
+        st.dedup_vectors(threshold=0.999)
+    # explicit opt-out accepts the all-pairs cost (store already clean)
+    assert st.dedup_vectors(threshold=0.999, max_unindexed_rows=None) == 0
