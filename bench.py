@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from mlx_vector_db_spark.queries import QUERIES, prewarm  # noqa: E402
-from mlx_vector_db_spark.session import get_spark  # noqa: E402
+from mlx_vector_db_spark.session import get_spark, release_intermediates  # noqa: E402
 
 #: the per-round benchmark set: the vector hot path (both physical
 #: strategies), the heaviest relational plans, and the pipeline ops
@@ -145,6 +145,9 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             errors[name] = repr(exc)[:300]
+        # off-clock: free dead checkpoint blocks between queries so a
+        # long bench measures plans, not cumulative storage pressure
+        release_intermediates(spark)
 
     # batched-throughput figure: every embedding row queries the whole
     # table at once (N x N scoring + per-query top-10), the batch

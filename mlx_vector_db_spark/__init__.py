@@ -24,7 +24,7 @@ Everything here derives from public knowledge only: the Apache Spark API
 and the reference repo's observable behavior.
 """
 
-from mlx_vector_db_spark.session import get_spark
+from mlx_vector_db_spark.session import get_spark, release_intermediates
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "release_intermediates"]
 __version__ = "0.1.0"

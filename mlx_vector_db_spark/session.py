@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # lazy localCheckpoints (signature reuse, pushdown fences) are
+        # freed by the ContextCleaner only after their RDDs are
+        # garbage-collected; the default periodic driver GC is 30min,
+        # long enough for a many-query session to OOM on pinned blocks
+        # (observed at the sf10 scale checkpoint). 5min bounds the lag;
+        # long pipelines can also call release_intermediates().
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -61,6 +68,29 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     _silence_bounded_window_warn(spark)
     return spark
+
+
+def release_intermediates(spark: SparkSession) -> None:
+    """Nudge reclamation of no-longer-referenced cached intermediates
+    (lazy localCheckpoints from signature reuse / pushdown fences).
+
+    Their executor blocks are freed by the ContextCleaner only after
+    the backing RDDs are garbage-collected, and the JVM cannot see
+    Python-side reference death: a long session running many heavy
+    operators can pin gigabytes of dead blocks and OOM (observed at the
+    sf10 scale checkpoint — each query fine alone, the session died
+    cumulatively). Call between pipeline stages or bench queries:
+    Python GC drops the py4j proxies, one JVM System.gc() lets the
+    cleaner collect the now-weak RDDs. Deliberately a no-op for
+    anything still referenced — this cannot invalidate a live frame.
+    """
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # pragma: no cover — connect mode has no _jvm
+        pass
 
 
 def _silence_bounded_window_warn(spark: SparkSession) -> None:

@@ -158,3 +158,32 @@ def test_jaccard_cap_adds_no_shuffle(spark, sf_small):
     capped = explain_str(jaccard_pairs(docs, threshold=0.5, max_shingle_freq=4))
     assert (capped.count("Exchange hashpartitioning")
             <= uncapped.count("Exchange hashpartitioning"))
+
+
+def test_release_intermediates_frees_dead_checkpoints(spark, sf_small):
+    """A lazy localCheckpoint whose DataFrame has died must release its
+    executor blocks after release_intermediates (the ContextCleaner
+    path) — the guard against cumulative-storage OOM in long sessions."""
+    import time
+
+    from mlx_vector_db_spark.session import release_intermediates
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_blocks():
+        return len(jsc.getRDDStorageInfo())
+
+    df = spark.read.parquet(f"{sf_small}/documents.parquet").localCheckpoint(
+        eager=False
+    )
+    df.count()  # materialize the checkpoint blocks
+    assert n_blocks() > 0
+    before = n_blocks()
+    del df
+    release_intermediates(spark)
+    # cleaner runs asynchronously; poll briefly
+    deadline = time.time() + 15
+    while n_blocks() >= before and time.time() < deadline:
+        time.sleep(0.5)
+        release_intermediates(spark)
+    assert n_blocks() < before
