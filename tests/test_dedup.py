@@ -371,3 +371,29 @@ def test_jaccard_pairs_capped_subset_randomized(spark):
         }
         assert set(capped) <= set(uncapped), cap
         assert all(capped[p] <= uncapped[p] for p in capped), cap
+
+
+@pytest.mark.slow
+def test_jaccard_cap_bounds_boilerplate_wall_time(spark):
+    """Pathological boilerplate corpus: 3000 docs all sharing one
+    header sentence (hot-shingle DF = 3000 -> ~9M join rows uncapped).
+    The capped plan must finish fast and still find the genuine
+    near-dup pair whose overlap is doc-specific."""
+    import time
+
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    boiler = "terms of service all rights reserved by the operator"
+    rows = [(i, f"{boiler} u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(3000)]
+    rows += [
+        (9000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (9001, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    got = {(r["id_a"], r["id_b"]) for r in
+           jaccard_pairs(df, threshold=0.5, max_shingle_freq=50).collect()}
+    dt = time.time() - t0
+    assert (9000, 9001) in got
+    assert not any(a < 3000 and b < 3000 for a, b in got)
+    assert dt < 60, f"capped boilerplate corpus took {dt:.0f}s"
