@@ -361,10 +361,11 @@ def knn_join_chunked(
         # the sizing count below is then the ONLY full pass over the
         # query side: every per-chunk collect reads the cached blocks
         # instead of re-scanning the source (n_chunks extra scans).
-        # Multi-chunk callers own unpersisting the cached query side
-        # after consuming the result (as with cache_vectors); the
-        # single-chunk early return below unpersists itself, since one
-        # chunk means one collect and the cache would never be reused.
+        # Lifetime is handled internally: the query cache unpersists as
+        # soon as the chunk loop's collects finish (plan build is eager
+        # on the query side), and the vectors cache unpersists when the
+        # caller drops the returned DataFrame (weakref finalizer) — a
+        # batch loop over this function pins nothing across iterations.
         queries = queries.persist()
     n_queries = queries.count()
     if n_queries == 0:
@@ -418,4 +419,25 @@ def knn_join_chunked(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if cache_queries:
+        # every per-chunk query collect ran inside the loop above (plan
+        # build is eager on the query side) — the cache has served its
+        # last read; holding it would leak CacheManager entries across
+        # repeated calls in a long session
+        queries.unpersist()
+    if cache_vectors:
+        # the vectors cache is read at EXECUTION time, so it must
+        # outlive this call — but CacheManager holds it strongly, so a
+        # caller looping over batches would pin one full copy of V per
+        # call forever. Tie its lifetime to the result: when the caller
+        # drops the returned DataFrame, the cache unpersists itself.
+        import weakref
+
+        def _drop_cache(cached: DataFrame = filtered) -> None:
+            try:
+                cached.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+
+        weakref.finalize(out, _drop_cache)
     return out

@@ -205,3 +205,31 @@ def test_blocked_keeps_score_ties_at_k_boundary(spark):
             .collect()
         ]
         assert got == [0, 1, 2, 3, 4], metric
+
+
+def test_chunked_caches_released(spark, sf_small):
+    """knn_join_chunked must not pin caches across calls: the query-side
+    cache dies at plan build, the vectors cache dies with the returned
+    DataFrame — a batch loop accumulates nothing."""
+    import gc
+
+    from mlx_vector_db_spark.operators.knn import knn_join_chunked
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return len([i for i in jsc.getRDDStorageInfo()])
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = n_cached()
+    out = knn_join_chunked(
+        emb, queries, k=3, vec_col="embedding", id_col="vec_id", chunk_size=7
+    )
+    assert out.count() == 60
+    del out
+    gc.collect()
+    # the finalizer unpersists synchronously on collection
+    assert n_cached() <= before
