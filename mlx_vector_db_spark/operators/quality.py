@@ -38,6 +38,7 @@ __all__ = [
     "hashed_word_ngrams",
     "ngrams_from_word_hashes",
     "winnow_fingerprints",
+    "unigram_lm_scores",
     "hashed_feature_buckets",
     "hashed_linear_score",
 ]
@@ -453,4 +454,73 @@ def ngram_contamination(
         .join(ev, "gh")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    ref_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Unigram language-model quality signal (the CCNet shape, Wenzek
+    et al. 2020: score candidate documents by perplexity under an LM
+    trained on a trusted reference corpus; high-perplexity docs are
+    gibberish/boilerplate candidates, suspiciously-low ones are
+    repetitive).
+
+    The LM is a Laplace-smoothed unigram model over lowercased
+    whitespace tokens of ``ref_df`` (default: ``df`` itself —
+    self-perplexity ranks outliers against the corpus' own
+    distribution):
+
+        P(tok) = (count(tok) + alpha) / (total + alpha * (V + 1))
+
+    with V the reference vocabulary size and one extra smoothing slot
+    standing in for ALL out-of-vocabulary tokens (every OOV token
+    shares P = alpha / denom). Output per input document: ``n_tokens``,
+    ``avg_nll`` (mean negative log-probability, natural log) and
+    ``perplexity`` = exp(avg_nll); empty/NULL-text documents report
+    NULLs (no tokens to score).
+
+    Scale shape: three keyed shuffles, none keyed by the corpus —
+    (1) the LM build aggregates (token -> count), map-side combinable;
+    (2) scoring joins doc tokens to the LM on the token (the LM side is
+    vocabulary-sized — AQE broadcasts it when small);
+    (3) the per-doc mean aggregates on the doc id. The two scalar
+    totals ride a 1-row broadcast cross join, never a driver collect.
+    A giant document spreads over its tokens, never one reducer.
+    """
+    lower_toks = tokens(F.lower(F.col(text_col)))
+    ref = ref_df if ref_df is not None else df
+    ref_toks = ref.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok")
+    )
+    lm = ref_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    stats = lm.agg(
+        F.sum("_c").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    tokd = df.select(F.col(id_col), F.explode(lower_toks).alias("_tok"))
+    denom = F.col("_total") + F.lit(float(alpha)) * (F.col("_vocab") + 1)
+    scored = (
+        tokd.join(lm, on="_tok", how="left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_nll",
+            -F.log((F.coalesce(F.col("_c"), F.lit(0)) + F.lit(float(alpha))) / denom),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg("_nll").alias("avg_nll")
+    )
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("avg_nll"),
+            F.exp("avg_nll").alias("perplexity"),
+        )
     )

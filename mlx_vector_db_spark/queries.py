@@ -684,6 +684,24 @@ def q_text_jaccard_capped(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_doc_perplexity(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring (operators/quality.py
+    unigram_lm_scores): a Laplace-smoothed unigram model trained on the
+    lang='en' slice scores EVERY document's mean token NLL; the DuckDB
+    oracle recomputes the same model relationally. OOV tokens share the
+    smoothing slot, empty docs report NULLs — both pinned."""
+    from mlx_vector_db_spark.operators.quality import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_lm_scores(docs, ref_df=docs.where(F.col("lang") == "en"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
+
 def q_orders_late_exists(spark, sf_dir):
     """Correlated EXISTS as a semi-join with a non-equi conjunct (TPC-H
     Q4 shape on our schema): orders with any line item shipped after the
@@ -2550,6 +2568,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_mixture": q_weighted_mixture,
     "events_multi_rollup": q_events_multi_rollup,
     "boilerplate_removal": q_boilerplate_removal,
+    "doc_perplexity": q_doc_perplexity,
     "customer_order_distribution": q_customer_order_distribution,
     "events_unpivot": q_events_unpivot,
     "lineitem_conditional": q_lineitem_conditional,
@@ -3500,6 +3519,35 @@ FROM walk WHERE is_kept
         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp
     """
     ),
+    # unigram LM: counts over the lowercased lang='en' token stream,
+    # Laplace smoothing with one shared OOV slot; empty docs -> NULLs
+    "doc_perplexity": """
+WITH ref_toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+), lm AS (
+  SELECT tok, count(*) AS c FROM ref_toks GROUP BY tok
+), stats AS (
+  SELECT sum(c) AS total, count(*) AS vocab FROM lm
+), doc_toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), scored AS (
+  SELECT d.doc_id,
+         -ln((coalesce(lm.c, 0) + 1.0) / (s.total + 1.0 * (s.vocab + 1))) AS nll
+  FROM doc_toks d
+  LEFT JOIN lm ON lm.tok = d.tok
+  CROSS JOIN stats s
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(nll) AS avg_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT docs.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       round(agg.avg_nll, 6) AS avg_nll,
+       round(exp(agg.avg_nll), 4) AS perplexity
+FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
+""",
     "orders_late_exists": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders o

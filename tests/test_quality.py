@@ -238,3 +238,44 @@ def test_repeated_spans_counts(spark):
     assert out[span]["n_docs"] == 2 and out[span]["n_occurrences"] == 3
     # doc 3's grams are solo -> absent
     assert all(g.split()[0] not in ("entirely",) for g in out)
+
+
+def test_unigram_lm_scores_hand_oracle(spark):
+    """Laplace-smoothed unigram NLL against a pure-Python recomputation,
+    including OOV handling, the self-trained default, case folding, and
+    NULL/empty docs."""
+    import math
+
+    from mlx_vector_db_spark.operators.quality import unigram_lm_scores
+
+    ref_rows = [(100, "a a b"), (101, "B c")]
+    doc_rows = [(1, "a b"), (2, "zz a"), (3, ""), (4, None)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+
+    counts = {"a": 2, "b": 2, "c": 1}    # lowercased reference
+    total, vocab, alpha = 5, 3, 1.0
+    denom = total + alpha * (vocab + 1)
+
+    def nll(tok):
+        return -math.log((counts.get(tok, 0) + alpha) / denom)
+
+    got = {r["doc_id"]: r for r in
+           unigram_lm_scores(docs, ref_df=ref).collect()}
+    exp1 = (nll("a") + nll("b")) / 2
+    exp2 = (nll("zz") + nll("a")) / 2
+    assert got[1]["n_tokens"] == 2 and abs(got[1]["avg_nll"] - exp1) < 1e-9
+    assert got[2]["n_tokens"] == 2 and abs(got[2]["avg_nll"] - exp2) < 1e-9
+    assert got[2]["avg_nll"] > got[1]["avg_nll"]      # OOV scores worse
+    for d in (3, 4):
+        assert got[d]["n_tokens"] == 0 and got[d]["avg_nll"] is None
+    assert abs(got[1]["perplexity"] - math.exp(exp1)) < 1e-9
+
+    # self-trained default: ref = df itself
+    selfed = {r["doc_id"]: r["avg_nll"] for r in
+              unigram_lm_scores(docs.where("text IS NOT NULL")).collect()}
+    c2 = {"a": 2, "b": 1, "zz": 1}
+    t2, v2 = 4, 3
+    d2 = t2 + 1.0 * (v2 + 1)
+    e1 = -(math.log((2 + 1) / d2) + math.log((1 + 1) / d2)) / 2
+    assert abs(selfed[1] - e1) < 1e-9
