@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "embed_docs_384",
     "doc_repetition",
+    "doc_perplexity",
     "ngram_contamination",
     "bm25_topk",
     "hybrid_rrf",
