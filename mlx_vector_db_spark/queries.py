@@ -2488,7 +2488,6 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_pairs": q_simhash_pairs,
     "simhash_exactness_gate": q_simhash_exactness_gate,
     "simhash_precision_gate": q_simhash_precision_gate,
-    "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "text_jaccard_pairs": q_text_jaccard_pairs,
     "text_jaccard_capped": q_text_jaccard_capped,
@@ -2499,6 +2498,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_contamination": q_ngram_contamination,
     "repeated_spans": q_repeated_spans,
     "doc_winnow_fp": q_doc_winnow_fp,
+    "doc_perplexity": q_doc_perplexity,
     "quality_classifier": q_quality_classifier,
     "curation_pipeline": q_curation_pipeline,
     "pii_redact": q_pii_redact,
@@ -2568,7 +2568,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_mixture": q_weighted_mixture,
     "events_multi_rollup": q_events_multi_rollup,
     "boilerplate_removal": q_boilerplate_removal,
-    "doc_perplexity": q_doc_perplexity,
+    "embedding_neardup": q_embedding_neardup,
     "customer_order_distribution": q_customer_order_distribution,
     "events_unpivot": q_events_unpivot,
     "lineitem_conditional": q_lineitem_conditional,
