@@ -43,6 +43,7 @@ takes over).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -63,6 +64,24 @@ from mlx_vector_db_spark.operators import knn
 from mlx_vector_db_spark.operators.knn import knn_join, knn_join_blocked, knn_query
 
 MAX_DIMENSION = 4096  # reference: service/models.py:92,125 validates 1..4096
+
+
+class ManifestConflictError(RuntimeError):
+    """The CURRENT manifest advanced past the token a commit expected —
+    another writer committed in between. Append commits retry and
+    compose automatically (see ``_cas_commit``); callers of the raw
+    commit primitive decide whether to recompute or surface."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A conflicting mutation replaced (or deleted) files this rewrite
+    planned to swap out: retrying would resurrect rows the other writer
+    removed, so the rewrite fails instead. Re-run it against the new
+    snapshot."""
+
+
+#: sentinel: commit unconditionally (truncate / first write of a store)
+_UNCHECKED = object()
 
 _PROMOTED_TYPES = {
     "string": T.StringType(),
@@ -449,22 +468,102 @@ class VectorStore:
             return "<empty>"
         return "|".join(sorted(str(p) for p in self.data_dir.glob("**/*.parquet")))
 
-    def _commit_manifest(self, files: Sequence[Path]) -> None:
-        """Atomic snapshot commit: manifest write + pointer flip."""
+    def _current_token(self) -> str | None:
+        """The committed manifest name, or None when the store has never
+        committed one (legacy/empty layout) — the optimistic-concurrency
+        parent token. Manifest names are UUIDs, so token equality means
+        literally the same snapshot (no ABA)."""
+        ptr = self._manifest_dir / "CURRENT"
+        return ptr.read_text().strip() if ptr.exists() else None
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Serialize check-and-flip across handles AND processes on the
+        same filesystem (``flock`` on a sidecar, never on CURRENT
+        itself — CURRENT is replaced atomically and a lock on a replaced
+        inode guards nothing). On object stores without advisory locks a
+        table format's conditional-PUT commit protocol plays this role;
+        the fallback here is lock-free flips (last-writer-wins for
+        concurrent commits, still crash-atomic for a single writer)."""
+        self._manifest_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            import fcntl
+
+            fd = os.open(self._manifest_dir / "LOCK", os.O_CREAT | os.O_RDWR)
+        except OSError:  # pragma: no cover — no flock support on this FS
+            yield
+            return
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _commit_manifest(
+        self, files: Sequence[Path], expected_parent: object = _UNCHECKED
+    ) -> None:
+        """Atomic snapshot commit: manifest write + pointer flip.
+
+        With ``expected_parent`` (a token from :meth:`_current_token`),
+        the flip is optimistic-concurrency checked under the commit
+        lock: if another writer advanced CURRENT since the caller read
+        its snapshot, ``ManifestConflictError`` is raised and NOTHING
+        is committed — the caller re-reads the live set and retries
+        (append-only commits compose trivially; see ``_cas_commit``).
+        The observed parent is recorded in the manifest, so the commit
+        chain is auditable."""
         rels = sorted(
             str(Path(f).relative_to(self.data_dir)) for f in set(files)
         )
         mid = uuid.uuid4().hex
         mname = f"manifest-{mid}.json"
         self._manifest_dir.mkdir(parents=True, exist_ok=True)
-        (self._manifest_dir / mname).write_text(
-            json.dumps({"files": rels, "committed_at": time.time()})
-        )
-        tmp = self._manifest_dir / f".CURRENT.tmp-{mid}"
-        tmp.write_text(mname)
-        os.replace(tmp, self._manifest_dir / "CURRENT")  # the commit point
+        with self._commit_lock():
+            observed = self._current_token()
+            if expected_parent is not _UNCHECKED and observed != expected_parent:
+                raise ManifestConflictError(
+                    f"manifest advanced from {expected_parent!r} to "
+                    f"{observed!r} during commit of store "
+                    f"{self.config.user_id}/{self.config.model_id}"
+                )
+            (self._manifest_dir / mname).write_text(
+                json.dumps(
+                    {
+                        "files": rels,
+                        "parent": observed,
+                        "committed_at": time.time(),
+                    }
+                )
+            )
+            tmp = self._manifest_dir / f".CURRENT.tmp-{mid}"
+            tmp.write_text(mname)
+            os.replace(tmp, self._manifest_dir / "CURRENT")  # the commit point
         # our own commit: keep the max-id cache trusted under the new token
         self._id_token = mname
+
+    def _cas_commit(self, files_fn, max_retries: int = 64) -> None:
+        """Compare-and-swap commit loop: derive the manifest from the
+        freshly observed live set, attempt the conditional flip, and on
+        conflict re-derive against the other writer's snapshot. An
+        append's ``files_fn`` is ``lambda live: [*live, *added]`` — two
+        interleaved appends both land, whichever order the flips win.
+        ``files_fn`` may raise :class:`ConcurrentWriteError` when the
+        observed snapshot invalidates the mutation (a rewrite whose
+        target files another writer already replaced)."""
+        for _ in range(max_retries):
+            parent = self._current_token()
+            files = files_fn(self._data_files())
+            try:
+                self._commit_manifest(files, expected_parent=parent)
+                return
+            except ManifestConflictError:
+                continue
+        raise ManifestConflictError(
+            f"commit of store {self.config.user_id}/{self.config.model_id} "
+            f"did not converge after "
+            f"{max_retries} attempts"
+        )
 
     def to_df(self) -> DataFrame:
         """The store as a DataFrame (scan, with pushdown-capable columns),
@@ -792,28 +891,24 @@ class VectorStore:
         (small-file problem), while a billion-row ingest still gets
         ceil(n/rows_per_file) parallel writers.
 
-        Commit: the new part-files join the manifest only after the write
-        finishes — a crashed append strands invisible orphans (vacuum
-        reaps them), never a torn snapshot."""
+        Commit: the batch lands in a private ``.staging-*`` dir, its
+        part-files move in under collision-free names, and the manifest
+        flips through the CAS loop — two interleaved appends (even from
+        different processes) both land, and a crashed append strands
+        only invisible orphans (vacuum reaps them), never a torn
+        snapshot. (The pre-r6 form globbed the data dir for new files,
+        which both raced concurrent writers' part-files and lost the
+        slower append's commit outright.)"""
         rows_per_file = 500_000
         n_files = max(1, -(-n_rows // rows_per_file))
         out = out.repartition(n_files) if n_files > 1 else out.coalesce(1)
-        live_before = self._data_files()
-        phys_before = (
-            set(self.data_dir.glob("**/*.parquet"))
-            if self.data_dir.exists()
-            else set()
-        )
-        writer = out.write.mode(mode)
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        writer = out.write.mode("overwrite")
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
-        writer.parquet(str(self.data_dir))
-        added = [
-            f
-            for f in self.data_dir.glob("**/*.parquet")
-            if f not in phys_before
-        ]
-        self._commit_manifest([*live_before, *added])
+        writer.parquet(str(staging))
+        added = self._move_staged_in(staging)
+        self._cas_commit(lambda live: [*live, *added])
 
     # -- pruned-rewrite machinery (plain-parquet analog of a table
     # -- format's stats-pruned MERGE/DELETE; see SCALE.md) -----------------
@@ -894,32 +989,60 @@ class VectorStore:
             (touched if hit else untouched).append(f)
         return touched, untouched
 
-    def _swap_pruned_files(self, staging: Path, touched: list[Path]) -> None:
-        """Replace only the rewritten files, crash-atomically: move the
-        staged part-files in under collision-free names (preserving Hive
-        partition subdirs, ``centroid_id=N/``, so a cell-partitioned
-        rewrite lands rows back in their cells), commit a manifest whose
-        live set is ``(old - touched) + staged``, and only then unlink
-        the touched originals. A crash before the pointer flip leaves
-        readers on the old snapshot (originals untouched, staged files
-        invisible); a crash after it leaves the new snapshot live with
-        the originals stranded as orphans for vacuum() — never a lost
-        slice. Untouched files are never rewritten at all."""
-        live = set(self._data_files())
+    def _move_staged_in(self, staging: Path) -> list[Path]:
+        """Move a staged write's part-files into the data dir under
+        collision-free names, preserving Hive partition subdirs
+        (``centroid_id=N/`` — a cell-partitioned write lands rows back
+        in their cells). The moved files are invisible to readers until
+        a manifest commit references them."""
         staged: list[Path] = []
-        for p in staging.glob("**/*.parquet"):
+        for p in sorted(staging.glob("**/*.parquet")):
             dest_dir = self.data_dir / p.relative_to(staging).parent
             dest_dir.mkdir(parents=True, exist_ok=True)
             dest = dest_dir / f"part-{uuid.uuid4().hex}.parquet"
             p.rename(dest)
             staged.append(dest)
-        self._commit_manifest([*(live - set(touched)), *staged])
+        shutil.rmtree(staging, ignore_errors=True)
+        return staged
+
+    def _swap_pruned_files(self, staging: Path, touched: list[Path]) -> None:
+        """Replace only the rewritten files, crash-atomically: move the
+        staged part-files in (:meth:`_move_staged_in`), commit a
+        manifest whose live set is ``(old - touched) + staged`` through
+        the CAS loop, and only then unlink the touched originals. A
+        crash before the pointer flip leaves readers on the old snapshot
+        (originals untouched, staged files invisible); a crash after it
+        leaves the new snapshot live with the originals stranded as
+        orphans for vacuum() — never a lost slice. Untouched files are
+        never rewritten at all.
+
+        Concurrency: an append that commits mid-rewrite composes (its
+        files are in the re-read live set and survive untouched); a
+        conflicting REWRITE that already replaced one of ``touched``
+        raises :class:`ConcurrentWriteError` instead of resurrecting
+        rows the other writer removed."""
+        staged = self._move_staged_in(staging)
+        touched_set = set(touched)
+
+        def files_fn(live: Sequence[Path]) -> list[Path]:
+            live_set = set(live)
+            missing = touched_set - live_set
+            # legacy (manifest-less) dirs list staged+touched via glob —
+            # only a manifest-backed store can observe a lost race
+            if missing and self._current_token() is not None:
+                raise ConcurrentWriteError(
+                    f"{len(missing)} file(s) this rewrite planned to "
+                    "replace were already replaced by a concurrent "
+                    "mutation; re-run against the new snapshot"
+                )
+            return [*(live_set - touched_set), *staged]
+
+        self._cas_commit(files_fn)
         for f in touched:
             try:
                 f.unlink()
             except OSError:  # stranded orphan — vacuum reaps it
                 pass
-        shutil.rmtree(staging, ignore_errors=True)
 
     def _swap_all_files(self, staging: Path) -> None:
         """Full-rewrite commit (optimize/build_index/build_pq/truncating
@@ -1461,6 +1584,7 @@ class VectorStore:
         self,
         ids: Sequence[int] | None = None,
         filter_metadata: Mapping[str, Any] | None = None,
+        doomed_df: DataFrame | None = None,
     ) -> int:
         """DELETE WHERE — anti-filter rewrite (reference declared this
         endpoint but never implemented it, service/models.py:97-105).
@@ -1468,15 +1592,66 @@ class VectorStore:
         On plain Parquet this is read -> anti-filter -> atomic swap; on a
         table format it would be a metadata-only ``DELETE WHERE``.
         Returns the number of rows removed.
+
+        Three target forms:
+
+        - ``ids`` (driver-side list): footer-stats pruning — files whose
+          id range can't contain a doomed id are never read, a no-op
+          delete is ZERO Spark jobs. The right path for SMALL doomed
+          sets.
+        - ``filter_metadata``: full anti-filter rewrite.
+        - ``doomed_df`` (a DataFrame with an ``id`` column): the
+          DISTRIBUTED path — ids never transit the driver. One 3-value
+          aggregate (min/max/count of the doomed ids) prunes untouched
+          files by footer id-range INTERVAL overlap, then the touched
+          slice anti-joins ``doomed_df`` executor-side and rewrites. At
+          100x scale this is the only shape that survives a
+          billion-row doomed set; :meth:`dedup_vectors` routes here
+          above its collect threshold.
         """
         from pyspark.sql import Observation
 
-        if ids is None and filter_metadata is None:
-            raise ValueError("provide ids and/or filter_metadata")
+        if ids is None and filter_metadata is None and doomed_df is None:
+            raise ValueError("provide ids, filter_metadata, or doomed_df")
+        if doomed_df is not None and (ids is not None or filter_metadata is not None):
+            raise ValueError("doomed_df cannot be combined with ids/filter_metadata")
         if not self._data_files():
             return 0
         spark = self.catalog.spark
         fields = [f.name for f in self.schema.fields]
+
+        if doomed_df is not None:
+            # distributed doomed set: bounds-only driver traffic
+            bounds = doomed_df.agg(
+                F.min("id").alias("lo"),
+                F.max("id").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if not bounds["n"]:
+                return 0
+            touched, _ = self._partition_files_by_ids(
+                lo=int(bounds["lo"]), hi=int(bounds["hi"])
+            )
+            if not touched:
+                return 0
+            reader = spark.read.schema(self.schema)
+            if self._cell_partitioned():
+                reader = reader.option("basePath", str(self.data_dir))
+            obs_b, obs_a = Observation(), Observation()
+            df_t = reader.parquet(*[str(p) for p in touched]).observe(
+                obs_b, F.count(F.lit(1)).alias("n")
+            )
+            keep = df_t.join(
+                doomed_df.select("id").distinct(), on="id", how="left_anti"
+            ).observe(obs_a, F.count(F.lit(1)).alias("n"))
+            staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+            writer = keep.select(*fields).write.mode("overwrite")
+            if self._cell_partitioned():
+                writer = writer.partitionBy("centroid_id")
+            writer.parquet(str(staging))
+            removed = int(obs_b.get["n"]) - int(obs_a.get["n"])
+            self._swap_pruned_files(staging, touched)
+            return removed
 
         if ids is not None and filter_metadata is None:
             # id-keyed delete: footer-stats pruning — files whose id range
@@ -1530,11 +1705,18 @@ class VectorStore:
         self._swap_all_files(staging)
         return before - after
 
+    #: dedup_vectors collects doomed ids to the driver only below this
+    #: many rows (footer-stats pruning needs the literal ids and is
+    #: genuinely better for small doomed sets); above it the doomed set
+    #: stays a DataFrame end-to-end (delete_vectors(doomed_df=...))
+    DEDUP_COLLECT_IDS_MAX = 100_000
+
     def dedup_vectors(
         self,
         threshold: float = 0.98,
         use_index: bool = True,
         max_unindexed_rows: int | None = 1_000_000,
+        collect_ids_threshold: int | None = None,
     ) -> int:
         """Remove near-duplicate vectors (cosine >= ``threshold``),
         keeping the min id of every transitive near-dup cluster
@@ -1554,10 +1736,18 @@ class VectorStore:
         ``UNINDEXED_DEDUP_WARN_ROWS`` and a refusal past
         ``max_unindexed_rows`` (the all-pairs join is O(N²), far worse
         than the per-batch scan the ingest path pays; pass ``None`` to
-        accept it). Doomed ids route through :meth:`delete_vectors`'s
-        stats-pruned rewrite; the id list transits the driver, which is
-        fine at any realistic duplicate fraction (it is the CLUSTER
-        members, not the corpus).
+        accept it).
+
+        Doomed-set routing: up to ``collect_ids_threshold`` doomed rows
+        (default :attr:`DEDUP_COLLECT_IDS_MAX`) the cluster members
+        collect to the driver and route through
+        :meth:`delete_vectors`'s footer-stats-pruned id rewrite — files
+        that can't contain a doomed id are never read. Past it the
+        doomed set STAYS a DataFrame and routes through
+        ``delete_vectors(doomed_df=...)``'s distributed anti-join: at a
+        30%+ duplicate rate on a 100 TB store the doomed set is itself
+        cluster-scale, and a driver-side id list (let alone an ``isin``
+        literal in the plan) would OOM the driver before the delete ran.
         """
         from mlx_vector_db_spark.operators.components import connected_components
         from mlx_vector_db_spark.operators.dedup import embedding_neardup_pairs
@@ -1594,13 +1784,25 @@ class VectorStore:
             bucket_col=bucket,
         ).select("id_a", "id_b")
         comp = connected_components(pairs)
-        doomed = [
-            int(r["node"])
-            for r in comp.where(F.col("node") != F.col("component")).collect()
-        ]
-        if not doomed:
+        doomed_df = (
+            comp.where(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("id"))
+            # two consumers (count + delete) — materialize the component
+            # pass once
+            .localCheckpoint(eager=False)
+        )
+        n_doomed = doomed_df.count()
+        if not n_doomed:
             return 0
-        return self.delete_vectors(ids=doomed)
+        cap = (
+            self.DEDUP_COLLECT_IDS_MAX
+            if collect_ids_threshold is None
+            else int(collect_ids_threshold)
+        )
+        if n_doomed <= cap:
+            doomed = [int(r["id"]) for r in doomed_df.collect()]
+            return self.delete_vectors(ids=doomed)
+        return self.delete_vectors(doomed_df=doomed_df)
 
     def clear(self) -> None:
         """TRUNCATE (reference service/optimized_vector_store.py:198-209).

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.store import VectorStoreCatalog
 
@@ -403,7 +404,7 @@ def test_mutation_crash_before_commit_keeps_old_snapshot(catalog, monkeypatch):
     before_ids = {r["id"] for r in st.to_df().select("id").collect()}
     n_files_before = len(st._data_files())
 
-    def boom(self, files):
+    def boom(self, files, **kw):
         raise OSError("simulated crash before manifest commit")
 
     with monkeypatch.context() as m:
@@ -652,3 +653,162 @@ def test_dedup_vectors_unindexed_scale_guard(catalog, monkeypatch):
         st.dedup_vectors(threshold=0.999)
     # explicit opt-out accepts the all-pairs cost (store already clean)
     assert st.dedup_vectors(threshold=0.999, max_unindexed_rows=None) == 0
+
+
+# -- r6: distributed doomed-set deletion + optimistic manifest commits ----
+
+
+def test_delete_vectors_doomed_df(catalog, spark):
+    """delete_vectors(doomed_df=...) removes exactly the rows in the
+    doomed frame without the ids ever transiting the driver, and the
+    footer-interval pruning leaves files outside the doomed id range
+    untouched on disk."""
+    st = catalog.create_store("dd1", "m", dimension=4)
+    # two appends -> two files with disjoint id ranges (0-49, 50-99)
+    st.add_vectors([[float(i), 1.0, 0.0, 0.0] for i in range(50)],
+                   ids=list(range(50)))
+    st.add_vectors([[float(i), 1.0, 0.0, 0.0] for i in range(50, 100)],
+                   ids=list(range(50, 100)))
+    files_before = set(st._data_files())
+    assert len(files_before) == 2
+    doomed = spark.range(10, 20).select(F.col("id"))
+    # blow up if anything materializes the doomed ids driver-side
+    doomed.collect = _raise_collect  # type: ignore[method-assign]
+    removed = st.delete_vectors(doomed_df=doomed)
+    assert removed == 10
+    assert st.count() == 90
+    kept = {r["id"] for r in st.to_df().select("id").collect()}
+    assert kept == set(range(100)) - set(range(10, 20))
+    # the 50-99 file is outside [10, 19]: never rewritten
+    untouched = [f for f in files_before if f in set(st._data_files())]
+    assert len(untouched) == 1
+
+
+def _raise_collect(*a, **k):
+    raise AssertionError("doomed ids were materialized on the driver")
+
+
+def test_delete_vectors_doomed_df_empty_and_combined(catalog, spark):
+    st = catalog.create_store("dd2", "m", dimension=4)
+    st.add_vectors([[1.0, 0.0, 0.0, 0.0]] * 5, ids=list(range(5)))
+    assert st.delete_vectors(doomed_df=spark.range(0).select("id")) == 0
+    assert st.count() == 5
+    with pytest.raises(ValueError, match="combined"):
+        st.delete_vectors(ids=[1], doomed_df=spark.range(1).select("id"))
+
+
+def test_dedup_vectors_distributed_above_threshold(catalog, monkeypatch):
+    """Above collect_ids_threshold the doomed set must reach
+    delete_vectors as a DataFrame (anti-join plan), not a collected id
+    list (isin literal)."""
+    from mlx_vector_db_spark.store import VectorStore
+
+    st = catalog.create_store("dd3", "m", dimension=8)
+    base = RNG.random((20, 8)).astype(np.float32)
+    dup = np.vstack([base, base[:8] * 2.0])  # 8 cosine-1.0 duplicates
+    st.add_vectors(dup.tolist())
+
+    seen: dict = {}
+    orig = VectorStore.delete_vectors
+
+    def spy(self, ids=None, filter_metadata=None, doomed_df=None):
+        seen["ids"] = ids
+        seen["doomed_df"] = doomed_df
+        return orig(self, ids=ids, filter_metadata=filter_metadata,
+                    doomed_df=doomed_df)
+
+    monkeypatch.setattr(VectorStore, "delete_vectors", spy)
+    removed = st.dedup_vectors(threshold=0.9999, collect_ids_threshold=0)
+    assert removed == 8
+    assert seen["ids"] is None and seen["doomed_df"] is not None
+    assert st.count() == 20
+    # below the threshold the collected-ids path (footer pruning) runs
+    st.add_vectors((base[:3] * 3.0).tolist())
+    seen.clear()
+    removed = st.dedup_vectors(threshold=0.9999)  # default big threshold
+    assert removed == 3
+    assert seen["doomed_df"] is None and seen["ids"] is not None
+
+
+@pytest.mark.slow
+def test_dedup_vectors_distributed_stress(catalog):
+    """30%+ duplicate rate through the distributed doomed path: the
+    doomed set is ~38% of the store and never transits the driver."""
+    st = catalog.create_store("dd4", "m", dimension=16)
+    base = RNG.random((500, 16)).astype(np.float32)
+    dups = np.vstack([base[:150] * 2.0, base[:150] * 3.0])  # 300 doomed
+    st.add_vectors(np.vstack([base, dups]).tolist())
+    removed = st.dedup_vectors(threshold=0.9999, collect_ids_threshold=0)
+    assert removed == 300
+    assert st.count() == 500
+    assert st.dedup_vectors(threshold=0.9999, collect_ids_threshold=0) == 0
+
+
+def test_interleaved_appends_both_land(catalog, monkeypatch):
+    """Two writers interleave: A reads the live set, B commits an
+    append, then A commits. Pre-r6 A's manifest silently dropped B's
+    files; the CAS loop re-reads and composes both."""
+    from mlx_vector_db_spark.store import VectorStore
+
+    st_a = catalog.create_store("cc1", "m", dimension=4)
+    st_a.add_vectors([[1.0, 0.0, 0.0, 0.0]] * 10, ids=list(range(10)))
+    st_b = catalog.get_store("cc1", "m")
+
+    from mlx_vector_db_spark.store import _UNCHECKED
+
+    orig = VectorStore._commit_manifest
+    state = {"fired": False}
+
+    def inject(self, files, expected_parent=_UNCHECKED):
+        # first commit attempt from writer A: let writer B slip a full
+        # append in between A's live-set read and A's pointer flip
+        if self is not st_b and not state["fired"]:
+            state["fired"] = True
+            st_b.add_vectors([[2.0, 0.0, 0.0, 0.0]] * 10,
+                             ids=list(range(100, 110)))
+        return orig(self, files, expected_parent=expected_parent)
+
+    import mlx_vector_db_spark.store as S
+    monkeypatch.setattr(VectorStore, "_commit_manifest", inject)
+    st_a.add_vectors([[3.0, 0.0, 0.0, 0.0]] * 10, ids=list(range(200, 210)))
+    monkeypatch.undo()
+
+    assert state["fired"]
+    st = catalog.get_store("cc1", "m")
+    ids = {r["id"] for r in st.to_df().select("id").collect()}
+    assert ids == set(range(10)) | set(range(100, 110)) | set(range(200, 210))
+    assert st.count() == 30
+
+
+def test_commit_conflict_raises_on_stale_parent(catalog):
+    from mlx_vector_db_spark.store import ManifestConflictError
+
+    st = catalog.create_store("cc2", "m", dimension=4)
+    st.add_vectors([[1.0, 0.0, 0.0, 0.0]] * 3, ids=[0, 1, 2])
+    stale = st._current_token()
+    st.add_vectors([[2.0, 0.0, 0.0, 0.0]] * 3, ids=[3, 4, 5])  # advances
+    with pytest.raises(ManifestConflictError):
+        st._commit_manifest(st._data_files(), expected_parent=stale)
+    # the failed commit changed nothing
+    assert st.count() == 6
+
+
+def test_conflicting_rewrite_raises(catalog):
+    """A rewrite whose target files were already replaced by another
+    writer must fail (resurrecting the other writer's deletes would be
+    silent data corruption), while plain appends compose."""
+    from mlx_vector_db_spark.store import ConcurrentWriteError
+
+    st = catalog.create_store("cc3", "m", dimension=4)
+    st.add_vectors([[float(i), 0.0, 0.0, 0.0] for i in range(10)],
+                   ids=list(range(10)))
+    victim = list(st._data_files())
+    # another writer's rewrite replaces every current file
+    st2 = catalog.get_store("cc3", "m")
+    st2.delete_vectors(ids=[0])
+    # our stale rewrite now targets dead files
+    staging = st.data_dir.parent / ".staging-test-conflict"
+    staging.mkdir()
+    (staging / "part-xyz.parquet").write_bytes(b"")
+    with pytest.raises(ConcurrentWriteError):
+        st._swap_pruned_files(staging, victim)
