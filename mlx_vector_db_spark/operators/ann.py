@@ -324,17 +324,26 @@ def build_ivf(
     caps the driver transfer no matter the table size (parquet count is
     metadata-only; the sample is one scan). The *distributed* work —
     assigning every row — stays a pure JVM column expression."""
+    if max_train_rows < 1:
+        raise ValueError(f"max_train_rows must be >= 1 (got {max_train_rows})")
     train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
     n = train.count()
     if n == 0:
         raise ValueError("cannot build an IVF index over an empty table")
     if n > max_train_rows:
         frac = min(1.0, 1.2 * max_train_rows / n)
-        train = train.sample(frac, seed=seed).limit(max_train_rows)
+        train = train.sample(frac, seed=seed)
     # Arrow transfer: collect() would materialize up to max_train_rows Row
     # objects of boxed Python floats (multi-GB at 384-dim); toPandas moves
     # the same sample as Arrow record batches, each cell a numpy array.
-    sample = train.select(F.col(vec_col).cast("array<double>").alias("_v")).toPandas()
+    # The limit is UNCONDITIONAL: the driver transfer is bounded by
+    # construction — a mis-set sample_fraction on a huge store can never
+    # blow past max_train_rows, regardless of what the count estimated.
+    sample = (
+        train.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .limit(int(max_train_rows))
+        .toPandas()
+    )
     X = np.vstack(sample["_v"].to_numpy()).astype(np.float64, copy=False)
     centroids = _kmeans_numpy(X, nlist, seed=seed, max_iter=max_iter)
     index = IVFIndex(centroids, vec_col=vec_col)

@@ -55,7 +55,46 @@ __all__ = [
     "knn_join_blocked",
     "knn_join_chunked",
     "apply_metadata_filter",
+    "drain_retired_caches",
 ]
+
+#: Deferred-unpersist registry for knn_join_chunked's vectors cache.
+#: Unpersisting the moment the returned DataFrame is GC'd is wrong for
+#: callers that derive a child frame and drop the parent BEFORE
+#: executing (the cache would be defeated: every chunk re-scans the
+#: source at execution time). Retiring instead keeps the cache alive —
+#: correctness never depended on it, persist() lineage is always
+#: recomputable — until either `release_intermediates()` drains the
+#: registry or the bounded queue evicts it (a batch loop pins at most
+#: _RETIRED_MAX copies of V, then the oldest unpersist in FIFO order).
+_RETIRED_VECTOR_CACHES: list[DataFrame] = []
+_RETIRED_MAX = 4
+
+
+def _retire_vector_cache(cached: DataFrame) -> None:
+    _RETIRED_VECTOR_CACHES.append(cached)
+    while len(_RETIRED_VECTOR_CACHES) > _RETIRED_MAX:
+        old = _RETIRED_VECTOR_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def drain_retired_caches() -> int:
+    """Unpersist every retired chunked-kNN vectors cache now. Called by
+    :func:`mlx_vector_db_spark.session.release_intermediates`; safe at
+    any time — a plan that still references a drained cache recomputes
+    from lineage instead of reading cached blocks."""
+    n = 0
+    while _RETIRED_VECTOR_CACHES:
+        cached = _RETIRED_VECTOR_CACHES.pop()
+        try:
+            cached.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def apply_metadata_filter(
@@ -429,15 +468,14 @@ def knn_join_chunked(
         # the vectors cache is read at EXECUTION time, so it must
         # outlive this call — but CacheManager holds it strongly, so a
         # caller looping over batches would pin one full copy of V per
-        # call forever. Tie its lifetime to the result: when the caller
-        # drops the returned DataFrame, the cache unpersists itself.
+        # call forever. When the caller drops the returned DataFrame the
+        # cache RETIRES (bounded deferred-unpersist registry) instead of
+        # unpersisting immediately: a caller that derives a frame and
+        # drops `out` before executing (`return out.select(...)`) still
+        # hits the cache at execution time, while a batch loop retires
+        # each iteration's copy so at most _RETIRED_MAX stay resident.
+        # `session.release_intermediates()` drains the registry eagerly.
         import weakref
 
-        def _drop_cache(cached: DataFrame = filtered) -> None:
-            try:
-                cached.unpersist()
-            except Exception:  # session already stopped — nothing to free
-                pass
-
-        weakref.finalize(out, _drop_cache)
+        weakref.finalize(out, _retire_vector_cache, filtered)
     return out

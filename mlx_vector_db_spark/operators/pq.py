@@ -187,18 +187,21 @@ def train_pq(
     """Train per-subspace codebooks on a bounded Arrow-collected sample
     (the build_ivf sampling policy — the distributed table is never
     collected). With ``centroids``, trains on residuals (IVF-PQ)."""
+    if max_train_rows < 1:
+        raise ValueError(f"max_train_rows must be >= 1 (got {max_train_rows})")
     n = df.count()
     if n == 0:
         raise ValueError("cannot train PQ on an empty table")
     train = df
     if n > max_train_rows:
-        train = df.sample(min(1.0, 1.2 * max_train_rows / n), seed=seed).limit(
-            max_train_rows
-        )
+        train = df.sample(min(1.0, 1.2 * max_train_rows / n), seed=seed)
     cols = [F.col(vec_col).cast("array<double>").alias("_v")] + (
         [F.col(cell_col).alias("_c")] if centroids is not None else []
     )
-    sample = train.select(*cols).toPandas()
+    # the limit is UNCONDITIONAL: the driver transfer is bounded by
+    # construction, not by trusting the count/sample estimate — a stale
+    # count or a mis-set fraction can never toPandas() a huge store
+    sample = train.select(*cols).limit(int(max_train_rows)).toPandas()
     X = np.vstack(sample["_v"].to_numpy()).astype(np.float64, copy=False)
     if centroids is not None:
         X = X - np.asarray(centroids, np.float64)[sample["_c"].to_numpy()]

@@ -60,13 +60,32 @@ def pushdown_barrier(df: DataFrame, cache: bool = True) -> DataFrame:
         fenced = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
         return DataFrame(fenced, spark)
     except Exception:  # pragma: no cover — connect / internal-API drift
+        # the caller opted OUT of caching (long-session block pinning,
+        # non-recomputable lineage); falling back silently would
+        # reintroduce exactly that — make the substitution visible
+        import warnings
+
+        warnings.warn(
+            "pushdown_barrier(cache=False): JVM RDD fence unavailable "
+            "(Spark Connect or internal-API drift); falling back to a "
+            "caching localCheckpoint — blocks stay resident until GC "
+            "and lineage is not recomputable on executor loss",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return df.localCheckpoint(eager=False)
 
 
-#: (analyzed-plan semanticHash, target) -> under-partitioned? Bounded;
-#: cleared wholesale rather than LRU — the probe it saves is cheap
-#: enough that a cold restart costs one plan conversion per shape.
-_PROBE_CACHE: dict[tuple[int, int], bool] = {}
+#: (applicationId, analyzed-plan semanticHash, target) ->
+#: under-partitioned? Bounded; cleared wholesale rather than LRU — the
+#: probe it saves is cheap enough that a cold restart costs one plan
+#: conversion per shape. Keying on the applicationId means a session
+#: restart can never serve the previous application's decisions; within
+#: one application a table whose FILE COUNT changed under an identical
+#: plan (semanticHash canonicalizes the plan, not the listing) can still
+#: serve one stale decision — consequence is a missing or extra
+#: repartition of a narrow projection, never wrong results.
+_PROBE_CACHE: dict[tuple[str, int, int], bool] = {}
 _PROBE_CACHE_MAX = 1024
 
 
@@ -84,7 +103,12 @@ def _under_partitioned(narrow: DataFrame, target: int) -> bool:
     extra repartition of a narrow projection, never wrong results.
     """
     try:
-        key = (narrow._jdf.queryExecution().analyzed().semanticHash(), target)
+        app_id = narrow.sparkSession.sparkContext.applicationId
+        key = (
+            app_id,
+            narrow._jdf.queryExecution().analyzed().semanticHash(),
+            target,
+        )
     except Exception:  # pragma: no cover — connect / internal-API drift
         return narrow.rdd.getNumPartitions() < target
     hit = _PROBE_CACHE.get(key)

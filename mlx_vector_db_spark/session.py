@@ -86,6 +86,9 @@ def release_intermediates(spark: SparkSession) -> None:
     """
     import gc
 
+    from mlx_vector_db_spark.operators.knn import drain_retired_caches
+
+    drain_retired_caches()
     gc.collect()
     try:
         spark.sparkContext._jvm.System.gc()

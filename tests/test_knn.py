@@ -209,10 +209,13 @@ def test_blocked_keeps_score_ties_at_k_boundary(spark):
 
 def test_chunked_caches_released(spark, sf_small):
     """knn_join_chunked must not pin caches across calls: the query-side
-    cache dies at plan build, the vectors cache dies with the returned
-    DataFrame — a batch loop accumulates nothing."""
+    cache dies at plan build, the vectors cache retires with the
+    returned DataFrame and is reclaimed by release_intermediates (or
+    FIFO eviction) — a batch loop accumulates a bounded set, a drain
+    releases everything."""
     import gc
 
+    from mlx_vector_db_spark import release_intermediates
     from mlx_vector_db_spark.operators.knn import knn_join_chunked
 
     jsc = spark.sparkContext._jsc.sc()
@@ -231,5 +234,36 @@ def test_chunked_caches_released(spark, sf_small):
     assert out.count() == 60
     del out
     gc.collect()
-    # the finalizer unpersists synchronously on collection
+    release_intermediates(spark)
     assert n_cached() <= before
+
+
+def test_chunked_cache_survives_derived_frame(spark, sf_small):
+    """A caller that derives a frame and drops the original before
+    executing (`return out.select(...)`) must still execute against a
+    LIVE vectors cache — the r5 finalizer unpersisted it at GC time,
+    silently defeating cache_vectors (ADVICE r5)."""
+    import gc
+
+    from mlx_vector_db_spark import release_intermediates
+    from mlx_vector_db_spark.operators import knn as K
+
+    release_intermediates(spark)  # start from a drained registry
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = K.knn_join_chunked(
+        emb, queries, k=3, vec_col="embedding", id_col="vec_id", chunk_size=7
+    )
+    derived = out.select("query_id", "vec_id", "rank")
+    del out
+    gc.collect()
+    # the cache retired but was NOT unpersisted: execution hits it
+    assert len(K._RETIRED_VECTOR_CACHES) == 1
+    cached = K._RETIRED_VECTOR_CACHES[0]
+    assert cached.storageLevel.useMemory
+    assert derived.count() == 60
+    release_intermediates(spark)
+    assert not K._RETIRED_VECTOR_CACHES
+    assert not cached.storageLevel.useMemory

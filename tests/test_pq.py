@@ -183,3 +183,61 @@ def test_ivfpq_full_probe_matches_plain_recall(spark, vectors, ivfpq, vec_np):
     )
     exact = knn_join(vectors, queries, k=K)
     assert {r["id"] for r in approx.collect()} == {r["id"] for r in exact.collect()}
+
+
+def test_train_pq_driver_transfer_bounded(spark, monkeypatch):
+    """The toPandas() training transfer is capped at max_train_rows BY
+    CONSTRUCTION — even a mis-set sample fraction / stale count cannot
+    pull a huge store to the driver."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from mlx_vector_db_spark.operators.pq import train_pq
+
+    rng = np.random.default_rng(7)
+    df = spark.createDataFrame(
+        [(i, rng.random(16).astype(float).tolist()) for i in range(300)],
+        "id long, embedding array<double>",
+    )
+    sizes = []
+    orig = CDF.toPandas
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(CDF, "toPandas", spy)
+    pq = train_pq(df, m=4, nbits=2, max_train_rows=64)
+    assert sizes and max(sizes) <= 64
+    assert pq.books.shape[0] == 4
+    with pytest.raises(ValueError, match="max_train_rows"):
+        train_pq(df, m=4, nbits=2, max_train_rows=0)
+
+
+def test_build_ivf_driver_transfer_bounded(spark, monkeypatch):
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from mlx_vector_db_spark.operators.ann import build_ivf
+
+    rng = np.random.default_rng(8)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).astype(float).tolist()) for i in range(400)],
+        "id long, embedding array<double>",
+    )
+    sizes = []
+    orig = CDF.toPandas
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(CDF, "toPandas", spy)
+    # adversarial: full-table sample_fraction — the cap must still hold
+    indexed, index = build_ivf(
+        df, nlist=4, sample_fraction=1.0, max_train_rows=50, seed=3
+    )
+    assert sizes and max(sizes) <= 50
+    assert indexed.select("centroid_id").distinct().count() <= 4
+    with pytest.raises(ValueError, match="max_train_rows"):
+        build_ivf(df, nlist=4, max_train_rows=0)

@@ -106,12 +106,16 @@ def main(src: str, dst: str, factor: int) -> None:
         FROM {t('events')} CROSS JOIN reps""")
     write("documents", f"""
         WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words,
+          SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words,
                  lang, source, r
           FROM {t('documents')} CROSS JOIN reps
         ), rebuilt AS (
           SELECT doc_id + r * {stride['d']} AS doc_id,
-                 CASE WHEN r = 0 THEN array_to_string(words, ' ')
+                 -- replica 0 keeps the ORIGINAL text column byte-for-byte
+                 -- (so fingerprints/chunk boundaries line up with the
+                 -- source directory); only r > 0 replicas are rebuilt
+                 -- with doc-unique perturbation tokens
+                 CASE WHEN r = 0 THEN text
                  ELSE array_to_string(
                    flatten(list_transform(range(1, len(words) + 1),
                      i -> CASE WHEN i > 1 AND (i - 1) % 4 = 0
