@@ -42,6 +42,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_dedup",
     "jaccard_pairs",
+    "jaccard_autocap",
     "embedding_neardup_pairs",
 ]
 
@@ -517,6 +518,28 @@ def simhash_pairs(
     )
 
 
+#: "auto" shingle-cap rule: cap = max(MIN, ceil(n_docs / DIVISOR)) — the
+#: cap tracks the largest plausible duplicate-cluster size as a fixed
+#: FRACTION of the corpus (0.5%), floored for tiny corpora. A constant
+#: cap cannot work across scales (SCALE.md: cap=4 zeroed sf1 recall on a
+#: small-vocabulary corpus because every shingle's DF grows with corpus
+#: size); a proportional cap keeps real dup clusters joinable at any
+#: scale while still excluding boilerplate shared by >0.5% of all
+#: documents. Integer ceil-division keeps the rule exactly mirrorable in
+#: a relational oracle (no float rounding at the boundary).
+JACCARD_AUTOCAP_MIN = 4
+JACCARD_AUTOCAP_DIVISOR = 200
+
+
+def jaccard_autocap(n_docs: int) -> int:
+    """The "auto" ``max_shingle_freq`` for an ``n_docs``-document corpus:
+    ``max(4, ceil(n_docs / 200))``."""
+    return max(
+        JACCARD_AUTOCAP_MIN,
+        -(-int(n_docs) // JACCARD_AUTOCAP_DIVISOR),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -524,7 +547,7 @@ def jaccard_pairs(
     block_col: str | None = None,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (all-pairs within ``block_col`` groups,
     or global when None), j >= ``threshold``.
@@ -552,6 +575,16 @@ def jaccard_pairs(
     whose every shared shingle is hot are missed, like a dropped LSH
     bucket). The frequency count shares the join's shingle clustering,
     so the cap adds no extra shuffle.
+
+    ``max_shingle_freq="auto"`` derives the cap from the corpus itself:
+    ``max(4, ceil(n_docs / 200))`` (:func:`jaccard_autocap`) — the
+    self-calibrating form. A FIXED cap cannot survive a scale-up
+    (SCALE.md measured cap=4 zeroing recall at 10x the corpus, because
+    on a small-vocabulary corpus every shingle's DF grows with corpus
+    size); tying the cap to 0.5% of the corpus keeps duplicate clusters
+    (whose size is what the cap must stay above) joinable at any scale
+    while boilerplate shared by more than 0.5% of documents is still
+    excluded. Costs ONE extra count() of ``df``.
 
     ``threshold <= 0`` keeps the literal all-pairs form (a zero-overlap
     pair has j = 0.0 and must be emitted) — audit scale only;
@@ -594,6 +627,13 @@ def jaccard_pairs(
         )
     )
     bcols = ["_blk"] if block_col else []
+    if isinstance(max_shingle_freq, str):
+        if max_shingle_freq != "auto":
+            raise ValueError(
+                f"max_shingle_freq must be an int, None, or 'auto' "
+                f"(got {max_shingle_freq!r})"
+            )
+        max_shingle_freq = jaccard_autocap(df.count())
     if threshold > 0:
         # shingle sets are reused by the exploded join side AND the two
         # size joins; truncate lineage so tokenization runs once

@@ -684,6 +684,25 @@ def q_text_jaccard_capped(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_text_jaccard_autocap(spark, sf_dir):
+    """The r6 SELF-CALIBRATING hot-shingle cap: ``max_shingle_freq=
+    "auto"`` derives the cap from the corpus itself as ``max(4,
+    ceil(n_docs / 200))`` (operators/dedup.py jaccard_autocap) — 0.5%
+    of the corpus, the scale-proof replacement for a fixed constant
+    (SCALE.md: cap=4 zeroed recall at 10x the corpus). The oracle
+    recomputes the identical integer rule as a scalar subquery and the
+    identical capped-join semantics, so the driver pins the derivation
+    AND the values. At sf0.01 the derived cap is 4 (500 docs), which
+    genuinely drops the DF-5..7 shingles before the self-join."""
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingle_n=3,
+        max_shingle_freq="auto",
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_doc_perplexity(spark, sf_dir):
     """CCNet-style unigram-LM quality scoring (operators/quality.py
     unigram_lm_scores): a Laplace-smoothed unigram model trained on the
@@ -1244,6 +1263,56 @@ def q_ivf_recall_gate(spark, sf_dir):
     )
     approx = index.search_batch(indexed, queries, k=KNN_K, nprobe=14)
     exact = knn_join(indexed, queries, k=KNN_K)
+    return _recall_gate(approx, exact)
+
+
+def q_ivf_clustered_recall_gate(spark, sf_dir):
+    """IVF recall on a CLUSTERED corpus at a real pruning ratio —
+    recall@10 >= 0.9 per query at probe fraction 8/32 = 0.25 (the
+    regime the uniform-random `ivf_recall_gate` cannot exercise: there,
+    expected recall ≈ probed fraction, so that gate probes 14/16; this
+    one mirrors the reference's accuracy harness on structured data,
+    tests/performance_demo_hnsw.py:96).
+
+    The clustered fixture is built INSIDE the query, seeded and
+    row-deterministic: one row per embeddings-table id, cluster =
+    id % 32, point = unit(center[cluster] + 0.05·noise(id)) with
+    centers from one fixed-seed Gaussian draw and per-row noise seeded
+    by the id itself — partitioning-independent, so the gate hashes
+    identically on every run/engine. Index build (k-means nlist=32) and
+    probe-pruned search run the PRODUCTION operators; exact top-10 from
+    the same fixture is the in-query ground truth."""
+    import numpy as np
+    import pandas as pd
+
+    from mlx_vector_db_spark.operators.ann import build_ivf
+
+    n_q, c, dim, sigma = 20, 32, 64, 0.05
+    centers = np.random.default_rng(42).standard_normal((c, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            embs = []
+            for i in ids:
+                r = np.random.default_rng(int(i) + 1_000_003)
+                v = centers[int(i) % c] + sigma * r.standard_normal(dim)
+                v /= np.linalg.norm(v)
+                embs.append(v.astype(np.float32))
+            yield pd.DataFrame({"id": ids, "embedding": embs})
+
+    ids = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    clustered = ids.mapInPandas(gen, schema="id long, embedding array<float>")
+    # two consumers (index build sample + assignment/search) — build
+    # the tiny fixture once
+    clustered = clustered.localCheckpoint(eager=False)
+    indexed, index = build_ivf(clustered, nlist=c, seed=42, max_iter=8)
+    queries = clustered.where(F.col("id") < n_q).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    approx = index.search_batch(indexed, queries, k=KNN_K, nprobe=8)
+    exact = knn_join(clustered, queries, k=KNN_K)
     return _recall_gate(approx, exact)
 
 
@@ -2302,6 +2371,79 @@ def q_ingest_dedup_gate(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_gate(spark, sf_dir):
+    """Streaming dedup-on-write under the value gate: a store seeded
+    with embeddings [0, 50) ingests a 3-file bounded stream (one file
+    per trigger = 3 real micro-batch epochs) through
+    streaming_ingest_vectors(dedup_threshold=0.999) with the idempotent
+    operations ledger on. The files overlap the seed AND each other —
+    [25,60), [50,80), [0,20)∪[70,90) — so every epoch exercises the
+    per-batch screen against both the pre-seeded corpus and rows landed
+    by EARLIER epochs; exact duplicates (cosine 1.0) are rejected,
+    uniform-random 64-dim vectors can't hit 0.999 by chance, and the
+    final store is exactly the distinct union [0, 90) no matter the
+    file processing order. The oracle recomputes epoch count, streamed
+    adds, and final count from the raw table's id ranges."""
+    import os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+    from mlx_vector_db_spark.streaming.ingest import (
+        read_operations_log,
+        streaming_ingest_vectors,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"vdb-stream-dedup-{_uuid.uuid4().hex[:8]}"
+    )
+    try:
+        cat = VectorStoreCatalog(spark, os.path.join(work, "stores"))
+        st = cat.create_store("gate", "sdedup", dimension=64)
+        emb = _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        st.add_vectors(emb.where(F.col("id") < 50))
+        src = os.path.join(work, "batches")
+        for lo, hi, extra in ((25, 60, None), (50, 80, None), (0, 20, (70, 90))):
+            sel = (F.col("id") >= lo) & (F.col("id") < hi)
+            if extra:
+                sel = sel | ((F.col("id") >= extra[0]) & (F.col("id") < extra[1]))
+            emb.where(sel).select("embedding").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        log = os.path.join(work, "oplog")
+        q = streaming_ingest_vectors(
+            stream, st, os.path.join(work, "ckpt"),
+            query_name="dedup_gate", operations_log=log,
+            dedup_threshold=0.999,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ops = read_operations_log(spark, log).where("status = 'completed'")
+        n_epochs = ops.count()
+        n_added = int(ops.agg(F.sum("rows_added")).first()[0] or 0)
+        n_total = st.count()
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    if n_epochs != 3:
+        raise RuntimeError(
+            f"streaming dedup gate expected 3 micro-batch epochs, saw {n_epochs}"
+        )
+    return spark.createDataFrame(
+        [(int(n_epochs), int(n_added), int(n_total))],
+        "n_ingest_epochs long, n_stream_added long, n_vectors long",
+    )
+
+
 def q_streaming_knn_gate(spark, sf_dir):
     """Streaming vector search under the value gate: the embeddings
     table's first 20 vectors replayed as a bounded query stream, scored
@@ -2475,6 +2617,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_knn": q_ivf_knn,
     "pq_knn": q_pq_knn,
     "ivf_recall_gate": q_ivf_recall_gate,
+    "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "lsh_recall_gate": q_lsh_recall_gate,
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
@@ -2491,6 +2634,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "text_jaccard_pairs": q_text_jaccard_pairs,
     "text_jaccard_capped": q_text_jaccard_capped,
+    "text_jaccard_autocap": q_text_jaccard_autocap,
     # -- text analysis / quality / cleaning ---------------------------
     "text_stats": q_text_stats,
     "lang_detect": q_lang_detect,
@@ -2513,6 +2657,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "export_shard_plan": q_export_shard_plan,
     "ingest_dedup_gate": q_ingest_dedup_gate,
+    "streaming_dedup_gate": q_streaming_dedup_gate,
     # -- relational / TPC-H analogs -----------------------------------
     "customers_without_orders": q_customers_without_orders,
     "orders_grouping_sets": q_orders_grouping_sets,
@@ -3519,6 +3664,39 @@ FROM walk WHERE is_kept
         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp
     """
     ),
+    # self-calibrating cap: the SAME capped-join semantics as
+    # text_jaccard_capped, with the cap derived from the corpus by the
+    # integer rule max(4, ceil(n_docs / 200)) — mirrored here as a
+    # scalar subquery over the same documents view (ceil-division kept
+    # integral so no float boundary can diverge between engines)
+    "text_jaccard_autocap": (
+        "WITH "
+        + _JACCARD_SHINGLES_BODY.replace("), s AS (", "), s AS MATERIALIZED (")
+        + """
+        , cap AS (
+          SELECT greatest(4, (count(*) + 199) // 200) AS c FROM documents
+        ), jg AS (
+          SELECT doc_id, unnest(sh) AS tok FROM s
+        ), jf AS (
+          SELECT doc_id, tok FROM jg
+          QUALIFY count(*) OVER (PARTITION BY tok) <= (SELECT c FROM cap)
+        ), ji AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM jf a JOIN jf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), jsz AS (
+          SELECT doc_id, len(sh) AS n FROM s
+        ), jp AS (
+          SELECT ji.id_a, ji.id_b,
+                 ji.inter::DOUBLE / (na.n + nb.n - ji.inter) AS jac
+          FROM ji
+          JOIN jsz na ON na.doc_id = ji.id_a
+          JOIN jsz nb ON nb.doc_id = ji.id_b
+          WHERE ji.inter::DOUBLE / (na.n + nb.n - ji.inter) >= 0.5
+        )
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jp
+    """
+    ),
     # unigram LM: counts over the lowercased lang='en' token stream,
     # Laplace smoothing with one shared OOV slot; empty docs -> NULLs
     "doc_perplexity": """
@@ -3623,6 +3801,13 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     "ivf_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed
         FROM embeddings WHERE vec_id < 5
+    """,
+    # every one of the 20 queries must clear recall@10 >= 0.9 at probe
+    # fraction 0.25 on the clustered fixture — the oracle pins the full
+    # expected pass set, so one degraded query hash-fails the entry
+    "ivf_clustered_recall_gate": """
+        SELECT vec_id AS query_id, TRUE AS passed
+        FROM embeddings WHERE vec_id < 20
     """,
     "lsh_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed
@@ -3832,6 +4017,15 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
                 WHERE vec_id >= 25 AND vec_id < 50)::BIGINT AS n_rejected,
                (SELECT count(*) FROM embeddings
                 WHERE vec_id < 75)::BIGINT AS n_vectors
+    """,
+    # the 3-epoch overlapping replay adds exactly the ids in [50, 90)
+    # whatever order the files process; the seed contributes [0, 50)
+    "streaming_dedup_gate": """
+        SELECT 3::BIGINT AS n_ingest_epochs,
+               (SELECT count(*) FROM embeddings
+                WHERE vec_id >= 50 AND vec_id < 90)::BIGINT AS n_stream_added,
+               (SELECT count(*) FROM embeddings
+                WHERE vec_id < 90)::BIGINT AS n_vectors
     """,
     "salted_join_parity": """
         SELECT o.o_orderkey, o.o_custkey, c.c_name,

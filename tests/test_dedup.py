@@ -397,3 +397,49 @@ def test_jaccard_cap_bounds_boilerplate_wall_time(spark):
     assert (9000, 9001) in got
     assert not any(a < 3000 and b < 3000 for a, b in got)
     assert dt < 60, f"capped boilerplate corpus took {dt:.0f}s"
+
+
+def test_jaccard_autocap_rule():
+    """The self-calibrating cap is max(4, ceil(n/200)) — integral, so
+    the DuckDB oracle's (count(*)+199)//200 derivation is bit-identical."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_autocap
+
+    assert jaccard_autocap(0) == 4
+    assert jaccard_autocap(500) == 4       # sf0.01
+    assert jaccard_autocap(799) == 4
+    assert jaccard_autocap(801) == 5
+    assert jaccard_autocap(5_000) == 25    # sf0.1
+    assert jaccard_autocap(50_000) == 250  # sf1
+    assert jaccard_autocap(5_000_000) == 25_000
+
+
+def test_jaccard_pairs_auto_cap_matches_explicit(spark):
+    """max_shingle_freq='auto' behaves exactly like the explicitly
+    derived integer cap, and rejects other strings."""
+    import pytest as _pt
+
+    from mlx_vector_db_spark.operators.dedup import jaccard_autocap, jaccard_pairs
+
+    rng = __import__("numpy").random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words, 12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    cap = jaccard_autocap(60)  # = 4 for a 60-doc corpus
+    auto = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(docs, threshold=0.2, max_shingle_freq="auto").collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(docs, threshold=0.2, max_shingle_freq=cap).collect()
+    }
+    assert auto == explicit
+    uncapped = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert {p[:2] for p in auto} <= {p[:2] for p in uncapped}
+    with _pt.raises(ValueError, match="auto"):
+        jaccard_pairs(docs, threshold=0.2, max_shingle_freq="automatic").collect()
