@@ -2599,45 +2599,37 @@ def q_salted_join_parity(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 # Registry order is the driver's verification order: it oracle-checks
-# the FIRST 50 entries each round. The first 50 below are curated so
-# every operator family has a driver-verified representative — vector
-# core, every index accuracy gate, dedup (exact + each near-dup
-# family), text/quality/cleaning, retrieval, sampling/export,
-# multimodal, the TPC-H analogs, temporal/windowing/as-of/range joins,
-# and the streaming batch-twin gate. Long-stable variants of already-
-# represented families (extra kNN metrics, extra window-frame queries,
-# rollup/cube siblings, ...) sit past 50 where the judge's sweep still
-# covers them.
+# the FIRST 50 entries each round. r6 rotation: (a) the three new r6
+# entries (text_jaccard_autocap, ivf_clustered_recall_gate,
+# streaming_dedup_gate) enter the window; (b) the 15 entries that had
+# never carried a driver row (returned_item_revenue ... part_fuzzy_pairs,
+# all judge-verified green in r5) rotate IN, so after this round EVERY
+# catalog entry has been driver-green at least once; (c) long-stable
+# multi-round-green rows (knn_cosine_topk, dedup_exact, text_stats,
+# the r1-r5 TPC-H/temporal staples, and the rows-only pair entries whose
+# gates remain in-window) rotate out past the boundary, where the
+# per-round builder sweep and judge re-runs still oracle-check them.
+# Every one of the 50 in-window entries has a full value-hash oracle —
+# no rows-only entries remain in the window.
 QUERIES: dict[str, QueryFn] = {
-    # -- vector core + index accuracy gates ---------------------------
-    "knn_cosine_topk": q_knn_cosine,
     "knn_cosine_filtered": q_knn_cosine_filtered,
     "knn_chunked_parity": q_knn_chunked_parity,
-    "embedding_stats": q_embedding_stats,
-    "ivf_knn": q_ivf_knn,
-    "pq_knn": q_pq_knn,
+    "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_recall_gate": q_ivf_recall_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "lsh_recall_gate": q_lsh_recall_gate,
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
     "kmeans_cluster_gate": q_kmeans_cluster_gate,
-    # -- dedup families -----------------------------------------------
-    "dedup_exact": q_dedup_exact,
-    "minhash_neardup_pairs": q_minhash_pairs,
     "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_precision_gate": q_minhash_precision_gate,
     "minhash_dedup_clustered": q_minhash_dedup_clustered,
-    "simhash_neardup_pairs": q_simhash_pairs,
     "simhash_exactness_gate": q_simhash_exactness_gate,
     "simhash_precision_gate": q_simhash_precision_gate,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
-    "text_jaccard_pairs": q_text_jaccard_pairs,
     "text_jaccard_capped": q_text_jaccard_capped,
     "text_jaccard_autocap": q_text_jaccard_autocap,
-    # -- text analysis / quality / cleaning ---------------------------
-    "text_stats": q_text_stats,
-    "lang_detect": q_lang_detect,
+    "dedup_components": q_dedup_components,
     "doc_repetition": q_doc_repetition,
     "ngram_contamination": q_ngram_contamination,
     "repeated_spans": q_repeated_spans,
@@ -2646,33 +2638,51 @@ QUERIES: dict[str, QueryFn] = {
     "quality_classifier": q_quality_classifier,
     "curation_pipeline": q_curation_pipeline,
     "pii_redact": q_pii_redact,
-    "chunk_documents": q_chunk_documents,
+    "part_string_stats": q_part_string_stats,
     "embed_docs_384": q_embed_docs_384,
-    "rag_pipeline": q_rag_pipeline,
     "rag_pack_gate": q_rag_pack_gate,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "multimodal_features": q_multimodal_features,
-    # -- sampling / export / ingest -----------------------------------
     "stratified_sample": q_stratified_sample,
     "export_shard_plan": q_export_shard_plan,
+    "packing_gate": q_packing_gate,
     "ingest_dedup_gate": q_ingest_dedup_gate,
     "streaming_dedup_gate": q_streaming_dedup_gate,
-    # -- relational / TPC-H analogs -----------------------------------
-    "customers_without_orders": q_customers_without_orders,
-    "orders_grouping_sets": q_orders_grouping_sets,
-    "approx_distinct_gate": q_approx_distinct_gate,
-    # -- temporal / windowing / fuzzy / streaming gate ----------------
-    "events_sessionize": q_events_sessionize,
-    "events_asof_purchase": q_events_asof,
-    "part_price_bands": q_part_price_bands,
+    "store_lifecycle_gate": q_store_lifecycle_gate,
+    "returned_item_revenue": q_returned_item_revenue,
+    "product_profit": q_product_profit,
+    "supplier_top_parts": q_supplier_top_parts,
+    "customer_segment_stats": q_customer_segment_stats,
+    "lineitem_percentile_cont": q_lineitem_percentile_cont,
+    "lineitem_conditional": q_lineitem_conditional,
+    "orders_monthly_growth": q_orders_monthly_growth,
+    "events_unpivot": q_events_unpivot,
+    "salted_join_parity": q_salted_join_parity,
+    "part_fuzzy_pairs": q_part_fuzzy_pairs,
     "part_fuzzy_lsh_gate": q_part_fuzzy_lsh_gate,
     "streaming_hourly_gate": q_streaming_hourly_gate,
     # ================= driver window boundary (50) ===================
-    # r5 rotation: the eight entries below were driver-green r1-r4 and
-    # are stable TPC-H/temporal analogs; they moved past the window to
-    # make room for the r4/r5 headline features above (the sweep and
-    # judge re-runs still oracle-check them every round).
+    # long-stable entries below keep their r1-r5 driver-green history;
+    # the sweep + judge re-runs cover them every round
+    "knn_cosine_topk": q_knn_cosine,
+    "embedding_stats": q_embedding_stats,
+    "ivf_knn": q_ivf_knn,
+    "pq_knn": q_pq_knn,
+    "dedup_exact": q_dedup_exact,
+    "minhash_neardup_pairs": q_minhash_pairs,
+    "simhash_neardup_pairs": q_simhash_pairs,
+    "text_jaccard_pairs": q_text_jaccard_pairs,
+    "text_stats": q_text_stats,
+    "lang_detect": q_lang_detect,
+    "chunk_documents": q_chunk_documents,
+    "rag_pipeline": q_rag_pipeline,
+    "customers_without_orders": q_customers_without_orders,
+    "orders_grouping_sets": q_orders_grouping_sets,
+    "approx_distinct_gate": q_approx_distinct_gate,
+    "events_sessionize": q_events_sessionize,
+    "events_asof_purchase": q_events_asof,
+    "part_price_bands": q_part_price_bands,
     "approx_quantile_gate": q_approx_quantile_gate,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2684,14 +2694,11 @@ QUERIES: dict[str, QueryFn] = {
     "events_view_purchase": q_events_view_purchase,
     "sales_opportunity": q_sales_opportunity,
     "nation_volume": q_nation_volume,
-    "returned_item_revenue": q_returned_item_revenue,
-    "product_profit": q_product_profit,
     "small_qty_revenue": q_small_qty_revenue,
     "discounted_revenue": q_discounted_revenue,
     "knn_euclidean_topk": q_knn_euclidean,
     "knn_dot_topk": q_knn_dot,
     "knn_scored_conversions": q_knn_scored,
-    "lineitem_percentile_cont": q_lineitem_percentile_cont,
     "region_revenue": q_region_revenue,
     "orders_rollup": q_orders_rollup,
     "orders_cube": q_orders_cube,
@@ -2715,18 +2722,6 @@ QUERIES: dict[str, QueryFn] = {
     "boilerplate_removal": q_boilerplate_removal,
     "embedding_neardup": q_embedding_neardup,
     "customer_order_distribution": q_customer_order_distribution,
-    "events_unpivot": q_events_unpivot,
-    "lineitem_conditional": q_lineitem_conditional,
-    "orders_monthly_growth": q_orders_monthly_growth,
-    "customer_segment_stats": q_customer_segment_stats,
-    "part_string_stats": q_part_string_stats,
-    "supplier_top_parts": q_supplier_top_parts,
-    "dedup_components": q_dedup_components,
-    "packing_gate": q_packing_gate,
-    "store_lifecycle_gate": q_store_lifecycle_gate,
-    "salted_join_parity": q_salted_join_parity,
-    "streaming_knn_gate": q_streaming_knn_gate,
-    "part_fuzzy_pairs": q_part_fuzzy_pairs,
 }
 
 _JACCARD_SHINGLES_BODY = """
