@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "minhash_neardup_pairs",
     "text_jaccard_pairs",
     "text_jaccard_capped",
+    "text_jaccard_autocap",
     "curation_pipeline",
     "chunk_documents",
     "embed_docs_384",

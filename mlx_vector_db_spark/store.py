@@ -1644,6 +1644,15 @@ class VectorStore:
             keep = df_t.join(
                 doomed_df.select("id").distinct(), on="id", how="left_anti"
             ).observe(obs_a, F.count(F.lit(1)).alias("n"))
+            # diagnostics: the survivor plan, inspectable post-call (the
+            # distributed-delete contract is an anti-JOIN — no collected
+            # id list, no isin literal, ever)
+            try:
+                self._last_delete_plan = (
+                    keep._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:  # pragma: no cover — connect/API drift
+                self._last_delete_plan = None
             staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
             writer = keep.select(*fields).write.mode("overwrite")
             if self._cell_partitioned():

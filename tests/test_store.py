@@ -677,6 +677,14 @@ def test_delete_vectors_doomed_df(catalog, spark):
     removed = st.delete_vectors(doomed_df=doomed)
     assert removed == 10
     assert st.count() == 90
+    # the survivor plan is a distributed anti-JOIN, never an isin literal
+    # (an id-list delete plans as `id IN (...)` / InSet — neither may
+    # appear here)
+    import re as _re
+
+    plan = st._last_delete_plan
+    assert plan and "Join" in plan
+    assert "InSet" not in plan and not _re.search(r"\bIN \(", plan)
     kept = {r["id"] for r in st.to_df().select("id").collect()}
     assert kept == set(range(100)) - set(range(10, 20))
     # the 50-99 file is outside [10, 19]: never rewritten
