@@ -518,25 +518,36 @@ def simhash_pairs(
     )
 
 
-#: "auto" shingle-cap rule: cap = max(MIN, ceil(n_docs / DIVISOR)) — the
-#: cap tracks the largest plausible duplicate-cluster size as a fixed
-#: FRACTION of the corpus (0.5%), floored for tiny corpora. A constant
-#: cap cannot work across scales (SCALE.md: cap=4 zeroed sf1 recall on a
-#: small-vocabulary corpus because every shingle's DF grows with corpus
-#: size); a proportional cap keeps real dup clusters joinable at any
-#: scale while still excluding boilerplate shared by >0.5% of all
-#: documents. Integer ceil-division keeps the rule exactly mirrorable in
-#: a relational oracle (no float rounding at the boundary).
+#: "auto" shingle-cap rule: cap = min(MAX, max(MIN, ceil(n_docs /
+#: DIVISOR))) — the cap tracks the largest plausible duplicate-cluster
+#: size as a fixed FRACTION of the corpus (0.5%), floored for tiny
+#: corpora and CEILED at 1024. A constant cap cannot work across scales
+#: (SCALE.md: cap=4 zeroed sf1 recall on a small-vocabulary corpus
+#: because every shingle's DF grows with corpus size); a proportional
+#: cap keeps real dup clusters joinable at any scale while still
+#: excluding boilerplate shared by >0.5% of all documents. The absolute
+#: ceiling hard-bounds per-shingle join fan-out at 1024² ≈ 1M rows no
+#: matter the corpus size — a dup "cluster" above a thousand documents
+#: is boilerplate by any operational definition, and without the
+#: ceiling an adversarial corpus whose every shingle's DF grows with
+#: the corpus (the synthetic bench corpus is exactly this) drives the
+#: join superlinear (measured: heap exhaustion at sf10). Integer
+#: arithmetic keeps the rule exactly mirrorable in a relational oracle
+#: (no float rounding at the boundary).
 JACCARD_AUTOCAP_MIN = 4
+JACCARD_AUTOCAP_MAX = 1024
 JACCARD_AUTOCAP_DIVISOR = 200
 
 
 def jaccard_autocap(n_docs: int) -> int:
     """The "auto" ``max_shingle_freq`` for an ``n_docs``-document corpus:
-    ``max(4, ceil(n_docs / 200))``."""
-    return max(
-        JACCARD_AUTOCAP_MIN,
-        -(-int(n_docs) // JACCARD_AUTOCAP_DIVISOR),
+    ``min(1024, max(4, ceil(n_docs / 200)))``."""
+    return min(
+        JACCARD_AUTOCAP_MAX,
+        max(
+            JACCARD_AUTOCAP_MIN,
+            -(-int(n_docs) // JACCARD_AUTOCAP_DIVISOR),
+        ),
     )
 
 

@@ -3669,7 +3669,8 @@ FROM walk WHERE is_kept
         + _JACCARD_SHINGLES_BODY.replace("), s AS (", "), s AS MATERIALIZED (")
         + """
         , cap AS (
-          SELECT greatest(4, (count(*) + 199) // 200) AS c FROM documents
+          SELECT least(1024, greatest(4, (count(*) + 199) // 200)) AS c
+          FROM documents
         ), jg AS (
           SELECT doc_id, unnest(sh) AS tok FROM s
         ), jf AS (

@@ -400,8 +400,9 @@ def test_jaccard_cap_bounds_boilerplate_wall_time(spark):
 
 
 def test_jaccard_autocap_rule():
-    """The self-calibrating cap is max(4, ceil(n/200)) — integral, so
-    the DuckDB oracle's (count(*)+199)//200 derivation is bit-identical."""
+    """The self-calibrating cap is min(1024, max(4, ceil(n/200))) —
+    integral, so the DuckDB oracle's least/greatest//-derivation is
+    bit-identical."""
     from mlx_vector_db_spark.operators.dedup import jaccard_autocap
 
     assert jaccard_autocap(0) == 4
@@ -410,7 +411,10 @@ def test_jaccard_autocap_rule():
     assert jaccard_autocap(801) == 5
     assert jaccard_autocap(5_000) == 25    # sf0.1
     assert jaccard_autocap(50_000) == 250  # sf1
-    assert jaccard_autocap(5_000_000) == 25_000
+    # absolute ceiling: per-shingle join fan-out is hard-bounded at
+    # 1024^2 rows however large the corpus
+    assert jaccard_autocap(500_000) == 1024
+    assert jaccard_autocap(5_000_000) == 1024
 
 
 def test_jaccard_pairs_auto_cap_matches_explicit(spark):
