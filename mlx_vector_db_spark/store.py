@@ -147,9 +147,13 @@ class VectorStoreCatalog:
         return self._meta_dir / f"{user_id}__{model_id}.json"
 
     def _save_config(self, cfg: StoreConfig) -> None:
-        self._config_path(cfg.user_id, cfg.model_id).write_text(
-            json.dumps(asdict(cfg), indent=2)
-        )
+        """Atomic config update: full JSON to a temp file, one
+        ``os.replace`` — a crash mid-update leaves the previous config
+        readable, never a torn JSON that bricks the store."""
+        path = self._config_path(cfg.user_id, cfg.model_id)
+        tmp = path.parent / f".{path.name}.tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(asdict(cfg), indent=2))
+        os.replace(tmp, path)
 
     def create_store(
         self,
@@ -175,7 +179,23 @@ class VectorStoreCatalog:
             created_at=time.time(),
             quantize=quantize,
         )
-        path.write_text(json.dumps(asdict(cfg), indent=2))
+        # atomic + exclusive create: the full JSON lands in a temp file,
+        # then hard-links into place — link() fails with FileExistsError
+        # if a concurrent creator won the race (no torn half-written
+        # config can ever be observed, and two racing create_store calls
+        # serialize exactly like the exists() check promises)
+        tmp = path.parent / f".{path.name}.tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(asdict(cfg), indent=2))
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            if not exist_ok:
+                raise FileExistsError(
+                    f"store ({user_id}, {model_id}) already exists"
+                ) from None
+            return self.get_store(user_id, model_id)
+        finally:
+            tmp.unlink(missing_ok=True)
         return VectorStore(self, cfg)
 
     def vacuum(self, min_age_seconds: int = 3600) -> int:
@@ -195,6 +215,14 @@ class VectorStoreCatalog:
         plain-parquet analog of ``VACUUM`` on a table format."""
         now = time.time()
         n = 0
+        # temp config files stranded by a crashed atomic create/update
+        for p in self._meta_dir.glob(".*.tmp-*"):
+            try:
+                if now - p.stat().st_mtime > min_age_seconds:
+                    p.unlink()
+                    n += 1
+            except OSError:
+                continue
         for p in self.root.glob("**/.staging-*"):
             try:
                 if p.is_dir() and now - p.stat().st_mtime > min_age_seconds:

@@ -820,3 +820,58 @@ def test_conflicting_rewrite_raises(catalog):
     (staging / "part-xyz.parquet").write_bytes(b"")
     with pytest.raises(ConcurrentWriteError):
         st._swap_pruned_files(staging, victim)
+
+
+def test_config_update_crash_keeps_previous(catalog, monkeypatch):
+    """A crash mid config-update must leave the PREVIOUS config intact
+    (pre-r6 write_text could strand a torn JSON that bricks the store)."""
+    import json as _json
+
+    import mlx_vector_db_spark.store as S
+
+    st = catalog.create_store("cfg1", "m", dimension=4)
+    real_replace = S.os.replace
+
+    def boom(src, dst):
+        if str(dst).endswith(".json"):
+            raise OSError("simulated crash at config replace")
+        return real_replace(src, dst)
+
+    with monkeypatch.context() as m:
+        m.setattr(S.os, "replace", boom)
+        with pytest.raises(OSError):
+            catalog._save_config(st.config)
+    # previous config still parses; store still loadable
+    cfg = _json.loads(catalog._config_path("cfg1", "m").read_text())
+    assert cfg["dimension"] == 4
+    assert catalog.get_store("cfg1", "m").config.dimension == 4
+
+
+def test_create_store_race_is_exclusive(catalog, monkeypatch):
+    """Two creators racing past the exists() fast path: the link() is
+    the atomic arbiter — the loser raises (or returns the winner's
+    store under exist_ok) and never clobbers the winner's config."""
+    import mlx_vector_db_spark.store as S
+
+    real_exists = S.Path.exists
+    state = {"armed": True}
+
+    def fake_exists(self):
+        # writer A consults the fast path, sees "no store", but B lands
+        # one before A's link
+        if state["armed"] and str(self).endswith("race1__m.json"):
+            state["armed"] = False
+            real_write = catalog._config_path("race1", "m")
+            real_write.write_text('{"user_id": "race1", "model_id": "m", "dimension": 8, "metric": "cosine", "promoted_keys": {}, "created_at": 0.0, "index": null, "quantize": false, "pq": null}')
+            return False
+        return real_exists(self)
+
+    with monkeypatch.context() as m:
+        m.setattr(S.Path, "exists", fake_exists)
+        with pytest.raises(FileExistsError):
+            catalog.create_store("race1", "m", dimension=4)
+    # the winner's config survived (dimension 8, not 4)
+    assert catalog.get_store("race1", "m").config.dimension == 8
+    # and exist_ok resolves to the winner instead of raising
+    st = catalog.create_store("race1", "m", dimension=4, exist_ok=True)
+    assert st.config.dimension == 8
