@@ -43,6 +43,7 @@ __all__ = [
     "lsh_bucket_expr",
     "add_lsh_buckets",
     "lsh_probe_buckets",
+    "tune_nprobe",
 ]
 
 
@@ -412,3 +413,86 @@ def lsh_probe_buckets(
         for i in closest[: int(multiprobe)]:
             out.append(base ^ (1 << int(i)))
     return out
+
+
+def tune_nprobe(
+    indexed: DataFrame,
+    index: "_CellIndex",
+    queries: DataFrame,
+    k: int = 10,
+    target_recall: float = 0.9,
+    metric: str = "cosine",
+    candidates: Sequence[int] | None = None,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    **knn_kwargs,
+) -> tuple[int, dict[int, float]]:
+    """Pick the smallest ``nprobe`` whose measured recall@k on a sampled
+    query set meets ``target_recall`` — the accuracy/latency knob made
+    self-calibrating (the reference exposes its HNSW ``ef`` knobs and
+    sweeps them by hand in tests/performance_demo_hnsw.py:96; this is
+    that sweep as a first-class operator).
+
+    One EXACT kNN pass over the sampled queries supplies the ground
+    truth (checkpointed — it amortizes across every candidate), then one
+    probe-pruned search per candidate, ascending, stopping at the first
+    candidate that clears the target. Default candidate ladder: powers
+    of two up to ``index.nlist``. Returns ``(nprobe, recall_curve)`` —
+    the curve maps every TRIED candidate to its measured recall, so
+    callers can log the whole trade-off; if no candidate reaches the
+    target the full-probe ``nlist`` is returned (full probe equals the
+    exact scan on a partition-complete index).
+
+    Sample the queries: recall estimation needs tens of queries, not the
+    corpus — cost is one exact batch kNN over the sample plus a few
+    pruned searches. On a clustered corpus the chosen nprobe lands far
+    below nlist; on a structureless one it honestly climbs toward full
+    probe (recall ≈ probed fraction there — see SCALE.md "Recall on
+    structureless data").
+    """
+    from mlx_vector_db_spark.operators.knn import knn_join
+
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    nlist = int(index.nlist)
+    if candidates is None:
+        ladder: list[int] = []
+        c = 1
+        while c < nlist:
+            ladder.append(c)
+            c *= 2
+        ladder.append(nlist)
+    else:
+        ladder = sorted({max(1, min(int(c), nlist)) for c in candidates})
+    id_col = knn_kwargs.get("id_col", "id")
+    exact = (
+        knn_join(
+            indexed,
+            queries,
+            k=k,
+            metric=metric,
+            query_vec_col=query_vec_col,
+            query_id_col=query_id_col,
+            **knn_kwargs,
+        )
+        .select(F.col(query_id_col).alias("query_id"), F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    n_truth = exact.count()
+    if n_truth == 0:
+        raise ValueError("empty query sample — nothing to tune on")
+    curve: dict[int, float] = {}
+    chosen = nlist
+    for c in ladder:
+        approx = index.search_batch(
+            indexed, queries, k=k, nprobe=c, metric=metric,
+            query_vec_col=query_vec_col, query_id_col=query_id_col,
+            **knn_kwargs,
+        ).select("query_id", id_col)
+        hits = approx.join(exact, on=["query_id", id_col]).count()
+        recall = hits / n_truth
+        curve[c] = recall
+        if recall >= target_recall:
+            chosen = c
+            break
+    return chosen, curve

@@ -1205,6 +1205,45 @@ class VectorStore:
 
     # -- index (reference X1-X3, rebuilt as index-as-columns) --------------
 
+    def tune_nprobe(
+        self,
+        k: int = 10,
+        target_recall: float = 0.9,
+        sample_queries: int = 64,
+        candidates: Sequence[int] | None = None,
+    ) -> tuple[int, dict[int, float]]:
+        """Self-calibrate the index's accuracy/latency knob: measure
+        recall@k of probe-pruned search against the exact scan on a
+        deterministic sample of the store's own vectors (the first
+        ``sample_queries`` ids — self-retrieval ground truth, the
+        reference's accuracy-harness shape), and return the smallest
+        ``nprobe`` meeting ``target_recall`` plus the measured recall
+        curve. Cost: one exact batch kNN over the sample + one pruned
+        search per tried candidate. Requires a built index."""
+        from mlx_vector_db_spark.operators.ann import tune_nprobe
+
+        index = self._ivf()
+        if index is None:
+            raise ValueError(
+                "tune_nprobe requires an index — run build_index() first"
+            )
+        df = self.to_df()
+        queries = (
+            df.select(F.col("id").alias("query_id"), "embedding")
+            .orderBy("id")
+            .limit(int(sample_queries))
+        )
+        return tune_nprobe(
+            df,
+            index,
+            queries,
+            k=k,
+            target_recall=target_recall,
+            metric=self.config.metric,
+            candidates=candidates,
+            norm_col="norm",
+        )
+
     def build_index(
         self,
         nlist: int = 16,

@@ -140,3 +140,64 @@ def test_lsh_plane_count_validated(spark, vectors):
             {"type": "lsh", "vec_col": "embedding",
              "planes": np.zeros((31, DIM)).tolist()}
         )
+
+
+def test_tune_nprobe_clustered_picks_small(spark, ivf, vectors):
+    """On a clustered corpus the tuner must settle far below full probe,
+    and every reported curve point must be a real measured recall."""
+    from mlx_vector_db_spark.operators.ann import tune_nprobe
+
+    indexed, index = ivf
+    queries = vectors.limit(30).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    nprobe, curve = tune_nprobe(
+        indexed, index, queries, k=K, target_recall=0.9
+    )
+    assert nprobe < index.nlist  # clustered: pruning genuinely works
+    assert curve[nprobe] >= 0.9
+    # ladder ascends and stops at the first passing candidate
+    tried = sorted(curve)
+    assert tried[-1] == nprobe
+    assert all(0.0 <= r <= 1.0 for r in curve.values())
+
+
+def test_tune_nprobe_full_probe_fallback(spark, ivf, vectors):
+    """An unreachable target returns full probe (== exact scan)."""
+    from mlx_vector_db_spark.operators.ann import tune_nprobe
+
+    indexed, index = ivf
+    queries = vectors.limit(10).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    nprobe, curve = tune_nprobe(
+        indexed, index, queries, k=K, target_recall=1.0,
+        candidates=[1, index.nlist],
+    )
+    # full probe recall is exactly 1.0 (partition-complete index)
+    assert curve.get(index.nlist) == 1.0 or nprobe == 1
+    with pytest.raises(ValueError, match="target_recall"):
+        tune_nprobe(indexed, index, queries, target_recall=0.0)
+
+
+def test_store_tune_nprobe(spark, tmp_path):
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    rng = np.random.default_rng(5)
+    centers = rng.random((8, 16)) * 4
+    assign = rng.integers(0, 8, 400)
+    vecs = (centers[assign] + 0.2 * rng.standard_normal((400, 16))).astype(
+        np.float32
+    )
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    st = cat.create_store("tn", "m", dimension=16)
+    st.add_vectors(vecs.tolist())
+    with pytest.raises(ValueError, match="build_index"):
+        st.tune_nprobe()
+    st.build_index(kind="ivf", nlist=8, seed=2)
+    nprobe, curve = st.tune_nprobe(k=5, target_recall=0.9, sample_queries=20)
+    assert 1 <= nprobe <= 8
+    assert curve[nprobe] >= 0.9
+    # the chosen setting actually delivers on a fresh query
+    res = st.query(vecs[3].tolist(), k=1, use_index=True, nprobe=nprobe)
+    assert res.first()["id"] == 3
