@@ -875,3 +875,35 @@ def test_create_store_race_is_exclusive(catalog, monkeypatch):
     # and exist_ok resolves to the winner instead of raising
     st = catalog.create_store("race1", "m", dimension=4, exist_ok=True)
     assert st.config.dimension == 8
+
+
+def test_append_during_optimize_composes(catalog, monkeypatch):
+    """An append that commits while optimize() is compacting must
+    survive: the CAS re-read folds the appended file into the new
+    manifest (pre-r6, optimize's swap clobbered it)."""
+    from mlx_vector_db_spark.store import _UNCHECKED, VectorStore
+
+    st = catalog.create_store("cc4", "m", dimension=4)
+    st.add_vectors([[1.0, 0.0, 0.0, 0.0]] * 10, ids=list(range(10)))
+    st.add_vectors([[2.0, 0.0, 0.0, 0.0]] * 10, ids=list(range(10, 20)))
+    st2 = catalog.get_store("cc4", "m")
+
+    orig = VectorStore._commit_manifest
+    state = {"fired": False}
+
+    def inject(self, files, expected_parent=_UNCHECKED):
+        if self is not st2 and not state["fired"]:
+            state["fired"] = True
+            st2.add_vectors([[3.0, 0.0, 0.0, 0.0]] * 5,
+                            ids=list(range(100, 105)))
+        return orig(self, files, expected_parent=expected_parent)
+
+    monkeypatch.setattr(VectorStore, "_commit_manifest", inject)
+    st.optimize(target_files=1)
+    monkeypatch.undo()
+
+    assert state["fired"]
+    st3 = catalog.get_store("cc4", "m")
+    ids = {r["id"] for r in st3.to_df().select("id").collect()}
+    assert ids == set(range(20)) | set(range(100, 105))
+    assert st3.count() == 25
