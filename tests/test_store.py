@@ -907,3 +907,49 @@ def test_append_during_optimize_composes(catalog, monkeypatch):
     ids = {r["id"] for r in st3.to_df().select("id").collect()}
     assert ids == set(range(20)) | set(range(100, 105))
     assert st3.count() == 25
+
+
+def _hold_commit_lock(path: str, sentinel: str, hold_s: float) -> None:
+    """Child-process helper for the cross-process lock test: acquire the
+    commit flock, signal via sentinel file, hold, release."""
+    import fcntl
+    import os as _os
+    import time as _time
+
+    fd = _os.open(path, _os.O_CREAT | _os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    open(sentinel, "w").write("held")
+    _time.sleep(hold_s)
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    _os.close(fd)
+
+
+def test_commit_lock_serializes_across_processes(catalog, tmp_path):
+    """The commit lock is a REAL cross-process flock, not an in-process
+    convention: a child process holding it blocks this process's
+    pointer flip until release."""
+    import multiprocessing as mp
+    import time as _time
+
+    st = catalog.create_store("xp1", "m", dimension=4)
+    st.add_vectors([[1.0, 0.0, 0.0, 0.0]] * 3, ids=[0, 1, 2])
+    lock_path = str(st._manifest_dir / "LOCK")
+    sentinel = str(tmp_path / "lock-held")
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(
+        target=_hold_commit_lock, args=(lock_path, sentinel, 1.5)
+    )
+    p.start()
+    try:
+        deadline = _time.time() + 30
+        while not __import__("os").path.exists(sentinel):
+            if _time.time() > deadline:
+                raise AssertionError("child never acquired the lock")
+            _time.sleep(0.05)
+        t0 = _time.time()
+        st._commit_manifest(st._data_files())  # blocks until child releases
+        waited = _time.time() - t0
+    finally:
+        p.join()
+    assert waited >= 1.0, f"commit did not wait for the lock ({waited:.2f}s)"
+    assert st.count() == 3  # commit landed fine after the wait
