@@ -184,8 +184,9 @@ class VectorStoreCatalog:
         # if a concurrent creator won the race (no torn half-written
         # config can ever be observed, and two racing create_store calls
         # serialize exactly like the exists() check promises)
+        payload = json.dumps(asdict(cfg), indent=2)
         tmp = path.parent / f".{path.name}.tmp-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps(asdict(cfg), indent=2))
+        tmp.write_text(payload)
         try:
             os.link(tmp, path)
         except FileExistsError:
@@ -194,6 +195,19 @@ class VectorStoreCatalog:
                     f"store ({user_id}, {model_id}) already exists"
                 ) from None
             return self.get_store(user_id, model_id)
+        except OSError:
+            # filesystem without hard links: exclusive create is still
+            # race-safe, only the torn-write window reopens (tiny JSON)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if not exist_ok:
+                    raise FileExistsError(
+                        f"store ({user_id}, {model_id}) already exists"
+                    ) from None
+                return self.get_store(user_id, model_id)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
         finally:
             tmp.unlink(missing_ok=True)
         return VectorStore(self, cfg)
