@@ -16,8 +16,11 @@ Scaling rules per table (replicas r = 0..R-1, replica 0 = original):
   injected after every 4th word. This keeps per-doc length/shape while
   destroying >= 3/4 of each doc's 3-gram shingles w.r.t. its twin, so
   replication does NOT create an artificial wall of cross-replica
-  near-duplicates (token sets are doc+replica unique, so candidate
-  structure stays proportionate, not quadratic in R).
+  near-duplicates (the token is the replica's OUTPUT doc_id — unique
+  across chained scalings too, so candidate structure stays
+  proportionate, not quadratic in R; see the inline comment for the
+  chained-collision failure mode the previous (r, source-id) token
+  keying had).
 - embeddings: replica 0 verbatim; replicas get FRESH unit-norm Gaussian
   vectors (the source table is uniform-on-sphere — coord std 1/sqrt(d))
   with the original label column replicated — same distribution, no
@@ -114,12 +117,22 @@ def main(src: str, dst: str, factor: int) -> None:
                  -- replica 0 keeps the ORIGINAL text column byte-for-byte
                  -- (so fingerprints/chunk boundaries line up with the
                  -- source directory); only r > 0 replicas are rebuilt
-                 -- with doc-unique perturbation tokens
+                 -- with doc-unique perturbation tokens. The token is
+                 -- keyed on the OUTPUT doc_id (globally unique in the
+                 -- scaled corpus), not (r, source doc_id): a chained
+                 -- scaling (sf1 -> sf10 -> sf100) re-replicates docs
+                 -- whose text already carries first-pass tokens, and a
+                 -- (r, source-id)-keyed token collides between pass-2
+                 -- replica r of a pass-1 replica-0 doc and pass-1
+                 -- replica r of the same doc — producing byte-identical
+                 -- "replicas" (measured: 540k jaccard-1.0 phantom pairs
+                 -- in a chained 5M-doc corpus). Output-id keying makes
+                 -- every replica's token set unique under any chain.
                  CASE WHEN r = 0 THEN text
                  ELSE array_to_string(
                    flatten(list_transform(range(1, len(words) + 1),
                      i -> CASE WHEN i > 1 AND (i - 1) % 4 = 0
-                          THEN ['zq' || r || 'x' || doc_id, words[i]]
+                          THEN ['zq' || (w.doc_id + r * {stride['d']}), words[i]]
                           ELSE [words[i]] END)), ' ')
                  END AS text,
                  lang, source
