@@ -38,6 +38,7 @@ __all__ = [
     "hashed_word_ngrams",
     "ngrams_from_word_hashes",
     "winnow_fingerprints",
+    "winnow_crossdoc_pairs",
     "unigram_lm_scores",
     "hashed_feature_buckets",
     "hashed_linear_score",
@@ -362,6 +363,82 @@ def winnow_fingerprints(
     )
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
+    )
+
+
+def winnow_crossdoc_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int | str | None = "auto",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document shared-span pair mining on winnowing fingerprints
+    (the MOSS match step, Schleimer et al. SIGMOD'03 §4): equi-join the
+    per-doc fingerprint sets of :func:`winnow_fingerprints` on the
+    fingerprint value and count, per unordered doc pair, how many
+    fingerprints they share. By the winnowing guarantee, a pair sharing
+    any verbatim run of ``w + k - 1`` words surfaces with
+    ``n_shared >= 1`` — this finds CONTAINMENT (a paragraph lifted into
+    an otherwise-different document) that whole-doc resemblance
+    sketches (MinHash/SimHash) and exact-dup hashing both miss.
+
+    Returns ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b`` and
+    ``n_shared >= min_shared`` (raising ``min_shared`` trades recall on
+    short overlaps for precision against chance hash collisions).
+
+    Scale (100 TB): the only shuffles are keyed by fingerprint (the
+    self-join) and by the pair — never by the corpus. The quadratic
+    failure mode is a HOT fingerprint (license boilerplate present in f
+    docs contributes f² join rows); ``max_fp_docs`` drops fingerprints
+    whose document frequency exceeds the cap *before* the self-join via
+    a broadcast anti-join against the aggregated hot list — the same
+    bounded-fan-out contract as ``max_shingle_freq`` on
+    :func:`~mlx_vector_db_spark.operators.dedup.jaccard_pairs` (capped
+    output is a subset of uncapped; ``n_shared`` for a surviving pair
+    is an under-count of its true overlap, never an over-count).
+    ``"auto"`` derives the cap from the corpus size with the same
+    ``min(1024, max(4, ceil(n/200)))`` rule (one extra ``count()``).
+
+    Precondition: ``id_col`` unique (it is the document key) —
+    fingerprints are distinct per doc, so the pair count equals the
+    shared-set size only when each doc appears once.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    if isinstance(max_fp_docs, str):
+        if max_fp_docs != "auto":
+            raise ValueError(
+                f"max_fp_docs must be an int, None, or 'auto' "
+                f"(got {max_fp_docs!r})"
+            )
+        from mlx_vector_db_spark.operators.dedup import jaccard_autocap
+
+        max_fp_docs = jaccard_autocap(df.count())
+    # fingerprints feed the hot-list aggregate AND both join sides —
+    # truncate lineage so the md5/window-min transform runs once
+    fps = fps.localCheckpoint(eager=False)
+    if max_fp_docs is not None:
+        hot = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > F.lit(int(max_fp_docs)))
+            .select("fingerprint")
+            # tiny by contract; materialize once for both join sides
+            .localCheckpoint(eager=False)
+        )
+        fps = fps.join(hot, on="fingerprint", how="left_anti")
+    a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, on="fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
     )
 
 

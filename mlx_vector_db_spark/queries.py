@@ -1676,6 +1676,22 @@ def q_doc_winnow_fp(spark, sf_dir):
     return winnow_fingerprints(docs, k=4, w=4)
 
 
+def q_winnow_crossdoc_pairs(spark, sf_dir):
+    """MOSS-style cross-document shared-span pairs: join the winnowing
+    fingerprint sets across documents, count shared fingerprints per
+    pair — finds paragraph-level CONTAINMENT that whole-doc MinHash /
+    SimHash resemblance misses. Runs the self-calibrating "auto"
+    hot-fingerprint cap end-to-end (the oracle recomputes the same
+    min(1024, max(4, ceil(n/200))) rule from the corpus), so the scale
+    tier itself is what the value gate pins."""
+    from mlx_vector_db_spark.operators.quality import winnow_crossdoc_pairs
+
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return winnow_crossdoc_pairs(docs, k=4, w=4, min_shared=2, max_fp_docs="auto")
+
+
 def q_repeated_spans(spark, sf_dir):
     """Cross-document duplicate-span mining: 6-grams appearing in >= 2
     distinct documents, with doc/occurrence counts (the dedup-spans
@@ -2634,6 +2650,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_contamination": q_ngram_contamination,
     "repeated_spans": q_repeated_spans,
     "doc_winnow_fp": q_doc_winnow_fp,
+    "winnow_crossdoc_pairs": q_winnow_crossdoc_pairs,
     "doc_perplexity": q_doc_perplexity,
     "quality_classifier": q_quality_classifier,
     "curation_pipeline": q_curation_pipeline,
@@ -3327,6 +3344,50 @@ FROM walk WHERE is_kept
           FROM h
         )
         SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM m
+    """,
+    "winnow_crossdoc_pairs": r"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 4 THEN
+                   list_transform(range(1, len(ws) - 2), i ->
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+                 ELSE [] END AS grams
+          FROM w
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(grams, g ->
+                   ('0x' || substring(md5(g), 1, 8))::BIGINT) AS hs
+          FROM g
+        ), m AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                      WHEN len(hs) < 4 THEN [list_min(hs)]
+                      ELSE list_transform(range(1, len(hs) - 2), i ->
+                             list_min(list_slice(hs, i, i + 3)))
+                 END AS fps
+          FROM h
+        ), fp AS (
+          SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM m
+        ), cap AS (
+          SELECT least(1024, greatest(4,
+                   CAST(ceil(count(*) / 200.0) AS BIGINT))) AS c
+          FROM documents
+        ), hot AS (
+          SELECT fingerprint FROM fp
+          GROUP BY fingerprint HAVING count(*) > (SELECT c FROM cap)
+        ), kept AS (
+          SELECT fp.doc_id, fp.fingerprint FROM fp
+          ANTI JOIN hot ON fp.fingerprint = hot.fingerprint
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS n_shared
+        FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint
+                                AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
     """,
     "repeated_spans": """
         WITH w AS (

@@ -12,6 +12,7 @@ from mlx_vector_db_spark.operators.quality import (
     hashed_linear_score,
     ngram_contamination,
     repetition_signals,
+    winnow_crossdoc_pairs,
     winnow_fingerprints,
     word_ngrams,
 )
@@ -124,6 +125,62 @@ def test_winnowing_rejects_bad_params(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, w=0)
+
+
+def test_winnow_crossdoc_finds_containment(spark):
+    # A lifted paragraph inside otherwise-unrelated documents: the
+    # whole-doc resemblance is tiny (MinHash territory would miss it at
+    # any usual threshold) but the pair must surface via shared
+    # fingerprints of the verbatim run.
+    lifted = " ".join(f"quote{i}" for i in range(20))
+    df = _docs(
+        spark,
+        [
+            (1, "intro words here " + lifted + " closing remarks one"),
+            (2, "totally separate opening " + lifted + " other ending text"),
+            (3, "no overlap with anything " + " ".join(f"x{i}" for i in range(20))),
+        ],
+    )
+    rows = winnow_crossdoc_pairs(df, k=4, w=4, min_shared=1, max_fp_docs=None).collect()
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_crossdoc_cap_is_subset_and_undercounts(spark):
+    # A hot span shared by ALL docs is dropped by the cap; a pair that
+    # also shares a rare span survives with an under-counted n_shared,
+    # and capped output is a subset of uncapped output.
+    hot = " ".join(f"boiler{i}" for i in range(10))
+    rare = " ".join(f"rare{i}" for i in range(10))
+    rows = [(i, f"{hot} filler{i} mid{i} words{i}") for i in range(1, 7)]
+    rows += [(7, f"{hot} {rare} tail seven words"), (8, f"{hot} {rare} other eight end")]
+    df = _docs(spark, rows)
+    uncapped = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_crossdoc_pairs(
+            df, k=4, w=4, min_shared=1, max_fp_docs=None
+        ).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_crossdoc_pairs(
+            df, k=4, w=4, min_shared=1, max_fp_docs=4
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert (7, 8) in capped
+    assert capped[(7, 8)] <= uncapped[(7, 8)]
+    # the hot-span-only pairs are gone under the cap
+    assert (1, 2) in uncapped and (1, 2) not in capped
+
+
+def test_winnow_crossdoc_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        winnow_crossdoc_pairs(df, min_shared=0)
+    with pytest.raises(ValueError):
+        winnow_crossdoc_pairs(df, max_fp_docs="bogus")
 
 
 def _py_buckets(text, n_buckets, ngram_max):
