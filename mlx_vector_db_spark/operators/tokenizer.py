@@ -1,0 +1,151 @@
+"""Tokenizer-training statistics at corpus scale.
+
+The reference stops at chunk/embed (integrations/mlx_lm_pipeline.py);
+a pretraining pipeline additionally needs the corpus-wide statistics
+that tokenizer TRAINING consumes — which at 100 TB are classic
+"aggregate the corpus down to its vocabulary first" jobs:
+
+- :func:`word_counts`: the corpus word-frequency table, the input to
+  every subword trainer (Sennrich et al. 2016 BPE; SentencePiece).
+- :func:`bpe_pair_counts`: adjacent symbol-pair frequencies WITHIN
+  words — the statistic one BPE merge round maximizes. Computed from
+  the distinct-word frequency table, never the raw corpus: pair count
+  = Σ over distinct words (word_freq × occurrences-in-word), so the
+  expensive explode runs over the vocabulary (sublinear in corpus
+  size, Heaps' law) while the corpus itself is touched by exactly one
+  map-side-combinable word count.
+- :func:`vocab_coverage`: per-document OOV rate against the corpus
+  top-N vocabulary — the coverage check run before freezing a vocab,
+  and a quality signal (high-OOV docs are boilerplate/noise/wrong
+  language).
+
+Scale design (100 TB): the only corpus-wide shuffle in this module is
+the word count (map-side combine makes shuffle volume
+distinct-words-per-partition, not tokens). Everything downstream —
+pair explode, top-N selection, the vocab side of the coverage join —
+operates on the vocabulary, which is broadcast-sized by construction
+(``vocab_size`` rows) for the coverage join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.text import tokens
+
+__all__ = ["word_counts", "bpe_pair_counts", "vocab_coverage"]
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table ``(word, n)`` over whitespace tokens.
+    One explode + one hash aggregation; the partial aggregate combines
+    map-side so the shuffle carries distinct-words-per-partition."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Adjacent character-pair frequencies within words, corpus-weighted
+    — the argmax of one byte-pair-encoding merge round (Sennrich et al.
+    2016, alg. 1) expressed relationally: count distinct words first,
+    then explode each VOCABULARY entry into its ``len(w)-1`` adjacent
+    pairs weighted by the word's corpus frequency.
+
+    Returns ``(lhs, rhs, n_pairs)`` with ``n_pairs >= min_count``,
+    where ``n_pairs`` counts every occurrence position (a pair appearing
+    twice in one word counts twice per word occurrence — BPE's counting
+    rule). Single-character words contribute nothing. (``lhs``/``rhs``
+    rather than left/right — those are reserved words in ANSI SQL and
+    the column names are part of the oracle contract.)
+
+    This is the first merge round only (character symbols); iterated
+    merges re-segment against grown symbols, which is a driver-side loop
+    over this same vocabulary-weighted aggregation — the corpus is never
+    re-scanned after the initial word count, which is what makes BPE
+    training feasible at 100 TB.
+    """
+    wc = word_counts(df, text_col)
+    # chars referenced by both zip_with sides — materialize the split
+    # once in its own projection (array exprs evaluate outside codegen
+    # CSE, the same trap winnow_fingerprints documents)
+    chars_df = wc.where(F.length("word") >= 2).select(
+        "n", F.split(F.col("word"), "").alias("_ch")
+    )
+    ch = F.col("_ch")
+    width = F.size(ch) - 1
+    pairs = F.zip_with(
+        F.slice(ch, 1, F.greatest(width, F.lit(0))),
+        F.slice(ch, 2, F.greatest(width, F.lit(0))),
+        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+    )
+    return (
+        chars_df.select(F.col("n"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("n").cast("long").alias("n_pairs"))
+        .where(F.col("n_pairs") >= F.lit(int(min_count)))
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-N
+    vocabulary: ``(id_col, n_tokens, n_oov, oov_rate)``.
+
+    The vocabulary is the ``vocab_size`` most frequent words with a
+    DETERMINISTIC tie-break (count desc, then word asc) so the result
+    is engine-portable. Empty documents report ``n_tokens = 0`` and a
+    NULL ``oov_rate``.
+
+    Scale: two passes over the corpus — the word count (one shuffle,
+    map-side combined) and the coverage join, where the vocab side is
+    ``vocab_size`` rows and broadcasts; per-doc token rows join against
+    it map-side, then re-aggregate on the document key. The rank over
+    the vocabulary runs on the aggregated (already vocabulary-sized)
+    table, and a single-partition window over ~|vocab| rows is fine
+    because Heaps' law keeps that table small relative to the corpus;
+    for a truly huge vocab table, pre-filter with an approximate
+    count threshold before ranking.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1 (got {vocab_size})")
+    wc = word_counts(df, text_col)
+    rank_w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    vocab = (
+        wc.withColumn("_rk", F.row_number().over(rank_w))
+        .where(F.col("_rk") <= F.lit(int(vocab_size)))
+        .select("word")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("word")
+    )
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))),
+            on="word",
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("word").cast("long").alias("n_tokens"),
+            (F.count("word") - F.count("_in_vocab")).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+            ),
+        )
+    )

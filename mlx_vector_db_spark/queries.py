@@ -1692,6 +1692,35 @@ def q_winnow_crossdoc_pairs(spark, sf_dir):
     return winnow_crossdoc_pairs(docs, k=4, w=4, min_shared=2, max_fp_docs="auto")
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """One BPE merge round's statistic: corpus-weighted adjacent
+    character-pair frequencies, computed from the distinct-word
+    frequency table so the expensive explode runs over the VOCABULARY
+    (Heaps-law-sublinear) while the corpus is touched by exactly one
+    map-side-combined word count."""
+    from mlx_vector_db_spark.operators.tokenizer import bpe_pair_counts
+
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "text")
+    return bpe_pair_counts(docs, min_count=2)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-document OOV rate against the corpus top-1000 vocabulary
+    (deterministic count-desc/word-asc tie-break): the coverage check
+    run before freezing a tokenizer vocab, and a quality signal —
+    high-OOV documents are noise or the wrong language. The vocab side
+    is 1000 rows by construction and broadcasts into the coverage
+    join."""
+    from mlx_vector_db_spark.operators.tokenizer import vocab_coverage
+
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return vocab_coverage(docs, vocab_size=1000)
+
+
 def q_repeated_spans(spark, sf_dir):
     """Cross-document duplicate-span mining: 6-grams appearing in >= 2
     distinct documents, with doc/occurrence counts (the dedup-spans
@@ -2651,6 +2680,8 @@ QUERIES: dict[str, QueryFn] = {
     "repeated_spans": q_repeated_spans,
     "doc_winnow_fp": q_doc_winnow_fp,
     "winnow_crossdoc_pairs": q_winnow_crossdoc_pairs,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "vocab_coverage": q_vocab_coverage,
     "doc_perplexity": q_doc_perplexity,
     "quality_classifier": q_quality_classifier,
     "curation_pipeline": q_curation_pipeline,
@@ -3388,6 +3419,49 @@ FROM walk WHERE is_kept
                                 AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) >= 2
+    """,
+    "bpe_pair_counts": r"""
+        WITH t AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE length(trim(text)) > 0
+        ), wc AS (
+          SELECT word, count(*)::BIGINT AS n FROM t GROUP BY word
+        ), e AS (
+          SELECT n,
+                 unnest(list_transform(range(1, length(word)), i ->
+                   struct_pack(lhs := word[i], rhs := word[i+1]))) AS p
+          FROM wc WHERE length(word) >= 2
+        )
+        SELECT p.lhs AS lhs, p.rhs AS rhs, sum(n)::BIGINT AS n_pairs
+        FROM e GROUP BY p.lhs, p.rhs
+        HAVING sum(n) >= 2
+    """,
+    "vocab_coverage": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE string_split_regex(trim(text), '\s+') END AS ws
+          FROM documents
+        ), t AS (
+          SELECT doc_id, unnest(ws) AS word FROM w
+        ), wc AS (
+          SELECT word, count(*)::BIGINT AS n FROM t GROUP BY word
+        ), v AS (
+          SELECT word FROM wc ORDER BY n DESC, word ASC LIMIT 1000
+        ), agg AS (
+          SELECT t.doc_id,
+                 count(*)::BIGINT AS n_tokens,
+                 (count(*) - count(v.word))::BIGINT AS n_oov
+          FROM t LEFT JOIN v ON t.word = v.word
+          GROUP BY t.doc_id
+        )
+        SELECT w.doc_id,
+               coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(agg.n_oov, 0)::BIGINT AS n_oov,
+               CASE WHEN coalesce(agg.n_tokens, 0) > 0
+                    THEN round(agg.n_oov / CAST(agg.n_tokens AS DOUBLE), 6)
+               END AS oov_rate
+        FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
     """,
     "repeated_spans": """
         WITH w AS (
