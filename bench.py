@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "ngram_contamination",
     "bm25_topk",
     "hybrid_rrf",
+    "winnow_crossdoc_pairs",
+    "bpe_pair_counts",
+    "vocab_coverage",
 ]
 
 
