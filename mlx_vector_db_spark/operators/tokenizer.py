@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import tokens
 
-__all__ = ["word_counts", "bpe_pair_counts", "vocab_coverage"]
+__all__ = ["word_counts", "bpe_pair_counts", "bpe_train", "vocab_coverage"]
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -91,6 +91,89 @@ def bpe_pair_counts(
         .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
         .agg(F.sum("n").cast("long").alias("n_pairs"))
         .where(F.col("n_pairs") >= F.lit(int(min_count)))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    max_vocab_rows: int = 5_000_000,
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, alg. 1)
+    over a corpus: returns the learned merge table ``(rank, lhs, rhs,
+    n_pairs)`` with ``rank`` starting at 1, each row the argmax
+    adjacent-pair at that round under a DETERMINISTIC tie-break (count
+    desc, then (lhs, rhs) asc) so the table is reproducible across
+    engines and cluster sizes. Training stops early when the best pair
+    falls below ``min_pair_count`` (merging hapax pairs memorizes
+    noise).
+
+    Scale contract (100 TB): the corpus is scanned exactly ONCE — the
+    distributed, map-side-combined :func:`word_counts` — and every
+    merge round then runs driver-side over the word-frequency table,
+    which is Heaps-law-sublinear in corpus size. This is the standard
+    industrial shape (subword trainers all reduce to the word-frequency
+    table first); the driver transfer is explicitly bounded by
+    ``max_vocab_rows`` KEEPING THE MOST FREQUENT words (count desc,
+    word asc — deterministic) and warning on truncation, the same
+    bounded-driver-transfer contract as the PQ/k-means training
+    samplers (operators/pq.py, operators/ann.py).
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1 (got {num_merges})")
+    if max_vocab_rows < 1:
+        raise ValueError(f"max_vocab_rows must be >= 1 (got {max_vocab_rows})")
+    spark = df.sparkSession
+    wc = (
+        word_counts(df, text_col)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(int(max_vocab_rows) + 1)
+        .collect()
+    )
+    if len(wc) > max_vocab_rows:
+        import warnings
+
+        warnings.warn(
+            f"bpe_train: vocabulary exceeds max_vocab_rows="
+            f"{max_vocab_rows}; training on the {max_vocab_rows} most "
+            f"frequent words (pair counts become lower bounds)",
+            stacklevel=2,
+        )
+        wc = wc[: int(max_vocab_rows)]
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in wc:
+        vocab[tuple(r.word)] = vocab.get(tuple(r.word), 0) + r.n
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(num_merges) + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + n
+        if not counts:
+            break
+        (lhs, rhs), best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best < min_pair_count:
+            break
+        merged = lhs + rhs
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+        merges.append((rank, lhs, rhs, best))
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, n_pairs long"
     )
 
 

@@ -1706,6 +1706,20 @@ def q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(docs, min_count=2)
 
 
+def q_bpe_train_gate(spark, sf_dir):
+    """BPE training gate: one full bpe_train round (distributed word
+    count -> bounded driver transfer -> merge argmax with the
+    deterministic count-desc/(lhs,rhs)-asc tie-break) against the
+    relational argmax the oracle computes — pins the collect path,
+    the tie-break, and the pair-count semantics. Deeper ranks are
+    pinned by the hand-computed Sennrich fixture in
+    test_tokenizer.py (iterated merges are not SQL-expressible)."""
+    from mlx_vector_db_spark.operators.tokenizer import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=1).select("rank", "lhs", "rhs", "n_pairs")
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Per-document OOV rate against the corpus top-1000 vocabulary
     (deterministic count-desc/word-asc tie-break): the coverage check
@@ -2666,7 +2680,6 @@ QUERIES: dict[str, QueryFn] = {
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
     "kmeans_cluster_gate": q_kmeans_cluster_gate,
-    "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_dedup_clustered": q_minhash_dedup_clustered,
     "simhash_exactness_gate": q_simhash_exactness_gate,
     "simhash_precision_gate": q_simhash_precision_gate,
@@ -2680,6 +2693,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_winnow_fp": q_doc_winnow_fp,
     "winnow_crossdoc_pairs": q_winnow_crossdoc_pairs,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train_gate": q_bpe_train_gate,
     "vocab_coverage": q_vocab_coverage,
     "doc_perplexity": q_doc_perplexity,
     "quality_classifier": q_quality_classifier,
@@ -2752,6 +2766,7 @@ QUERIES: dict[str, QueryFn] = {
     # rotated out of the 50-entry driver window (driver-green r4+r5;
     # still swept every round) to keep part_fuzzy_pairs' first-ever
     # driver row after the r6 tokenizer/winnow insertions:
+    "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_precision_gate": q_minhash_precision_gate,
     "events_rolling_avg": q_events_rolling_avg,
     "events_histogram": q_events_histogram,
@@ -3438,6 +3453,24 @@ FROM walk WHERE is_kept
         SELECT p.lhs AS lhs, p.rhs AS rhs, sum(n)::BIGINT AS n_pairs
         FROM e GROUP BY p.lhs, p.rhs
         HAVING sum(n) >= 2
+    """,
+    "bpe_train_gate": r"""
+        WITH t AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE length(trim(text)) > 0
+        ), wc AS (
+          SELECT word, count(*)::BIGINT AS n FROM t GROUP BY word
+        ), e AS (
+          SELECT n,
+                 unnest(list_transform(range(1, length(word)), i ->
+                   struct_pack(lhs := word[i], rhs := word[i+1]))) AS p
+          FROM wc WHERE length(word) >= 2
+        ), pc AS (
+          SELECT p.lhs AS lhs, p.rhs AS rhs, sum(n)::BIGINT AS n_pairs
+          FROM e GROUP BY p.lhs, p.rhs
+        )
+        SELECT 1::INT AS rank, lhs, rhs, n_pairs FROM pc
+        ORDER BY n_pairs DESC, lhs ASC, rhs ASC LIMIT 1
     """,
     "vocab_coverage": r"""
         WITH w AS (

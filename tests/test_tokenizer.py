@@ -5,9 +5,11 @@ equivalence is covered by test_entry.py."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.operators.tokenizer import (
     bpe_pair_counts,
+    bpe_train,
     vocab_coverage,
     word_counts,
 )
@@ -56,6 +58,58 @@ def test_vocab_coverage_tie_break_and_empty(spark):
     assert rows[1].n_tokens == 3 and rows[1].n_oov == 0
     assert rows[2].n_tokens == 1 and rows[2].n_oov == 1 and rows[2].oov_rate == 1.0
     assert rows[3].n_tokens == 0 and rows[3].n_oov == 0 and rows[3].oov_rate is None
+
+
+def test_bpe_train_sennrich_example(spark):
+    # Sennrich et al. frequencies (low:5, lower:2, newest:6, widest:3),
+    # no end-of-word marker; merges hand-computed under the
+    # count-desc/(lhs,rhs)-asc tie-break.
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = _docs(spark, [(1, text)])
+    got = [
+        (r.rank, r.lhs, r.rhs, r.n_pairs)
+        for r in bpe_train(df, num_merges=5).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),
+    ]
+
+
+def test_bpe_train_min_pair_count_stops_early(spark):
+    df = _docs(spark, [(1, "ab ab cd")])
+    got = [(r.lhs, r.rhs, r.n_pairs) for r in bpe_train(df, num_merges=3).collect()]
+    assert got == [("a", "b", 2)]  # cd's pair count 1 < min_pair_count
+
+
+def test_bpe_train_first_merge_matches_pair_counts_argmax(spark):
+    df = _docs(spark, [(1, "low low lower"), (2, "newest widest widest")])
+    top = (
+        bpe_pair_counts(df)
+        .orderBy("n_pairs", ascending=False)
+        .orderBy([F.col("n_pairs").desc(), F.col("lhs").asc(), F.col("rhs").asc()])
+        .first()
+    )
+    first = bpe_train(df, num_merges=1).first()
+    assert (first.lhs, first.rhs, first.n_pairs) == (top.lhs, top.rhs, top.n_pairs)
+
+
+def test_bpe_train_truncation_warns(spark):
+    df = _docs(spark, [(1, "a bb ccc dddd")])
+    with pytest.warns(UserWarning, match="max_vocab_rows"):
+        out = bpe_train(df, num_merges=1, min_pair_count=1, max_vocab_rows=2)
+    assert out.count() == 1
+
+
+def test_bpe_train_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        bpe_train(df, num_merges=0)
+    with pytest.raises(ValueError):
+        bpe_train(df, num_merges=1, max_vocab_rows=0)
 
 
 def test_vocab_coverage_rejects_bad_size(spark):
