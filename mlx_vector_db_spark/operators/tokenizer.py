@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import tokens
 
-__all__ = ["word_counts", "bpe_pair_counts", "bpe_train", "vocab_coverage"]
+__all__ = [
+    "word_counts",
+    "bpe_pair_counts",
+    "bpe_train",
+    "bpe_encode",
+    "vocab_coverage",
+]
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -175,6 +181,75 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, n_pairs long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a trained BPE merge table to a corpus: per word, replay
+    ``merges`` IN RANK ORDER (each merge rewrites all its left-to-right
+    non-overlapping occurrences — the training loop's exact update, so
+    ``bpe_encode(df, merges_from_bpe_train)`` reproduces training
+    segmentation). Returns ``(id_col, output_col array<string>)``;
+    empty/whitespace documents get an empty array.
+
+    The merge replay is inherently iterative per word — no Catalyst
+    expression exists for it — so this is the documented
+    Python-unavoidable path: an Arrow-batched pandas UDF (never
+    row-at-a-time), with the merge table shipped once per executor in
+    the closure. Map-only: zero shuffle, scales embarrassingly.
+
+    For production-size merge tables prefer encoding each DISTINCT word
+    once: join ``df`` through :func:`word_counts`-style word rows, or
+    rely on the per-batch memo below, which caches encodings within
+    each Arrow batch (Zipf's law makes the hit rate high).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+
+    @pandas_udf("array<string>")
+    def _encode(texts):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        memo: dict[str, tuple[str, ...]] = {}
+
+        def encode_word(word: str) -> tuple[str, ...]:
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            syms: list[str] = list(word)
+            for lhs, rhs in merge_list:
+                if len(syms) < 2:
+                    break
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[word] = tuple(syms)
+            return memo[word]
+
+        def encode_doc(text) -> list[str]:
+            if text is None:
+                return []
+            toks: list[str] = []
+            for w in text.split():
+                toks.extend(encode_word(w))
+            return toks
+
+        return pd.Series([encode_doc(t) for t in texts])
+
+    return df.select(F.col(id_col), _encode(F.col(text_col)).alias(output_col))
 
 
 def vocab_coverage(

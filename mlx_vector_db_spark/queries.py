@@ -1720,6 +1720,24 @@ def q_bpe_train_gate(spark, sf_dir):
     return bpe_train(docs, num_merges=1).select("rank", "lhs", "rhs", "n_pairs")
 
 
+def q_bpe_encode_gate(spark, sf_dir):
+    """BPE encode gate: train one merge on the corpus, replay it through
+    the Arrow-batched bpe_encode UDF, and report per-doc token counts.
+    The oracle recomputes the rank-1 merge relationally AND the exact
+    token count per document (greedy left-to-right non-overlapping
+    replacement — the same occurrence rule as the merge loop — via
+    string replace length arithmetic), so the whole train->encode
+    round trip is value-gated without a tokenizer dependency."""
+    from mlx_vector_db_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.lhs, r.rhs) for r in bpe_train(docs, num_merges=1).collect()]
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Per-document OOV rate against the corpus top-1000 vocabulary
     (deterministic count-desc/word-asc tie-break): the coverage check
@@ -2676,7 +2694,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_recall_gate": q_ivf_recall_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
-    "lsh_recall_gate": q_lsh_recall_gate,
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
     "kmeans_cluster_gate": q_kmeans_cluster_gate,
@@ -2694,6 +2711,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_crossdoc_pairs": q_winnow_crossdoc_pairs,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train_gate": q_bpe_train_gate,
+    "bpe_encode_gate": q_bpe_encode_gate,
     "vocab_coverage": q_vocab_coverage,
     "doc_perplexity": q_doc_perplexity,
     "quality_classifier": q_quality_classifier,
@@ -2766,6 +2784,7 @@ QUERIES: dict[str, QueryFn] = {
     # rotated out of the 50-entry driver window (driver-green r4+r5;
     # still swept every round) to keep part_fuzzy_pairs' first-ever
     # driver row after the r6 tokenizer/winnow insertions:
+    "lsh_recall_gate": q_lsh_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_precision_gate": q_minhash_precision_gate,
     "events_rolling_avg": q_events_rolling_avg,
@@ -3471,6 +3490,35 @@ FROM walk WHERE is_kept
         )
         SELECT 1::INT AS rank, lhs, rhs, n_pairs FROM pc
         ORDER BY n_pairs DESC, lhs ASC, rhs ASC LIMIT 1
+    """,
+    "bpe_encode_gate": r"""
+        WITH t AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE length(trim(text)) > 0
+        ), wc AS (
+          SELECT word, count(*)::BIGINT AS n FROM t GROUP BY word
+        ), e AS (
+          SELECT n,
+                 unnest(list_transform(range(1, length(word)), i ->
+                   struct_pack(lhs := word[i], rhs := word[i+1]))) AS p
+          FROM wc WHERE length(word) >= 2
+        ), pc AS (
+          SELECT p.lhs AS lhs, p.rhs AS rhs, sum(n)::BIGINT AS n_pairs
+          FROM e GROUP BY p.lhs, p.rhs
+        ), mg AS (
+          SELECT lhs || rhs AS m FROM pc
+          ORDER BY n_pairs DESC, lhs ASC, rhs ASC LIMIT 1
+        ), w2 AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE string_split_regex(trim(text), '\s+') END AS ws
+          FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(list_sum(list_transform(d.ws, w ->
+                 length(w) - (length(w) - length(replace(w, mg.m, ''))) // 2
+               )), 0) AS BIGINT) AS n_bpe_tokens
+        FROM w2 d CROSS JOIN mg
     """,
     "vocab_coverage": r"""
         WITH w AS (

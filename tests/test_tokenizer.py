@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.operators.tokenizer import (
+    bpe_encode,
     bpe_pair_counts,
     bpe_train,
     vocab_coverage,
@@ -95,6 +96,29 @@ def test_bpe_train_first_merge_matches_pair_counts_argmax(spark):
     )
     first = bpe_train(df, num_merges=1).first()
     assert (first.lhs, first.rhs, first.n_pairs) == (top.lhs, top.rhs, top.n_pairs)
+
+
+def test_bpe_encode_replays_training_segmentation(spark):
+    # Merges learned on the Sennrich corpus, replayed in rank order:
+    # es, est, lo, low, ew (hand-derived segmentations below).
+    train_text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    train = _docs(spark, [(1, train_text)])
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(train, num_merges=5).orderBy("rank").collect()
+    ]
+    df = _docs(spark, [(1, "newest lower widest"), (2, None), (3, "")])
+    rows = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    assert rows[1] == ["n", "ew", "est", "low", "e", "r", "w", "i", "d", "est"]
+    assert rows[2] == [] and rows[3] == []
+
+
+def test_bpe_encode_overlap_is_left_to_right(spark):
+    df = _docs(spark, [(1, "aaa")])
+    rows = bpe_encode(df, [("a", "a")]).collect()
+    assert rows[0].bpe_tokens == ["aa", "a"]
 
 
 def test_bpe_train_truncation_warns(spark):
