@@ -29,7 +29,7 @@ operates on the vocabulary, which is broadcast-sized by construction
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import tokens
@@ -269,20 +269,18 @@ def vocab_coverage(
     Scale: two passes over the corpus — the word count (one shuffle,
     map-side combined) and the coverage join, where the vocab side is
     ``vocab_size`` rows and broadcasts; per-doc token rows join against
-    it map-side, then re-aggregate on the document key. The rank over
-    the vocabulary runs on the aggregated (already vocabulary-sized)
-    table, and a single-partition window over ~|vocab| rows is fine
-    because Heaps' law keeps that table small relative to the corpus;
-    for a truly huge vocab table, pre-filter with an approximate
-    count threshold before ranking.
+    it map-side, then re-aggregate on the document key. Top-N selection
+    is ``orderBy().limit()``, which Catalyst compiles to
+    ``TakeOrderedAndProject`` — partial top-k per partition, so even a
+    100M-distinct-word table never passes through a single-partition
+    sort (a global row_number window would).
     """
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1 (got {vocab_size})")
     wc = word_counts(df, text_col)
-    rank_w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
     vocab = (
-        wc.withColumn("_rk", F.row_number().over(rank_w))
-        .where(F.col("_rk") <= F.lit(int(vocab_size)))
+        wc.orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(int(vocab_size))
         .select("word")
     )
     toks = df.select(

@@ -160,6 +160,48 @@ def test_jaccard_cap_adds_no_shuffle(spark, sf_small):
             <= uncapped.count("Exchange hashpartitioning"))
 
 
+def test_vocab_coverage_top_n_is_take_ordered_and_broadcast(spark, sf_small):
+    from mlx_vector_db_spark.operators.tokenizer import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(vocab_coverage(docs, vocab_size=100))
+    # top-N vocab via distributed partial top-k, never a one-partition
+    # global sort-or-window; the N-row vocab side broadcasts
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pair_counts_is_two_partial_aggs_no_udf(spark, sf_small):
+    from mlx_vector_db_spark.operators.tokenizer import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(bpe_pair_counts(docs))
+    # corpus word count + vocab pair count, both map-side combined;
+    # pure codegen expressions — no Python in the plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # only the two aggregation exchanges: corpus->word, vocab->pair
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_winnow_crossdoc_join_is_keyed_by_fingerprint(spark, sf_small):
+    from mlx_vector_db_spark.operators.quality import winnow_crossdoc_pairs
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(
+        winnow_crossdoc_pairs(docs, min_shared=2, max_fp_docs=8)
+    )
+    # the self-join is an EQUI-join keyed by the fingerprint value
+    # (broadcast at toy scale, shuffle-on-fingerprint at corpus scale —
+    # never a cartesian pair enumeration); the hot list is applied as a
+    # broadcast anti-join before the self-join
+    assert "Join [fingerprint" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_release_intermediates_frees_dead_checkpoints(spark, sf_small):
     """A lazy localCheckpoint whose DataFrame has died must release its
     executor blocks after release_intermediates (the ContextCleaner
