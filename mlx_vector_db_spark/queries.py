@@ -225,8 +225,11 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_top_orders(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + agg + top-10 (broadcast the dimension
-    side; TakeOrderedAndProject for the limit)."""
+    """TPC-H Q3 shape: 3-way join + agg + top-10 (TakeOrderedAndProject
+    for the limit). The customer side carries NO broadcast hint: it
+    scales with sf (15M rows at sf100 — a hint there was measured
+    costing 19x at the sf100 checkpoint), so AQE's runtime-size
+    broadcast conversion decides per scale."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
@@ -236,7 +239,7 @@ def q_top_orders(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -268,7 +271,7 @@ def q_region_revenue(spark, sf_dir):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -1943,12 +1946,12 @@ def q_small_qty_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    pl = li.join(F.broadcast(part.select("p_partkey")),
+    pl = li.join(part.select("p_partkey"),
                  li.l_partkey == F.col("p_partkey")).drop("p_partkey")
     pa = pl.groupBy("l_partkey").agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
     )
-    small = pl.join(F.broadcast(pa), "l_partkey").where(
+    small = pl.join(pa, "l_partkey").where(
         F.col("l_quantity") < F.col("half_avg")
     )
     return small.agg(
@@ -1994,7 +1997,7 @@ def q_discounted_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     band = (
         ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 20))
@@ -2042,7 +2045,7 @@ def q_waiting_suppliers(spark, sf_dir):
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
     )
@@ -2087,7 +2090,7 @@ def q_returned_item_revenue(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -2119,8 +2122,8 @@ def q_product_profit(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
@@ -2153,7 +2156,7 @@ def q_nation_volume(spark, sf_dir):
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(nation.alias("n1")),
             F.col("s_nationkey") == F.col("n1.n_nationkey"),
@@ -2177,13 +2180,14 @@ def q_nation_volume(spark, sf_dir):
 
 def q_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: conditional aggregate ratio (promo revenue
-    share) per ship month. Part broadcasts; one shuffle on the month
-    key."""
+    share) per ship month. The part side joins without a hint (it scales
+    with sf; AQE broadcast-converts when actually small); one shuffle on
+    the month key."""
     li = _t(spark, sf_dir, "lineitem").where(
         F.year("l_shipdate") == 1996
     ).select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.groupBy(
         F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
@@ -2323,7 +2327,7 @@ def q_dedup_components(spark, sf_dir):
     dup_fps = (
         docs.groupBy("fp").agg(F.count("*").alias("n")).where("n > 1").select("fp")
     )
-    members = docs.join(F.broadcast(dup_fps), on="fp")
+    members = docs.join(dup_fps, on="fp")
     pairs = (
         members.alias("a")
         .join(members.alias("b"), on="fp")

@@ -42,10 +42,14 @@ def test_knn_join_uses_window_group_limit_and_broadcast(emb):
 
 
 def test_top_orders_plan_broadcasts_and_take_ordered(spark, sf_small):
+    # no explicit broadcast hint on the (sf-scaling) customer side —
+    # at this scale the size ESTIMATE auto-broadcasts it; at sf100 the
+    # same query must be free to fall back to a shuffle join (a forced
+    # hint measured 19x there)
     plan = explain_str(QUERIES["top_orders"](spark, sf_small))
     assert "TakeOrderedAndProject(limit=10" in plan
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan          # nothing big-big here
+    assert "SortMergeJoin" not in plan          # nothing big-big at sf0.001
 
 
 def test_bm25_topk_is_take_ordered(spark, sf_small):
