@@ -179,6 +179,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    sketch_prefilter: float | str | None = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -188,7 +189,25 @@ def minhash_lsh_pairs(
       3. self-join on (band, band_hash) with ``id < id``  — candidate
          generation; only same-bucket rows meet, so the shuffle key is
          the bucket, never the corpus;
-      4. exact Jaccard on distinct shingle sets for candidates only.
+      4. sketch pre-filter: estimate each candidate's Jaccard from the
+         64-int signatures already in hand and drop candidates whose
+         estimate is hopeless BEFORE the shingle-set join;
+      5. exact Jaccard on distinct shingle sets for survivors only.
+
+    ``sketch_prefilter`` is step 4's cutoff on the signature-estimated
+    Jaccard (matching-minhash fraction — unbiased, σ = √(j(1-j)/K)).
+    ``"auto"`` uses ``threshold - 3·(1/(2√num_hashes))`` (three
+    worst-case sigmas below the verify threshold, ≈ threshold - 0.19
+    at K=64), which prunes essentially nothing among true pairs
+    (one-sided ≤3σ, <0.2% per pair on top of banding's own miss rate)
+    while killing the borderline-similarity candidate mass that
+    banding admits at ~j^rows per band. That mass is what blows up at
+    scale: template/replica FAMILIES of F mutually-borderline docs
+    emit O(F²·j^rows) candidates — measured 40x wall growth at 10x
+    corpus on the sf100 checkpoint corpus (family size 1000) with the
+    verify join eating it; the sketch filter restores ~true-pair-count
+    verify input using arrays ~10x narrower than the shingle sets.
+    ``None`` disables (audit form: verify everything banding admits).
 
     Output: ``id_a, id_b, jaccard`` with ``jaccard >= threshold``.
 
@@ -291,6 +310,41 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if sketch_prefilter is not None:
+        if isinstance(sketch_prefilter, str):
+            if sketch_prefilter != "auto":
+                raise ValueError(
+                    f"sketch_prefilter must be a float, None, or 'auto' "
+                    f"(got {sketch_prefilter!r})"
+                )
+            import math
+
+            sketch_prefilter = max(
+                0.0, threshold - 1.5 / math.sqrt(num_hashes)
+            )
+        sigarr = sig.select(
+            "_id",
+            F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("_sig"),
+        )
+        cand = (
+            cand.join(
+                sigarr.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")),
+                on="id_a",
+            )
+            .join(
+                sigarr.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")),
+                on="id_b",
+            )
+        )
+        est_matches = F.size(
+            F.filter(
+                F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        cand = cand.where(
+            est_matches >= F.lit(float(sketch_prefilter) * num_hashes)
+        ).select("id_a", "id_b")
     # exact verify over hashed shingle sets: integer array_intersect /
     # array_union, identical Jaccard up to 64-bit hash collisions (the
     # string-set variant with a DuckDB oracle lives in jaccard_pairs).
