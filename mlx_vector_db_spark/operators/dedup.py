@@ -705,26 +705,35 @@ def jaccard_pairs(
         base = base.localCheckpoint(eager=False)
         g = base.select("_id", *bcols, F.explode("_sh").alias("_tok"))
         if max_shingle_freq is not None:
-            # doc-frequency filter BEFORE the self-join, as an anti-join
-            # against the aggregated hot-shingle list rather than a
-            # window count over every (doc, shingle) row: the aggregate
-            # map-side combines to (shingle, df) — shuffle volume is
-            # distinct-shingles-per-partition, not the corpus — and the
-            # (normally tiny) hot list broadcasts, so g itself is never
-            # re-shuffled just to be filtered. (A window form would
-            # shuffle ALL shingle rows on the key — and, on the
-            # broadcast-join plans of small inputs, once PER SIDE.)
-            hot = (
+            # doc-frequency filter BEFORE the self-join, as a semi-join
+            # against the aggregated KEPT band 2 <= df <= cap rather
+            # than a window count over every (doc, shingle) row: the
+            # aggregate map-side combines to (shingle, df) — shuffle
+            # volume is distinct-shingles-per-partition, not the corpus.
+            # The df >= 2 bound is free extra pruning with ZERO output
+            # change: a df-1 shingle meets only itself in the self-join
+            # and id_a < id_b discards that row — but on a Zipf corpus
+            # hapax shingles are the MAJORITY of g's rows, and at the
+            # sf100 checkpoint dropping them ahead of the self-join is
+            # the difference between shuffling the corpus' full shingle
+            # explosion twice and shuffling only the mid-frequency band
+            # that can actually produce pairs. (The previous anti-join
+            # against the df > cap hot list kept every hapax row; its
+            # "tiny hot list" assumption also inverts on replica-family
+            # corpora, where most non-hapax shingles exceed the cap.)
+            kept = (
                 g.groupBy("_tok", *bcols)
                 .agg(F.count(F.lit(1)).alias("_df"))
-                .where(F.col("_df") > F.lit(int(max_shingle_freq)))
+                .where(
+                    (F.col("_df") >= F.lit(2))
+                    & (F.col("_df") <= F.lit(int(max_shingle_freq)))
+                )
                 .select("_tok", *bcols)
-                # tiny by contract (only shingles hotter than the cap);
-                # checkpoint so BOTH join sides read one materialized
-                # list instead of re-aggregating the corpus per side
+                # checkpoint so BOTH self-join sides read one
+                # materialized list instead of re-aggregating per side
                 .localCheckpoint(eager=False)
             )
-            g = g.join(hot, on=["_tok", *bcols], how="left_anti")
+            g = g.join(kept, on=["_tok", *bcols], how="left_semi")
         inter = (
             g.select(F.col("_id").alias("id_a"), *bcols, "_tok")
             .join(

@@ -418,19 +418,27 @@ def winnow_crossdoc_pairs(
         from mlx_vector_db_spark.operators.dedup import jaccard_autocap
 
         max_fp_docs = jaccard_autocap(df.count())
-    # fingerprints feed the hot-list aggregate AND both join sides —
+    # fingerprints feed the df aggregate AND both join sides —
     # truncate lineage so the md5/window-min transform runs once
     fps = fps.localCheckpoint(eager=False)
     if max_fp_docs is not None:
-        hot = (
+        # semi-join against the kept band 2 <= df <= cap: the df >= 2
+        # bound is free pruning with zero output change (a df-1
+        # fingerprint meets only itself; doc_a < doc_b discards it),
+        # and hapax fingerprints dominate on real corpora — same
+        # rationale as the jaccard_pairs kept-band filter
+        kept = (
             fps.groupBy("fingerprint")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > F.lit(int(max_fp_docs)))
+            .where(
+                (F.col("_df") >= F.lit(2))
+                & (F.col("_df") <= F.lit(int(max_fp_docs)))
+            )
             .select("fingerprint")
-            # tiny by contract; materialize once for both join sides
+            # materialize once for both join sides
             .localCheckpoint(eager=False)
         )
-        fps = fps.join(hot, on="fingerprint", how="left_anti")
+        fps = fps.join(kept, on="fingerprint", how="left_semi")
     a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint")
     return (

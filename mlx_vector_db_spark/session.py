@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast policy (the sf100 checkpoint's lesson, both ways):
+        # hard-coded broadcast() hints on sf-scaling dimensions force a
+        # 15M-row build at sf100, but Spark's 10 MB default then flips
+        # the same join to a 600M-row sort-merge — measured 143s vs 60s
+        # on TPC-H Q3 shape. Raise the RUNTIME (actual-size, post-
+        # filter) threshold so a ~100 MB dimension broadcasts at any
+        # scale; keep the static (estimate-based) threshold conservative
+        # since pre-AQE estimates ignore filters. On a 1000-executor
+        # cluster a 128 MB broadcast is ~128 GB of network — still far
+        # cheaper than shuffling the 100 TB fact side.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
         # lazy localCheckpoints (signature reuse, pushdown fences) are
         # freed by the ContextCleaner only after their RDDs are
         # garbage-collected; the default periodic driver GC is 30min,

@@ -150,11 +150,11 @@ def test_pushdown_barrier_noncaching_fences_filter(spark, sf_small):
 
 
 def test_jaccard_cap_adds_no_shuffle(spark, sf_small):
-    """The max_shingle_freq filter is an anti-join against the
-    checkpointed hot-shingle list: the capped plan must add NO
-    hash-partitioned shuffle over the corpus (the hot-list aggregate
-    materializes once outside this plan; the per-side anti-joins
-    broadcast the tiny list)."""
+    """The max_shingle_freq filter is a semi-join against the
+    checkpointed kept-band (2 <= df <= cap) shingle list: the capped
+    plan must add NO hash-partitioned shuffle over the corpus (the df
+    aggregate materializes once outside this plan; at this scale the
+    per-side semi-joins broadcast the list)."""
     from mlx_vector_db_spark.operators.dedup import jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
@@ -198,10 +198,10 @@ def test_winnow_crossdoc_join_is_keyed_by_fingerprint(spark, sf_small):
     )
     # the self-join is an EQUI-join keyed by the fingerprint value
     # (broadcast at toy scale, shuffle-on-fingerprint at corpus scale —
-    # never a cartesian pair enumeration); the hot list is applied as a
-    # broadcast anti-join before the self-join
+    # never a cartesian pair enumeration); the kept-band df filter is
+    # applied as a semi-join before the self-join
     assert "Join [fingerprint" in plan
-    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

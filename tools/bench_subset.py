@@ -39,7 +39,11 @@ DEFAULT_SUBSET = [
     "doc_perplexity",
     "bm25_topk",
     "chunk_documents",
-    "winnow_crossdoc_pairs",
+    # winnow_crossdoc_pairs is deliberately absent: on the scaled
+    # corpus every source doc has R verbatim-word-run replicas, so the
+    # TRUE cross-doc containment pair set is Θ(R²) per family (~2.5B
+    # pairs at sf100) — the workload is quadratic by corpus
+    # construction, like knn_batch_all_vs_all; see SCALE.md
     "bpe_pair_counts",
     "vocab_coverage",
 ]
