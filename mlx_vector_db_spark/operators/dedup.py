@@ -42,7 +42,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_dedup",
     "jaccard_pairs",
-    "jaccard_autocap",
+    "fanout_autocap",
     "embedding_neardup_pairs",
 ]
 
@@ -208,6 +208,14 @@ def minhash_lsh_pairs(
     verify join eating it; the sketch filter restores ~true-pair-count
     verify input using arrays ~10x narrower than the shingle sets.
     ``None`` disables (audit form: verify everything banding admits).
+
+    .. note:: **Default changed in r6** from ``None`` to ``"auto"``:
+       out of the box this operator now PRUNES banding candidates by
+       signature estimate before exact verify, so true pairs right at
+       the threshold carry a one-sided ≤3σ (<0.2% per pair at K=64)
+       extra miss risk on top of banding's own miss rate. Byte-exact
+       r5 behavior (exactly verify every banding candidate) is
+       ``sketch_prefilter=None``.
 
     Output: ``id_a, id_b, jaccard`` with ``jaccard >= threshold``.
 
@@ -572,37 +580,72 @@ def simhash_pairs(
     )
 
 
-#: "auto" shingle-cap rule: cap = min(MAX, max(MIN, ceil(n_docs /
-#: DIVISOR))) — the cap tracks the largest plausible duplicate-cluster
-#: size as a fixed FRACTION of the corpus (0.5%), floored for tiny
-#: corpora and CEILED at 1024. A constant cap cannot work across scales
-#: (SCALE.md: cap=4 zeroed sf1 recall on a small-vocabulary corpus
-#: because every shingle's DF grows with corpus size); a proportional
-#: cap keeps real dup clusters joinable at any scale while still
-#: excluding boilerplate shared by >0.5% of all documents. The absolute
-#: ceiling hard-bounds per-shingle join fan-out at 1024² ≈ 1M rows no
-#: matter the corpus size — a dup "cluster" above a thousand documents
-#: is boilerplate by any operational definition, and without the
-#: ceiling an adversarial corpus whose every shingle's DF grows with
-#: the corpus (the synthetic bench corpus is exactly this) drives the
-#: join superlinear (measured: heap exhaustion at sf10). Integer
-#: arithmetic keeps the rule exactly mirrorable in a relational oracle
-#: (no float rounding at the boundary).
+#: "auto" hot-key-cap rule (r7, distribution-derived): the cap is the
+#: FAN-OUT-BUDGET KNEE of the key document-frequency distribution —
+#: the largest DF value ``f`` such that the candidate pairs contributed
+#: by every key of DF <= f, ``sum over f' in [2, f] of
+#: cnt(f') * f'*(f'-1)/2``, stays within ``PAIR_BUDGET * n_docs`` —
+#: clamped to [MIN, MAX]. This replaces the r6 proportional rule
+#: ``ceil(n_docs / 200)``, which collapsed to the uncapped quadratic
+#: tier on replica-family corpora: when duplicate-cluster size ALSO
+#: grows with the corpus (the sf-scaling bench corpus; real-world
+#: replica crawls), a cap proportional to n_docs widens exactly in
+#: step with the clusters and the self-join fan-out goes quadratic
+#: again (measured: heap exhaustion at sf10 pre-ceiling; excluded from
+#: the sf10 subset post-ceiling). The budget rule bounds the
+#: self-join's candidate-pair mass at ``PAIR_BUDGET * n_docs`` BY
+#: CONSTRUCTION — linear in corpus size no matter how adversarial the
+#: DF distribution — while on benign (hapax-dominated) corpora the
+#: cumulative mass never reaches the budget, the knee sits at the max
+#: OBSERVED DF, and nothing at all is dropped. The default budget of 128
+#: candidate pairs per document admits duplicate families up to
+#: ~sqrt(2*128) = 16 replicas (a family of F docs inherently costs
+#: F*(F-1)/2 pairs per shared shingle — the OUTPUT is quadratic in F,
+#: so any pair-emitting operator must budget for it); corpora with
+#: larger replica clusters raise ``pair_budget`` explicitly. Integer
+#: arithmetic throughout (f*(f-1) is always even, so the /2 is exact)
+#: keeps the rule bit-mirrorable in a relational oracle.
 JACCARD_AUTOCAP_MIN = 4
 JACCARD_AUTOCAP_MAX = 1024
-JACCARD_AUTOCAP_DIVISOR = 200
+JACCARD_AUTOCAP_PAIR_BUDGET = 128
 
 
-def jaccard_autocap(n_docs: int) -> int:
-    """The "auto" ``max_shingle_freq`` for an ``n_docs``-document corpus:
-    ``min(1024, max(4, ceil(n_docs / 200)))``."""
-    return min(
-        JACCARD_AUTOCAP_MAX,
-        max(
-            JACCARD_AUTOCAP_MIN,
-            -(-int(n_docs) // JACCARD_AUTOCAP_DIVISOR),
-        ),
+def fanout_autocap(
+    dfreq: DataFrame,
+    n_rows: int,
+    pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
+    df_col: str = "_df",
+) -> int:
+    """Derive the "auto" hot-key cap from a key document-frequency
+    table: the largest DF value ``f`` whose cumulative candidate-pair
+    mass ``sum over f' in [2, f] of cnt(f') * f'*(f'-1)/2`` is within
+    ``pair_budget * n_rows``, clamped to
+    [``JACCARD_AUTOCAP_MIN``, ``JACCARD_AUTOCAP_MAX``].
+
+    ``dfreq`` is one row per key with its document frequency in
+    ``df_col`` (the aggregate both callers already build for the
+    kept-band filter, so the derivation adds no new corpus pass). The
+    DF histogram this aggregates to is tiny — at most one row per
+    distinct DF value, bounded by the hottest key's DF — so the
+    single-partition window cumsum and the 1-row max() collect are
+    driver-negligible by construction.
+    """
+    budget = int(pair_budget) * int(n_rows)
+    hist = (
+        dfreq.where(F.col(df_col) >= 2)
+        .groupBy(F.col(df_col).alias("_f"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
+    w = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn(
+        "_cum",
+        F.sum(F.col("_cnt") * F.expr("_f * (_f - 1) DIV 2")).over(w),
+    )
+    row = cum.where(F.col("_cum") <= F.lit(budget)).agg(F.max("_f")).first()
+    best = row[0] if row is not None else None
+    if best is None:
+        best = JACCARD_AUTOCAP_MIN
+    return min(JACCARD_AUTOCAP_MAX, max(JACCARD_AUTOCAP_MIN, int(best)))
 
 
 def jaccard_pairs(
@@ -613,6 +656,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | str | None = None,
+    autocap_pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (all-pairs within ``block_col`` groups,
     or global when None), j >= ``threshold``.
@@ -641,15 +685,26 @@ def jaccard_pairs(
     bucket). The frequency count shares the join's shingle clustering,
     so the cap adds no extra shuffle.
 
-    ``max_shingle_freq="auto"`` derives the cap from the corpus itself:
-    ``max(4, ceil(n_docs / 200))`` (:func:`jaccard_autocap`) — the
-    self-calibrating form. A FIXED cap cannot survive a scale-up
-    (SCALE.md measured cap=4 zeroing recall at 10x the corpus, because
-    on a small-vocabulary corpus every shingle's DF grows with corpus
-    size); tying the cap to 0.5% of the corpus keeps duplicate clusters
-    (whose size is what the cap must stay above) joinable at any scale
-    while boilerplate shared by more than 0.5% of documents is still
-    excluded. Costs ONE extra count() of ``df``.
+    ``max_shingle_freq="auto"`` derives the cap from the SHINGLE-DF
+    DISTRIBUTION itself (:func:`fanout_autocap`): the largest DF value
+    whose cumulative candidate-pair mass stays within
+    ``autocap_pair_budget`` pairs per document, clamped to [4, 1024].
+    This is the self-calibrating form that survives BOTH failure
+    regimes measured in SCALE.md: a fixed cap=4 zeroed recall at 10x
+    the corpus (every shingle's DF grows with corpus size on a
+    small-vocabulary corpus), and the r6 proportional rule
+    ``ceil(n_docs/200)`` went quadratic on replica-family corpora
+    (cluster size grows with n, so a cap proportional to n never
+    excludes the clusters' own fan-out — measured heap exhaustion at
+    sf10). The budget rule bounds the self-join's total candidate
+    pairs at ``autocap_pair_budget * n_docs`` by construction — linear
+    at any scale — while admitting duplicate families up to
+    ``~sqrt(2 * autocap_pair_budget)`` replicas (16 at the default
+    128; a family of F docs inherently emits F*(F-1)/2 pairs, so
+    corpora with larger replica clusters must raise the budget to keep
+    them joinable). Costs one count() of ``df`` plus a driver-
+    negligible 1-row aggregate over the DF histogram the kept-band
+    filter already builds.
 
     ``threshold <= 0`` keeps the literal all-pairs form (a zero-overlap
     pair has j = 0.0 and must be emitted) — audit scale only;
@@ -692,19 +747,21 @@ def jaccard_pairs(
         )
     )
     bcols = ["_blk"] if block_col else []
+    auto_cap = False
     if isinstance(max_shingle_freq, str):
         if max_shingle_freq != "auto":
             raise ValueError(
                 f"max_shingle_freq must be an int, None, or 'auto' "
                 f"(got {max_shingle_freq!r})"
             )
-        max_shingle_freq = jaccard_autocap(df.count())
+        auto_cap = True
+        max_shingle_freq = None
     if threshold > 0:
         # shingle sets are reused by the exploded join side AND the two
         # size joins; truncate lineage so tokenization runs once
         base = base.localCheckpoint(eager=False)
         g = base.select("_id", *bcols, F.explode("_sh").alias("_tok"))
-        if max_shingle_freq is not None:
+        if auto_cap or max_shingle_freq is not None:
             # doc-frequency filter BEFORE the self-join, as a semi-join
             # against the aggregated KEPT band 2 <= df <= cap rather
             # than a window count over every (doc, shingle) row: the
@@ -721,10 +778,18 @@ def jaccard_pairs(
             # against the df > cap hot list kept every hapax row; its
             # "tiny hot list" assumption also inverts on replica-family
             # corpora, where most non-hapax shingles exceed the cap.)
+            dfreq = g.groupBy("_tok", *bcols).agg(
+                F.count(F.lit(1)).alias("_df")
+            )
+            if auto_cap:
+                # the cap derivation reads the same DF aggregate the
+                # kept band filters — materialize it once for both
+                dfreq = dfreq.localCheckpoint(eager=False)
+                max_shingle_freq = fanout_autocap(
+                    dfreq, df.count(), autocap_pair_budget
+                )
             kept = (
-                g.groupBy("_tok", *bcols)
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .where(
+                dfreq.where(
                     (F.col("_df") >= F.lit(2))
                     & (F.col("_df") <= F.lit(int(max_shingle_freq)))
                 )

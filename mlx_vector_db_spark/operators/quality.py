@@ -374,6 +374,7 @@ def winnow_crossdoc_pairs(
     max_fp_docs: int | str | None = "auto",
     text_col: str = "text",
     id_col: str = "doc_id",
+    autocap_pair_budget: int = 128,
 ) -> DataFrame:
     """Cross-document shared-span pair mining on winnowing fingerprints
     (the MOSS match step, Schleimer et al. SIGMOD'03 §4): equi-join the
@@ -399,8 +400,15 @@ def winnow_crossdoc_pairs(
     :func:`~mlx_vector_db_spark.operators.dedup.jaccard_pairs` (capped
     output is a subset of uncapped; ``n_shared`` for a surviving pair
     is an under-count of its true overlap, never an over-count).
-    ``"auto"`` derives the cap from the corpus size with the same
-    ``min(1024, max(4, ceil(n/200)))`` rule (one extra ``count()``).
+    ``"auto"`` derives the cap from the FINGERPRINT-DF DISTRIBUTION
+    with the shared fan-out-budget rule
+    (:func:`~mlx_vector_db_spark.operators.dedup.fanout_autocap`):
+    the largest DF whose cumulative candidate-pair mass stays within
+    ``autocap_pair_budget`` pairs per document, clamped to [4, 1024] —
+    linear total join work by construction, replica families up to
+    ~sqrt(2*budget) docs kept (see the rule's rationale in
+    operators/dedup.py; the r6 ``ceil(n/200)`` rule it replaces went
+    quadratic on replica-family corpora).
 
     Precondition: ``id_col`` unique (it is the document key) —
     fingerprints are distinct per doc, so the pair count equals the
@@ -409,28 +417,36 @@ def winnow_crossdoc_pairs(
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
     fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    auto_cap = False
     if isinstance(max_fp_docs, str):
         if max_fp_docs != "auto":
             raise ValueError(
                 f"max_fp_docs must be an int, None, or 'auto' "
                 f"(got {max_fp_docs!r})"
             )
-        from mlx_vector_db_spark.operators.dedup import jaccard_autocap
-
-        max_fp_docs = jaccard_autocap(df.count())
+        auto_cap = True
+        max_fp_docs = None
     # fingerprints feed the df aggregate AND both join sides —
     # truncate lineage so the md5/window-min transform runs once
     fps = fps.localCheckpoint(eager=False)
-    if max_fp_docs is not None:
+    if auto_cap or max_fp_docs is not None:
         # semi-join against the kept band 2 <= df <= cap: the df >= 2
         # bound is free pruning with zero output change (a df-1
         # fingerprint meets only itself; doc_a < doc_b discards it),
         # and hapax fingerprints dominate on real corpora — same
         # rationale as the jaccard_pairs kept-band filter
+        dfreq = fps.groupBy("fingerprint").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        if auto_cap:
+            from mlx_vector_db_spark.operators.dedup import fanout_autocap
+
+            # cap derivation and kept band share one materialized
+            # DF aggregate
+            dfreq = dfreq.localCheckpoint(eager=False)
+            max_fp_docs = fanout_autocap(dfreq, df.count(), autocap_pair_budget)
         kept = (
-            fps.groupBy("fingerprint")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(
+            dfreq.where(
                 (F.col("_df") >= F.lit(2))
                 & (F.col("_df") <= F.lit(int(max_fp_docs)))
             )

@@ -43,6 +43,13 @@ __all__ = [
 ]
 
 
+def _nonempty_chars(word):  # type: ignore[no-untyped-def]
+    """``split(word, '')`` with empty elements filtered out —
+    version-proof character array (pre-3.4 Spark appends a trailing
+    ``''``, SPARK-40194)."""
+    return F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus word-frequency table ``(word, n)`` over whitespace tokens.
     One explode + one hash aggregation; the partial aggregate combines
@@ -81,9 +88,13 @@ def bpe_pair_counts(
     wc = word_counts(df, text_col)
     # chars referenced by both zip_with sides — materialize the split
     # once in its own projection (array exprs evaluate outside codegen
-    # CSE, the same trap winnow_fingerprints documents)
+    # CSE, the same trap winnow_fingerprints documents). The empty-
+    # string filter is defensive versioning: split(word, '') emits a
+    # trailing '' element before Spark 3.4 (SPARK-40194), which would
+    # add a bogus (last_char, '') pair per word; on >= 3.4 (also pinned
+    # in pyproject.toml) the filter matches nothing.
     chars_df = wc.where(F.length("word") >= 2).select(
-        "n", F.split(F.col("word"), "").alias("_ch")
+        "n", _nonempty_chars(F.col("word")).alias("_ch")
     )
     ch = F.col("_ch")
     width = F.size(ch) - 1
@@ -106,6 +117,7 @@ def bpe_train(
     text_col: str = "text",
     min_pair_count: int = 2,
     max_vocab_rows: int = 5_000_000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016, alg. 1)
     over a corpus: returns the learned merge table ``(rank, lhs, rhs,
@@ -118,39 +130,73 @@ def bpe_train(
 
     Scale contract (100 TB): the corpus is scanned exactly ONCE — the
     distributed, map-side-combined :func:`word_counts` — and every
-    merge round then runs driver-side over the word-frequency table,
-    which is Heaps-law-sublinear in corpus size. This is the standard
-    industrial shape (subword trainers all reduce to the word-frequency
-    table first); the driver transfer is explicitly bounded by
-    ``max_vocab_rows`` KEEPING THE MOST FREQUENT words (count desc,
-    word asc — deterministic) and warning on truncation, the same
-    bounded-driver-transfer contract as the PQ/k-means training
-    samplers (operators/pq.py, operators/ann.py).
+    merge round then runs over the word-frequency table, which is
+    Heaps-law-sublinear in corpus size (the standard industrial shape:
+    subword trainers all reduce to the word-frequency table first).
+    Two interchangeable round engines, selected by ``strategy``:
+
+    - ``"driver"``: collect the word-frequency table once (an Arrow
+      ``toPandas`` transfer of plain ``(word, n)`` columns, bounded by
+      ``max_vocab_rows``) and loop in local memory — fastest when the
+      vocabulary fits, zero Spark jobs per round.
+    - ``"distributed"`` (the r7 path): the vocabulary NEVER leaves the
+      executors. Each round recomputes pair counts relationally over
+      the evolving symbol-array column (the :func:`bpe_pair_counts`
+      explode/aggregate shape), collects exactly ONE row (the argmax),
+      and re-segments the symbol arrays with a JVM-side
+      ``aggregate()`` fold that replays the merge left-to-right
+      non-overlapping — identical semantics to the driver loop (the
+      fold can never re-consume a just-merged token: that would need
+      ``lhs + rhs == lhs``, impossible for non-empty ``rhs``). Words
+      reduced to one symbol can never pair again and are dropped from
+      the working set. Driver traffic per round: one row.
+    - ``"auto"``: count the vocabulary (one cheap aggregate) and pick
+      ``"driver"`` iff it fits ``max_vocab_rows`` — past the bound the
+      r6 behavior (truncate + warn, counts become lower bounds) is
+      replaced by exact distributed training.
     """
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1 (got {num_merges})")
     if max_vocab_rows < 1:
         raise ValueError(f"max_vocab_rows must be >= 1 (got {max_vocab_rows})")
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"strategy must be 'auto', 'driver', or 'distributed' "
+            f"(got {strategy!r})"
+        )
     spark = df.sparkSession
-    wc = (
-        word_counts(df, text_col)
-        .orderBy(F.col("n").desc(), F.col("word").asc())
+    wc_df = word_counts(df, text_col)
+    if strategy == "auto":
+        # limit(max+1) bounds the counting job itself: we only need to
+        # know WHETHER the vocabulary exceeds the cap, never by how much
+        over = wc_df.limit(int(max_vocab_rows) + 1).count() > max_vocab_rows
+        strategy = "distributed" if over else "driver"
+    if strategy == "distributed":
+        return _bpe_train_distributed(
+            spark, wc_df, int(num_merges), int(min_pair_count)
+        )
+    pdf = (
+        wc_df.orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(int(max_vocab_rows) + 1)
-        .collect()
+        .select("word", "n")
+        .toPandas()  # Arrow columns of (word, n) — no Row-object overhead
     )
-    if len(wc) > max_vocab_rows:
+    if len(pdf) > max_vocab_rows:
         import warnings
 
         warnings.warn(
             f"bpe_train: vocabulary exceeds max_vocab_rows="
             f"{max_vocab_rows}; training on the {max_vocab_rows} most "
-            f"frequent words (pair counts become lower bounds)",
+            f"frequent words (pair counts become lower bounds) — use "
+            f"strategy='distributed' (or 'auto') for exact training "
+            f"past the driver bound",
             stacklevel=2,
         )
-        wc = wc[: int(max_vocab_rows)]
+        pdf = pdf.iloc[: int(max_vocab_rows)]
     vocab: dict[tuple[str, ...], int] = {}
-    for r in wc:
-        vocab[tuple(r.word)] = vocab.get(tuple(r.word), 0) + r.n
+    for word, n in zip(pdf["word"], pdf["n"]):
+        key = tuple(word)
+        vocab[key] = vocab.get(key, 0) + int(n)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, int(num_merges) + 1):
         counts: dict[tuple[str, str], int] = {}
@@ -177,6 +223,94 @@ def bpe_train(
             key = tuple(out)
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
+        merges.append((rank, lhs, rhs, best))
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, n_pairs long"
+    )
+
+
+def _merge_fold(lhs: str, rhs: str):  # type: ignore[no-untyped-def]
+    """Column expression: re-segment a symbol array by one BPE merge,
+    left-to-right non-overlapping, as a JVM-side ``aggregate`` fold.
+
+    Walking symbols left to right: append each symbol unless the
+    accumulator's last element is ``lhs`` and the current symbol is
+    ``rhs`` — then replace the last element with ``lhs + rhs``. This is
+    exactly the training loop's scan: a merged token can never be
+    re-consumed as ``lhs`` within the same round because that would
+    require ``lhs + rhs == lhs`` (impossible for non-empty ``rhs``), so
+    overlapping occurrences resolve leftmost-first (e.g. merging
+    ``(a, a)`` on ``a a a`` yields ``aa a``, not ``a aa``).
+    """
+    merged = lhs + rhs
+
+    def step(acc, s):  # type: ignore[no-untyped-def]
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (s == F.lit(rhs))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    def fold(col):  # type: ignore[no-untyped-def]
+        return F.aggregate(col, F.array().cast("array<string>"), step)
+
+    return fold
+
+
+def _bpe_train_distributed(
+    spark, wc_df: DataFrame, num_merges: int, min_pair_count: int
+) -> DataFrame:
+    """The executor-resident BPE merge loop behind
+    :func:`bpe_train(strategy="distributed")`. The working set is the
+    word-frequency table as ``(syms array<string>, n)``; each round is
+    one Spark job (pair explode -> aggregate -> 1-row argmax collect)
+    plus a lazy re-segmentation the next round's job materializes.
+    Lineage is truncated every round with ``localCheckpoint`` so the
+    per-round ``aggregate()`` folds never nest in the optimizer.
+    """
+    vocab = (
+        wc_df.select(_nonempty_chars(F.col("word")).alias("syms"), "n")
+        # 1-symbol words can never form a pair in any round; dropping
+        # them up front shrinks every subsequent scan
+        .where(F.size("syms") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        s = F.col("syms")
+        width = F.size(s) - 1
+        pairs = F.zip_with(
+            F.slice(s, 1, F.greatest(width, F.lit(0))),
+            F.slice(s, 2, F.greatest(width, F.lit(0))),
+            lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+        )
+        top = (
+            vocab.select(F.col("n"), F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("n").cast("long").alias("n_pairs"))
+            # TakeOrderedAndProject: partial top-1 per partition, one
+            # row to the driver — the round's entire driver traffic
+            .orderBy(
+                F.col("n_pairs").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n_pairs"] < min_pair_count:
+            break
+        lhs, rhs, best = top[0]["lhs"], top[0]["rhs"], int(top[0]["n_pairs"])
+        fold = _merge_fold(lhs, rhs)
+        vocab = (
+            vocab.select(fold(F.col("syms")).alias("syms"), "n")
+            .where(F.size("syms") >= 2)
+            .localCheckpoint(eager=False)
+        )
         merges.append((rank, lhs, rhs, best))
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, n_pairs long"

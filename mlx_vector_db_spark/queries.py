@@ -688,15 +688,22 @@ def q_text_jaccard_capped(spark, sf_dir):
 
 
 def q_text_jaccard_autocap(spark, sf_dir):
-    """The r6 SELF-CALIBRATING hot-shingle cap: ``max_shingle_freq=
-    "auto"`` derives the cap from the corpus itself as ``max(4,
-    ceil(n_docs / 200))`` (operators/dedup.py jaccard_autocap) — 0.5%
-    of the corpus, the scale-proof replacement for a fixed constant
-    (SCALE.md: cap=4 zeroed recall at 10x the corpus). The oracle
-    recomputes the identical integer rule as a scalar subquery and the
-    identical capped-join semantics, so the driver pins the derivation
-    AND the values. At sf0.01 the derived cap is 4 (500 docs), which
-    genuinely drops the DF-5..7 shingles before the self-join."""
+    """The SELF-CALIBRATING hot-shingle cap, r7 distribution-derived
+    form: ``max_shingle_freq="auto"`` sets the cap to the fan-out-
+    budget knee of the shingle-DF distribution — the largest DF whose
+    cumulative candidate-pair mass sum(cnt(f)*f*(f-1)/2) stays within
+    128 pairs per document, clamped to [4, 1024] (operators/dedup.py
+    fanout_autocap). Unlike the r6 ``ceil(n_docs/200)`` rule this
+    bounds the self-join at O(n_docs) candidate pairs BY CONSTRUCTION,
+    so it stays linear even on replica-family corpora where cluster
+    size grows with the corpus (the regime that drove the r6 rule to
+    heap exhaustion at sf10). The oracle recomputes the identical
+    integer derivation (histogram -> cumsum -> knee -> clamp) as
+    scalar subqueries plus the identical capped-join semantics, so the
+    driver pins the derivation AND the values. At sf0.01 (500 benign
+    docs, 14k candidate pairs < the 64k budget) the knee sits at the
+    max observed DF (7) and nothing is dropped; at sf0.1/sf1/sf10 the
+    budget genuinely binds at caps 11/45/142 (SCALE.md, measured)."""
     pairs = jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.5,
@@ -1685,8 +1692,9 @@ def q_winnow_crossdoc_pairs(spark, sf_dir):
     pair — finds paragraph-level CONTAINMENT that whole-doc MinHash /
     SimHash resemblance misses. Runs the self-calibrating "auto"
     hot-fingerprint cap end-to-end (the oracle recomputes the same
-    min(1024, max(4, ceil(n/200))) rule from the corpus), so the scale
-    tier itself is what the value gate pins."""
+    r7 fan-out-budget knee — histogram -> cumsum(cnt*f*(f-1)/2) ->
+    max f within 128 pairs/doc -> clamp [4, 1024] — from the corpus),
+    so the scale tier itself is what the value gate pins."""
     from mlx_vector_db_spark.operators.quality import winnow_crossdoc_pairs
 
     from mlx_vector_db_spark.rebalance import rebalance_for_compute
@@ -3443,16 +3451,22 @@ FROM walk WHERE is_kept
           FROM h
         ), fp AS (
           SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM m
+        ), fdf AS (
+          SELECT fingerprint, count(*) AS f FROM fp GROUP BY fingerprint
+        ), fhist AS (
+          SELECT f, count(*) AS cnt FROM fdf WHERE f >= 2 GROUP BY f
+        ), fcum AS (
+          SELECT f, sum(cnt * (f * (f - 1) // 2)) OVER (ORDER BY f) AS cum_pairs
+          FROM fhist
         ), cap AS (
-          SELECT least(1024, greatest(4,
-                   CAST(ceil(count(*) / 200.0) AS BIGINT))) AS c
-          FROM documents
-        ), hot AS (
-          SELECT fingerprint FROM fp
-          GROUP BY fingerprint HAVING count(*) > (SELECT c FROM cap)
+          SELECT least(1024, greatest(4, coalesce(
+                   (SELECT max(f) FROM fcum
+                    WHERE cum_pairs <= 128 * (SELECT count(*) FROM documents)),
+                   4))) AS c
         ), kept AS (
           SELECT fp.doc_id, fp.fingerprint FROM fp
-          ANTI JOIN hot ON fp.fingerprint = hot.fingerprint
+          JOIN fdf ON fp.fingerprint = fdf.fingerprint
+          WHERE fdf.f BETWEEN 2 AND (SELECT c FROM cap)
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*)::BIGINT AS n_shared
@@ -3883,22 +3897,35 @@ FROM walk WHERE is_kept
     """
     ),
     # self-calibrating cap: the SAME capped-join semantics as
-    # text_jaccard_capped, with the cap derived from the corpus by the
-    # integer rule max(4, ceil(n_docs / 200)) — mirrored here as a
-    # scalar subquery over the same documents view (ceil-division kept
-    # integral so no float boundary can diverge between engines)
+    # text_jaccard_capped, with the cap derived from the SHINGLE-DF
+    # DISTRIBUTION by the r7 fan-out-budget rule (operators/dedup.py
+    # fanout_autocap): the largest DF value f whose cumulative
+    # candidate-pair mass sum(cnt(f') * f'*(f'-1)/2 for f' in [2, f])
+    # stays within 128 pairs per document, clamped to [4, 1024] —
+    # mirrored here with the identical integer arithmetic (f*(f-1) is
+    # always even, so the // 2 is exact in both engines)
     "text_jaccard_autocap": (
         "WITH "
         + _JACCARD_SHINGLES_BODY.replace("), s AS (", "), s AS MATERIALIZED (")
         + """
-        , cap AS (
-          SELECT least(1024, greatest(4, (count(*) + 199) // 200)) AS c
-          FROM documents
-        ), jg AS (
+        , jg AS (
           SELECT doc_id, unnest(sh) AS tok FROM s
+        ), jdf AS (
+          SELECT tok, count(*) AS f FROM jg GROUP BY tok
+        ), jhist AS (
+          SELECT f, count(*) AS cnt FROM jdf WHERE f >= 2 GROUP BY f
+        ), jcum AS (
+          SELECT f, sum(cnt * (f * (f - 1) // 2)) OVER (ORDER BY f) AS cum_pairs
+          FROM jhist
+        ), cap AS (
+          SELECT least(1024, greatest(4, coalesce(
+                   (SELECT max(f) FROM jcum
+                    WHERE cum_pairs <= 128 * (SELECT count(*) FROM documents)),
+                   4))) AS c
         ), jf AS (
-          SELECT doc_id, tok FROM jg
-          QUALIFY count(*) OVER (PARTITION BY tok) <= (SELECT c FROM cap)
+          SELECT jg.doc_id, jg.tok FROM jg
+          JOIN jdf ON jg.tok = jdf.tok
+          WHERE jdf.f BETWEEN 2 AND (SELECT c FROM cap)
         ), ji AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM jf a JOIN jf b ON a.tok = b.tok AND a.doc_id < b.doc_id

@@ -50,6 +50,13 @@ def get_spark(
         # since pre-AQE estimates ignore filters. On a 1000-executor
         # cluster a 128 MB broadcast is ~128 GB of network — still far
         # cheaper than shuffling the 100 TB fact side.
+        # MEMORY PREREQUISITE: a runtime-converted broadcast build of
+        # up to 128 MB serialized deserializes to a several-fold larger
+        # HashedRelation that must fit on the driver AND every
+        # executor. The 8g driver default below clears that with
+        # headroom; if you LOWER SPARK_GRAFT_DRIVER_MEM below ~4g,
+        # lower this threshold with it (extra_conf) or runtime
+        # broadcasts can OOM the driver.
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
         # lazy localCheckpoints (signature reuse, pushdown fences) are
         # freed by the ContextCleaner only after their RDDs are

@@ -399,47 +399,76 @@ def test_jaccard_cap_bounds_boilerplate_wall_time(spark):
     assert dt < 60, f"capped boilerplate corpus took {dt:.0f}s"
 
 
-def test_jaccard_autocap_rule():
-    """The self-calibrating cap is min(1024, max(4, ceil(n/200))) —
-    integral, so the DuckDB oracle's least/greatest//-derivation is
-    bit-identical."""
-    from mlx_vector_db_spark.operators.dedup import jaccard_autocap
+def test_fanout_autocap_rule(spark):
+    """The r7 self-calibrating cap is the fan-out-budget knee of the
+    key-DF distribution: the largest DF value f whose cumulative
+    candidate-pair mass sum(cnt(f') * f'*(f'-1)/2, f' in [2, f]) stays
+    within pair_budget * n_rows, clamped to [4, 1024] — integral
+    arithmetic throughout, so the DuckDB oracle's histogram/cumsum
+    derivation is bit-identical."""
+    from mlx_vector_db_spark.operators.dedup import fanout_autocap
 
-    assert jaccard_autocap(0) == 4
-    assert jaccard_autocap(500) == 4       # sf0.01
-    assert jaccard_autocap(799) == 4
-    assert jaccard_autocap(801) == 5
-    assert jaccard_autocap(5_000) == 25    # sf0.1
-    assert jaccard_autocap(50_000) == 250  # sf1
-    # absolute ceiling: per-shingle join fan-out is hard-bounded at
-    # 1024^2 rows however large the corpus
-    assert jaccard_autocap(500_000) == 1024
-    assert jaccard_autocap(5_000_000) == 1024
+    def dfreq_of(fs):
+        return spark.createDataFrame([(i, f) for i, f in enumerate(fs)], "k long, _df long")
+
+    # empty table / all-hapax: no f qualifies -> MIN clamp
+    assert fanout_autocap(dfreq_of([]), 1000) == 4
+    assert fanout_autocap(dfreq_of([1] * 50), 1000) == 4
+    # benign corpus: total pair mass far under budget -> the knee sits
+    # at the max OBSERVED DF (clamped up to MIN), i.e. nothing real is
+    # dropped: 100 keys of DF 2 = 100 pairs <= 128*100
+    assert fanout_autocap(dfreq_of([2] * 100), 100) == 4
+    assert fanout_autocap(dfreq_of([2] * 50 + [9] * 10), 100) == 9
+    # binding knee: n=10 -> budget 1280. 20 keys DF 5 (cum 200),
+    # 30 keys DF 8 (cum 200+840=1040), 10 keys DF 20 (cum 2940 > 1280)
+    fs = [5] * 20 + [8] * 30 + [20] * 10
+    assert fanout_autocap(dfreq_of(fs), 10) == 8
+    # even the first band over budget -> MIN clamp (never below 4)
+    assert fanout_autocap(dfreq_of([2] * 100), 0) == 4
+    # absolute ceiling: a within-budget DF past 1024 is still capped
+    assert fanout_autocap(dfreq_of([2000]), 10**9) == 1024
 
 
-def test_jaccard_pairs_auto_cap_matches_explicit(spark):
-    """max_shingle_freq='auto' behaves exactly like the explicitly
-    derived integer cap, and rejects other strings."""
+def test_jaccard_pairs_auto_cap_binds_on_replica_families(spark):
+    """max_shingle_freq='auto' derives the cap from the DF
+    distribution: on a corpus of 10-replica families plus corpus-wide
+    boilerplate, the knee lands exactly at the family size — families
+    stay joinable (the r6 ceil(n/200) rule's blind spot was the
+    reverse: replica growth widened the cap), boilerplate is dropped —
+    and the output equals the explicitly-capped run. Rejects strings
+    other than 'auto'."""
     import pytest as _pt
 
-    from mlx_vector_db_spark.operators.dedup import jaccard_autocap, jaccard_pairs
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
 
-    rng = __import__("numpy").random.default_rng(11)
-    words = [f"w{i}" for i in range(30)]
-    docs = spark.createDataFrame(
-        [(i, " ".join(rng.choice(words, 12))) for i in range(60)],
-        "doc_id long, text string",
-    )
-    cap = jaccard_autocap(60)  # = 4 for a 60-doc corpus
+    # 20 families x 10 replicas: each family shares a distinctive
+    # 12-word text (shingle DF = 10 inside the family); every doc also
+    # carries the same boilerplate sentence (shingle DF = 200).
+    boiler = "this content is licensed under the creative commons attribution"
+    rows = []
+    for fam in range(20):
+        body = " ".join(f"fam{fam}tok{j}" for j in range(12))
+        for rep in range(10):
+            rows.append((fam * 10 + rep, body + " " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # budget = 128*200 = 25600; family shingles (f=10) contribute
+    # 45 pairs each (cum well under budget), boilerplate shingles
+    # (f=200) contribute 19900 each (over budget) -> cap = 10
     auto = {
         (r["id_a"], r["id_b"], round(r["jaccard"], 6))
         for r in jaccard_pairs(docs, threshold=0.2, max_shingle_freq="auto").collect()
     }
     explicit = {
         (r["id_a"], r["id_b"], round(r["jaccard"], 6))
-        for r in jaccard_pairs(docs, threshold=0.2, max_shingle_freq=cap).collect()
+        for r in jaccard_pairs(docs, threshold=0.2, max_shingle_freq=10).collect()
     }
     assert auto == explicit
+    # every within-family pair found (45 per family x 20 families)
+    fam_pairs = {(a, b) for a, b, _ in auto if a // 10 == b // 10}
+    assert len(fam_pairs) == 20 * 45
+    # no cross-family pair: their only shared shingles are boilerplate,
+    # dropped by the derived cap
+    assert all(a // 10 == b // 10 for a, b, _ in auto)
     uncapped = {
         (r["id_a"], r["id_b"], round(r["jaccard"], 6))
         for r in jaccard_pairs(docs, threshold=0.2).collect()
@@ -447,3 +476,27 @@ def test_jaccard_pairs_auto_cap_matches_explicit(spark):
     assert {p[:2] for p in auto} <= {p[:2] for p in uncapped}
     with _pt.raises(ValueError, match="auto"):
         jaccard_pairs(docs, threshold=0.2, max_shingle_freq="automatic").collect()
+
+
+def test_jaccard_pairs_auto_cap_benign_keeps_everything(spark):
+    """On a benign (hapax-dominated, no replica families) corpus the
+    knee rides the MAX clamp and 'auto' output equals UNCAPPED output
+    — self-calibration never costs recall when there is nothing to
+    protect against."""
+    from mlx_vector_db_spark.operators.dedup import jaccard_pairs
+
+    rng = __import__("numpy").random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words, 12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    auto = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(docs, threshold=0.2, max_shingle_freq="auto").collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert auto == uncapped

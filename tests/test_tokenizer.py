@@ -90,7 +90,6 @@ def test_bpe_train_first_merge_matches_pair_counts_argmax(spark):
     df = _docs(spark, [(1, "low low lower"), (2, "newest widest widest")])
     top = (
         bpe_pair_counts(df)
-        .orderBy("n_pairs", ascending=False)
         .orderBy([F.col("n_pairs").desc(), F.col("lhs").asc(), F.col("rhs").asc()])
         .first()
     )
@@ -122,10 +121,89 @@ def test_bpe_encode_overlap_is_left_to_right(spark):
 
 
 def test_bpe_train_truncation_warns(spark):
+    # truncation is now a strategy='driver'-only behavior: the default
+    # 'auto' routes past-the-bound vocabularies to the exact
+    # distributed path instead
     df = _docs(spark, [(1, "a bb ccc dddd")])
     with pytest.warns(UserWarning, match="max_vocab_rows"):
-        out = bpe_train(df, num_merges=1, min_pair_count=1, max_vocab_rows=2)
+        out = bpe_train(
+            df, num_merges=1, min_pair_count=1, max_vocab_rows=2,
+            strategy="driver",
+        )
     assert out.count() == 1
+
+
+def test_bpe_train_distributed_parity_sennrich(spark):
+    """The executor-resident merge loop reproduces the driver loop's
+    merge table exactly on the Sennrich fixture (same argmax, same
+    tie-break, same left-to-right re-segmentation)."""
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = _docs(spark, [(1, text)])
+    expect = [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),
+    ]
+    got = [
+        (r.rank, r.lhs, r.rhs, r.n_pairs)
+        for r in bpe_train(df, num_merges=5, strategy="distributed")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_train_distributed_overlap_and_early_stop(spark):
+    """Overlapping occurrences merge leftmost-first in the fold
+    (merging (a,a) on 'aaaa' counts 3 then re-segments to 'aa aa'),
+    and training stops when the working set runs dry."""
+    df = _docs(spark, [(1, "aaaa aaaa")])
+    got = [
+        (r.rank, r.lhs, r.rhs, r.n_pairs)
+        for r in bpe_train(
+            df, num_merges=10, min_pair_count=1, strategy="distributed"
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    driver = [
+        (r.rank, r.lhs, r.rhs, r.n_pairs)
+        for r in bpe_train(
+            df, num_merges=10, min_pair_count=1, strategy="driver"
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == driver
+    # rounds: (a,a)x3 -> aa aa; (aa,aa)x1 -> aaaa; then no pairs left
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+
+def test_bpe_train_auto_routes_past_bound_exactly(spark):
+    """strategy='auto' with a vocabulary past max_vocab_rows trains
+    distributed — EXACT merge table (no truncation, no warning),
+    matching the untruncated driver run."""
+    import warnings
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = _docs(spark, [(1, text)])
+    full = [
+        (r.rank, r.lhs, r.rhs, r.n_pairs)
+        for r in bpe_train(df, num_merges=4, strategy="driver")
+        .orderBy("rank")
+        .collect()
+    ]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any truncation warning fails
+        auto = [
+            (r.rank, r.lhs, r.rhs, r.n_pairs)
+            for r in bpe_train(df, num_merges=4, max_vocab_rows=2)
+            .orderBy("rank")
+            .collect()
+        ]
+    assert auto == full
 
 
 def test_bpe_train_rejects_bad_params(spark):
@@ -134,6 +212,8 @@ def test_bpe_train_rejects_bad_params(spark):
         bpe_train(df, num_merges=0)
     with pytest.raises(ValueError):
         bpe_train(df, num_merges=1, max_vocab_rows=0)
+    with pytest.raises(ValueError):
+        bpe_train(df, num_merges=1, strategy="bogus")
 
 
 def test_vocab_coverage_rejects_bad_size(spark):
