@@ -73,6 +73,16 @@ def _consume(df) -> None:
 #: alias one unlucky run into a plan-regression signal
 N_REPS = 3
 
+#: noise sentinel: one fixed, plan-stable query re-timed at the start,
+#: middle, and end of the bench. Its medians move ONLY with host load
+#: (the plan never changes within a run), so the ratio max/min of the
+#: three is an in-artifact estimate of the session's environmental
+#: noise band — a cross-round delta inside the recorded band is
+#: weather, not a plan regression (the r6 driver run inflated every
+#: untouched query ~1.2x vs a flat same-machine sidecar, which made
+#: regressions unreadable without this).
+SENTINEL = "region_revenue"
+
 
 def _median(xs: list[float]) -> float:
     xs = sorted(xs)
@@ -131,9 +141,25 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             errors[name] = repr(exc)[:300]
 
+    def _sentinel_median() -> float:
+        try:
+            reps = []
+            for _ in range(N_REPS):
+                t0 = time.perf_counter()
+                _consume(QUERIES[SENTINEL](spark, sf_dir))
+                reps.append(time.perf_counter() - t0)
+            return round(_median(reps), 4)
+        except Exception as exc:  # noqa: BLE001 — isolation by design
+            errors[f"sentinel:{SENTINEL}"] = repr(exc)[:300]
+            return -1.0
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    sentinel_meds: list[float] = [_sentinel_median()]
     total = 0.0
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
+        if i == len(BENCH_QUERIES) // 2:
+            sentinel_meds.append(_sentinel_median())
         if name in errors:
             timings[name] = -1.0  # broke in warm-up: don't re-crash
             continue
@@ -146,6 +172,7 @@ def main() -> int:
                 reps.append(time.perf_counter() - t0)
             dt = _median(reps)
             timings[name] = round(dt, 3)
+            spreads[name] = round(max(reps) - min(reps), 3)
             total += dt
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
@@ -153,6 +180,7 @@ def main() -> int:
         # off-clock: free dead checkpoint blocks between queries so a
         # long bench measures plans, not cumulative storage pressure
         release_intermediates(spark)
+    sentinel_meds.append(_sentinel_median())
 
     # batched-throughput figure: every embedding row queries the whole
     # table at once (N x N scoring + per-query top-10), the batch
@@ -182,12 +210,22 @@ def main() -> int:
         timings["knn_batch_qps"] = -1.0
         errors["knn_batch_all_vs_all"] = repr(exc)[:300]
 
+    good = [m for m in sentinel_meds if m > 0]
     out = {
         "metric": "bench_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "reps_per_query": N_REPS,
         "queries": timings,
+        # max-min over the N_REPS of each query, in seconds: how much a
+        # single query's repetitions wobbled within this session
+        "spread": spreads,
+        # the same plan timed at bench start/middle/end: drift here is
+        # host weather, not code — cross-round per-query deltas within
+        # noise_band (= max/min of the three medians) are not plan
+        # regressions
+        "sentinel": {"query": SENTINEL, "medians": sentinel_meds},
+        "noise_band": round(max(good) / min(good), 3) if good else -1.0,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
