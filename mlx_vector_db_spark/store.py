@@ -610,15 +610,26 @@ class VectorStore:
     def to_df(self) -> DataFrame:
         """The store as a DataFrame (scan, with pushdown-capable columns),
         resolved through the current manifest snapshot when one exists."""
+        return self._snapshot_df()[1]
+
+    def _snapshot_df(self) -> tuple[list[Path], DataFrame]:
+        """``(files, DataFrame over exactly those files)`` — ONE
+        resolution of the current snapshot. Full-rewrite mutations must
+        use this pair and pass the same ``files`` to
+        :meth:`_swap_all_files`: resolving the touched set again at
+        swap time would classify any file APPENDED between the two
+        resolutions as touched — replaced by staged output that never
+        read its rows, i.e. a silently lost append (caught by the
+        streaming-ingest-vs-optimize composition test)."""
         files = self._data_files()
         if not files:
-            return self._empty()
+            return files, self._empty()
         reader = self.catalog.spark.read.schema(self.schema)
         if self._cell_partitioned():
             # explicit file lists drop Hive partition-dir resolution;
             # basePath restores the centroid_id partition column
             reader = reader.option("basePath", str(self.data_dir))
-        return reader.parquet(*[str(f) for f in files])
+        return files, reader.parquet(*[str(f) for f in files])
 
     # -- ingest ------------------------------------------------------------
 
@@ -1086,12 +1097,28 @@ class VectorStore:
             except OSError:  # stranded orphan — vacuum reaps it
                 pass
 
-    def _swap_all_files(self, staging: Path) -> None:
+    def _swap_all_files(
+        self, staging: Path, snapshot: Sequence[Path] | None = None
+    ) -> None:
         """Full-rewrite commit (optimize/build_index/build_pq/truncating
-        mutations): same protocol as the pruned swap with every current
-        live file replaced. Replaces the old rmtree+rename, whose window
-        between the two calls read as an empty store."""
-        self._swap_pruned_files(staging, sorted(set(self._data_files())))
+        mutations): same protocol as the pruned swap with every file of
+        the rewrite's input snapshot replaced. Replaces the old
+        rmtree+rename, whose window between the two calls read as an
+        empty store.
+
+        ``snapshot`` is the file list the staged rewrite was READ from
+        (:meth:`_snapshot_df`). Passing it is what makes a concurrent
+        append compose: files appended after the snapshot are not in
+        the touched set, so the CAS re-read carries them into the new
+        manifest untouched. Omitting it re-resolves at swap time —
+        correct only when no appender can run concurrently (the
+        snapshot-to-swap window would otherwise swallow their rows)."""
+        touched = (
+            sorted(set(snapshot))
+            if snapshot is not None
+            else sorted(set(self._data_files()))
+        )
+        self._swap_pruned_files(staging, touched)
 
     def upsert_vectors(
         self,
@@ -1200,7 +1227,8 @@ class VectorStore:
         # full staging swap (cell-partitioned layout, tiny stores, or
         # every file overlaps): observations keep it at one write job
         obs_b, obs_a = Observation(), Observation()
-        existing = self.to_df().observe(obs_b, F.count(F.lit(1)).alias("n"))
+        snapshot, snap_df = self._snapshot_df()
+        existing = snap_df.observe(obs_b, F.count(F.lit(1)).alias("n"))
         kept = existing.join(new.select("id"), on="id", how="left_anti")
         merged = kept.unionByName(new.select(*fields)).observe(
             obs_a, F.count(F.lit(1)).alias("n")
@@ -1212,7 +1240,7 @@ class VectorStore:
         writer.parquet(str(staging))
         before = int(obs_b.get["n"])
         after = int(obs_a.get["n"])
-        self._swap_all_files(staging)
+        self._swap_all_files(staging, snapshot)
         new.unpersist()
         inserted = after - before
         return n_new - inserted, inserted
@@ -1294,7 +1322,9 @@ class VectorStore:
                 "index's centroids — rebuilding the index would corrupt them; "
                 "drop_pq() first, rebuild the index, then build_pq() again"
             )
-        df = self.to_df().drop("centroid_id") if self.config.index else self.to_df()
+        snapshot, df = self._snapshot_df()
+        if self.config.index:
+            df = df.drop("centroid_id")
         if df.isEmpty():
             raise ValueError("cannot build an index on an empty store")
         if kind == "ivf":
@@ -1325,7 +1355,7 @@ class VectorStore:
             ).parquet(str(staging))
         else:
             out.write.mode("overwrite").parquet(str(staging))
-        self._swap_all_files(staging)
+        self._swap_all_files(staging, snapshot)
         self.config.index = index.to_dict()
         self.config.index["partitioned"] = bool(partition_by_cell)
         self._ivf_cache = index
@@ -1369,7 +1399,9 @@ class VectorStore:
         centroids, so they always get plain codes."""
         from mlx_vector_db_spark.operators.pq import train_pq
 
-        df = self.to_df().drop("pq_code") if self.config.pq else self.to_df()
+        snapshot, df = self._snapshot_df()
+        if self.config.pq:
+            df = df.drop("pq_code")
         if df.isEmpty():
             raise ValueError("cannot train PQ on an empty store")
         ivf = self._ivf()
@@ -1395,7 +1427,7 @@ class VectorStore:
         if self._cell_partitioned():
             writer = writer.partitionBy("centroid_id")
         writer.parquet(str(staging))
-        self._swap_all_files(staging)
+        self._swap_all_files(staging, snapshot)
         self.config.pq = pqc.to_dict()
         self.config.pq["residual"] = bool(use_residual)
         self._pq_cache = pqc
@@ -1775,7 +1807,7 @@ class VectorStore:
 
         # predicate delete / cell-partitioned layout: full anti-filter
         # rewrite; before/after counts ride the write job as observations
-        df = self.to_df()
+        snapshot, df = self._snapshot_df()
         doomed = df
         if ids is not None:
             doomed = doomed.where(F.col("id").isin([int(i) for i in ids]))
@@ -1792,7 +1824,7 @@ class VectorStore:
         writer.parquet(str(staging))
         before = int(obs_b.get["n"])
         after = int(obs_a.get["n"])
-        self._swap_all_files(staging)
+        self._swap_all_files(staging, snapshot)
         return before - after
 
     #: dedup_vectors collects doomed ids to the driver only below this
@@ -1931,7 +1963,7 @@ class VectorStore:
         file instead of every file whose accumulated append range
         happens to overlap (the OPTIMIZE ZORDER analog for the
         single-key case)."""
-        df = self.to_df()
+        snapshot, df = self._snapshot_df()
         if df.isEmpty():
             return 0
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
@@ -1951,7 +1983,10 @@ class VectorStore:
             )
         else:
             df.coalesce(target_files).write.mode("overwrite").parquet(str(staging))
-        self._swap_all_files(staging)
+        # swap exactly the snapshot we compacted: a file appended after
+        # _snapshot_df() is NOT touched and rides the CAS re-read into
+        # the new manifest (the streaming-ingest composition guarantee)
+        self._swap_all_files(staging, snapshot)
         self._max_id_seen = None  # layout changed; recompute lazily
         return len(self._data_files())
 

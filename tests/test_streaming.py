@@ -548,3 +548,91 @@ def test_streaming_ingest_dedup_on_write(spark, tmp_path):
     q.stop()
     # 10 from batch 1 + only the 4 novel rows from batch 2
     assert store.count() == 14
+
+
+def test_streaming_ingest_concurrent_with_optimize_and_vacuum(spark, tmp_path):
+    """End-to-end CAS composition (the scenario the r6 optimistic
+    concurrency machinery exists for): a REAL micro-batch ingest stream
+    appends through foreachBatch WHILE a maintenance thread on a
+    separate store handle runs optimize() + vacuum() in a loop. Zero
+    lost epochs: every batch's rows land (the append CAS loop folds
+    around the compactor's swaps, and the compactor's CAS re-read folds
+    in files appended mid-rewrite), the idempotency ledger records every
+    epoch completed, and the store stays queryable afterwards."""
+    import threading
+    import time as _time
+
+    from mlx_vector_db_spark.streaming.ingest import job_status
+
+    rng = np.random.default_rng(11)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    n_batches, rows_per = 10, 20
+    for b in range(n_batches):
+        rows = [
+            (b * rows_per + i, rng.random(8).astype(np.float32).tolist())
+            for i in range(rows_per)
+        ]
+        spark.createDataFrame(rows, "id long, embedding array<float>").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("concur", "m", dimension=8)
+    # maintenance job on its OWN handle, as in production (different
+    # snapshot view; only the manifest protocol coordinates them)
+    maint = cat.get_store("concur", "m")
+    stop = threading.Event()
+    compactions: list[int] = []
+    errors: list[BaseException] = []
+
+    def compactor() -> None:
+        while not stop.is_set():
+            try:
+                if maint.count() > 0:
+                    compactions.append(maint.optimize(target_files=2))
+                    # min_age 10s: reaps superseded manifests from
+                    # earlier iterations without racing the ingest's
+                    # in-flight (written-but-uncommitted) append files
+                    cat.vacuum(min_age_seconds=10)
+            except BaseException as exc:  # noqa: BLE001 — surfaced below
+                errors.append(exc)
+                return
+            _time.sleep(0.05)
+
+    t = threading.Thread(target=compactor, daemon=True)
+    t.start()
+    try:
+        stream = (
+            spark.readStream.schema("id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_ingest_vectors(
+            stream,
+            store,
+            str(tmp_path / "ckpt"),
+            operations_log=str(tmp_path / "ops"),
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, f"maintenance loop died: {errors[0]!r}"
+    assert compactions, "optimize never ran concurrently with the stream"
+
+    # zero lost epochs: every row of every batch is in the final
+    # manifest despite the interleaved rewrites
+    final = cat.get_store("concur", "m")
+    assert final.count() == n_batches * rows_per
+    ids = {r["id"] for r in final.to_df().select("id").collect()}
+    assert ids == set(range(n_batches * rows_per))
+    # ledger: all epochs committed exactly once, no failures recorded
+    status = job_status(spark, str(tmp_path / "ops"), "vector_ingest").first()
+    assert status["n_batches"] == n_batches
+    assert status["rows_total"] == n_batches * rows_per
+    assert status["status"] == "completed"
+    # lifecycle stays green: the compacted+appended store answers queries
+    probe = final.to_df().select("embedding").first()["embedding"]
+    assert final.query(probe, k=1).count() == 1
