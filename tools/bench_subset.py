@@ -39,11 +39,12 @@ DEFAULT_SUBSET = [
     "doc_perplexity",
     "bm25_topk",
     "chunk_documents",
-    # winnow_crossdoc_pairs is deliberately absent: on the scaled
-    # corpus every source doc has R verbatim-word-run replicas, so the
-    # TRUE cross-doc containment pair set is Θ(R²) per family (~2.5B
-    # pairs at sf100) — the workload is quadratic by corpus
-    # construction, like knn_batch_all_vs_all; see SCALE.md
+    # r7: the distribution-derived fan-out-budget auto-cap bounds both
+    # entries at O(n_docs) candidate pairs by construction, so the
+    # former sf10 exclusions (r6 heap exhaustion on the replica-family
+    # corpus) are back in the measured subset
+    "text_jaccard_autocap",
+    "winnow_crossdoc_pairs",
     "bpe_pair_counts",
     "vocab_coverage",
 ]
@@ -54,6 +55,7 @@ def main() -> int:
     ap.add_argument("sf_dir")
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--stat", choices=["min", "median"], default="min")
     ap.add_argument("names", nargs="*", default=None)
     args = ap.parse_args()
     names = args.names or DEFAULT_SUBSET
@@ -70,14 +72,20 @@ def main() -> int:
             QUERIES[name](spark, args.sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = float("inf")
+            reps: list[float] = []
             for _ in range(args.reps):
                 t0 = time.monotonic()
                 QUERIES[name](spark, args.sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.monotonic() - t0)
-            timings[name] = round(best, 2)
+                reps.append(time.monotonic() - t0)
+            reps.sort()
+            if args.stat == "median":
+                mid = len(reps) // 2
+                val = reps[mid] if len(reps) % 2 else (reps[mid - 1] + reps[mid]) / 2
+            else:
+                val = reps[0]
+            timings[name] = round(val, 2)
         except Exception as exc:  # noqa: BLE001 — per-query isolation
             errors[name] = repr(exc)[:300]
             timings[name] = -1.0
@@ -86,7 +94,7 @@ def main() -> int:
     out = {
         "sf": args.sf if args.sf % 1 else int(args.sf),
         "reps": args.reps,
-        "stat": "min",
+        "stat": args.stat,
         "note": (
             "targeted linear-path subset; uncapped/audit tiers and the "
             "O(N^2)-by-construction all-vs-all batch benchmark excluded "
