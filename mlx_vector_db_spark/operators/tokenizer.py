@@ -167,6 +167,11 @@ def bpe_train(
     spark = df.sparkSession
     wc_df = word_counts(df, text_col)
     if strategy == "auto":
+        # the routing probe would otherwise re-scan the corpus on top
+        # of training's own read — checkpoint the word count so the
+        # probe materializes it once and training reads the blocks
+        # (the "corpus scanned exactly ONCE" contract holds for auto)
+        wc_df = wc_df.localCheckpoint(eager=False)
         # limit(max+1) bounds the counting job itself: we only need to
         # know WHETHER the vocabulary exceeds the cap, never by how much
         over = wc_df.limit(int(max_vocab_rows) + 1).count() > max_vocab_rows
