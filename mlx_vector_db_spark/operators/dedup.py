@@ -169,6 +169,74 @@ def minhash_signature(
     return F.array(*[min_hash_k(k) for k in range(num_hashes)])
 
 
+#: "auto" hot-key-cap rule (r7, distribution-derived): the cap is the
+#: FAN-OUT-BUDGET KNEE of the key document-frequency distribution —
+#: the largest DF value ``f`` such that the candidate pairs contributed
+#: by every key of DF <= f, ``sum over f' in [2, f] of
+#: cnt(f') * f'*(f'-1)/2``, stays within ``PAIR_BUDGET * n_docs`` —
+#: clamped to [MIN, MAX]. This replaces the r6 proportional rule
+#: ``ceil(n_docs / 200)``, which collapsed to the uncapped quadratic
+#: tier on replica-family corpora: when duplicate-cluster size ALSO
+#: grows with the corpus (the sf-scaling bench corpus; real-world
+#: replica crawls), a cap proportional to n_docs widens exactly in
+#: step with the clusters and the self-join fan-out goes quadratic
+#: again (measured: heap exhaustion at sf10 pre-ceiling; excluded from
+#: the sf10 subset post-ceiling). The budget rule bounds the
+#: self-join's candidate-pair mass at ``PAIR_BUDGET * n_docs`` BY
+#: CONSTRUCTION — linear in corpus size no matter how adversarial the
+#: DF distribution — while on benign (hapax-dominated) corpora the
+#: cumulative mass never reaches the budget, the knee sits at the max
+#: OBSERVED DF, and nothing at all is dropped. The default budget of 128
+#: candidate pairs per document admits duplicate families up to
+#: ~sqrt(2*128) = 16 replicas (a family of F docs inherently costs
+#: F*(F-1)/2 pairs per shared shingle — the OUTPUT is quadratic in F,
+#: so any pair-emitting operator must budget for it); corpora with
+#: larger replica clusters raise ``pair_budget`` explicitly. Integer
+#: arithmetic throughout (f*(f-1) is always even, so the /2 is exact)
+#: keeps the rule bit-mirrorable in a relational oracle.
+JACCARD_AUTOCAP_MIN = 4
+JACCARD_AUTOCAP_MAX = 1024
+JACCARD_AUTOCAP_PAIR_BUDGET = 128
+
+
+def fanout_autocap(
+    dfreq: DataFrame,
+    n_rows: int,
+    pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
+    df_col: str = "_df",
+) -> int:
+    """Derive the "auto" hot-key cap from a key document-frequency
+    table: the largest DF value ``f`` whose cumulative candidate-pair
+    mass ``sum over f' in [2, f] of cnt(f') * f'*(f'-1)/2`` is within
+    ``pair_budget * n_rows``, clamped to
+    [``JACCARD_AUTOCAP_MIN``, ``JACCARD_AUTOCAP_MAX``].
+
+    ``dfreq`` is one row per key with its document frequency in
+    ``df_col`` (the aggregate both callers already build for the
+    kept-band filter, so the derivation adds no new corpus pass). The
+    DF histogram this aggregates to is tiny — at most one row per
+    distinct DF value, bounded by the hottest key's DF — so the
+    single-partition window cumsum and the 1-row max() collect are
+    driver-negligible by construction.
+    """
+    budget = int(pair_budget) * int(n_rows)
+    hist = (
+        dfreq.where(F.col(df_col) >= 2)
+        .groupBy(F.col(df_col).alias("_f"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn(
+        "_cum",
+        F.sum(F.col("_cnt") * F.expr("_f * (_f - 1) DIV 2")).over(w),
+    )
+    row = cum.where(F.col("_cum") <= F.lit(budget)).agg(F.max("_f")).first()
+    best = row[0] if row is not None else None
+    if best is None:
+        best = JACCARD_AUTOCAP_MIN
+    return min(JACCARD_AUTOCAP_MAX, max(JACCARD_AUTOCAP_MIN, int(best)))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -178,8 +246,9 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     sketch_prefilter: float | str | None = "auto",
+    autocap_pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -226,7 +295,13 @@ def minhash_lsh_pairs(
     cap are dropped *before* the join, bounding per-bucket fan-out at
     max_bucket_size²; a pair sharing a dropped bucket is still found
     through any of its other ``bands-1`` bands, so recall degrades
-    gracefully rather than the job dying.
+    gracefully rather than the job dying. ``"auto"`` (r7) derives the
+    cap from the BUCKET-SIZE distribution with the shared
+    fan-out-budget knee (:func:`fanout_autocap`): total banding
+    candidate pairs bounded at ``autocap_pair_budget`` (default 128)
+    per document by construction — the same self-calibration as
+    :func:`jaccard_pairs`' ``max_shingle_freq="auto"``, keyed on
+    bucket sizes instead of shingle DF.
 
     Precondition: ``id_col`` values must be UNIQUE (it is the document
     key). A duplicated id yields one signature row per occurrence, and
@@ -299,6 +374,23 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if isinstance(max_bucket_size, str):
+        if max_bucket_size != "auto":
+            raise ValueError(
+                f"max_bucket_size must be an int, None, or 'auto' "
+                f"(got {max_bucket_size!r})"
+            )
+        # self-calibrating cap (r7): the fan-out-budget knee of the
+        # BUCKET-SIZE distribution — same rule, same rationale, same
+        # bound as jaccard_pairs' "auto" shingle cap: total banding
+        # candidate pairs <= autocap_pair_budget * n_docs by
+        # construction, replica families up to ~sqrt(2*budget) kept
+        sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        max_bucket_size = fanout_autocap(
+            sizes, df.count(), autocap_pair_budget
+        )
     if max_bucket_size is not None:
         # count shares the join's (band, band_hash) clustering, so the
         # window adds no extra shuffle beyond what the self-join needs
@@ -520,8 +612,9 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
     seed: int = 7,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     signatures: DataFrame | None = None,
+    autocap_pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
 ) -> DataFrame:
     """SimHash near-dup pairs with banded blocking.
 
@@ -536,6 +629,9 @@ def simhash_pairs(
     minhash_lsh_pairs for the rationale. Unlike MinHash, a dropped
     SimHash bucket *can* lose pairs whose only agreeing band it was —
     the cap trades bounded worst-case cost for that recall edge.
+    ``"auto"`` derives the cap from the bucket-size distribution with
+    the shared fan-out-budget knee (:func:`fanout_autocap`, bounded at
+    ``autocap_pair_budget`` candidate pairs per document).
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -561,6 +657,16 @@ def simhash_pairs(
             )
         ).alias("band", "band_key"),
     )
+    if isinstance(max_bucket_size, str):
+        if max_bucket_size != "auto":
+            raise ValueError(
+                f"max_bucket_size must be an int, None, or 'auto' "
+                f"(got {max_bucket_size!r})"
+            )
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        max_bucket_size = fanout_autocap(sizes, df.count(), autocap_pair_budget)
     if max_bucket_size is not None:
         bucket_w = Window.partitionBy("band", "band_key")
         bands = (
@@ -579,73 +685,6 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
 
-
-#: "auto" hot-key-cap rule (r7, distribution-derived): the cap is the
-#: FAN-OUT-BUDGET KNEE of the key document-frequency distribution —
-#: the largest DF value ``f`` such that the candidate pairs contributed
-#: by every key of DF <= f, ``sum over f' in [2, f] of
-#: cnt(f') * f'*(f'-1)/2``, stays within ``PAIR_BUDGET * n_docs`` —
-#: clamped to [MIN, MAX]. This replaces the r6 proportional rule
-#: ``ceil(n_docs / 200)``, which collapsed to the uncapped quadratic
-#: tier on replica-family corpora: when duplicate-cluster size ALSO
-#: grows with the corpus (the sf-scaling bench corpus; real-world
-#: replica crawls), a cap proportional to n_docs widens exactly in
-#: step with the clusters and the self-join fan-out goes quadratic
-#: again (measured: heap exhaustion at sf10 pre-ceiling; excluded from
-#: the sf10 subset post-ceiling). The budget rule bounds the
-#: self-join's candidate-pair mass at ``PAIR_BUDGET * n_docs`` BY
-#: CONSTRUCTION — linear in corpus size no matter how adversarial the
-#: DF distribution — while on benign (hapax-dominated) corpora the
-#: cumulative mass never reaches the budget, the knee sits at the max
-#: OBSERVED DF, and nothing at all is dropped. The default budget of 128
-#: candidate pairs per document admits duplicate families up to
-#: ~sqrt(2*128) = 16 replicas (a family of F docs inherently costs
-#: F*(F-1)/2 pairs per shared shingle — the OUTPUT is quadratic in F,
-#: so any pair-emitting operator must budget for it); corpora with
-#: larger replica clusters raise ``pair_budget`` explicitly. Integer
-#: arithmetic throughout (f*(f-1) is always even, so the /2 is exact)
-#: keeps the rule bit-mirrorable in a relational oracle.
-JACCARD_AUTOCAP_MIN = 4
-JACCARD_AUTOCAP_MAX = 1024
-JACCARD_AUTOCAP_PAIR_BUDGET = 128
-
-
-def fanout_autocap(
-    dfreq: DataFrame,
-    n_rows: int,
-    pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
-    df_col: str = "_df",
-) -> int:
-    """Derive the "auto" hot-key cap from a key document-frequency
-    table: the largest DF value ``f`` whose cumulative candidate-pair
-    mass ``sum over f' in [2, f] of cnt(f') * f'*(f'-1)/2`` is within
-    ``pair_budget * n_rows``, clamped to
-    [``JACCARD_AUTOCAP_MIN``, ``JACCARD_AUTOCAP_MAX``].
-
-    ``dfreq`` is one row per key with its document frequency in
-    ``df_col`` (the aggregate both callers already build for the
-    kept-band filter, so the derivation adds no new corpus pass). The
-    DF histogram this aggregates to is tiny — at most one row per
-    distinct DF value, bounded by the hottest key's DF — so the
-    single-partition window cumsum and the 1-row max() collect are
-    driver-negligible by construction.
-    """
-    budget = int(pair_budget) * int(n_rows)
-    hist = (
-        dfreq.where(F.col(df_col) >= 2)
-        .groupBy(F.col(df_col).alias("_f"))
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
-    w = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.withColumn(
-        "_cum",
-        F.sum(F.col("_cnt") * F.expr("_f * (_f - 1) DIV 2")).over(w),
-    )
-    row = cum.where(F.col("_cum") <= F.lit(budget)).agg(F.max("_f")).first()
-    best = row[0] if row is not None else None
-    if best is None:
-        best = JACCARD_AUTOCAP_MIN
-    return min(JACCARD_AUTOCAP_MAX, max(JACCARD_AUTOCAP_MIN, int(best)))
 
 
 def jaccard_pairs(

@@ -500,3 +500,81 @@ def test_jaccard_pairs_auto_cap_benign_keeps_everything(spark):
         for r in jaccard_pairs(docs, threshold=0.2).collect()
     }
     assert auto == uncapped
+
+
+def test_minhash_auto_bucket_cap_binds_on_boilerplate(spark):
+    """max_bucket_size='auto' on the banding path: the budget knee
+    derived from the BUCKET-SIZE distribution drops the corpus-wide
+    boilerplate bucket (every doc bands identically on an
+    all-same-text corpus slice) while identical-pair recall inside
+    normal-size families survives via their own buckets; equals the
+    explicitly-capped run and stays a subset of uncapped."""
+    from mlx_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = __import__("numpy").random.default_rng(5)
+    words = [f"tok{i}" for i in range(400)]
+    rows = []
+    # 30 families x 4 replicas of distinctive text -> buckets of ~4
+    for fam in range(30):
+        body = " ".join(rng.choice(words, 20))
+        for rep in range(4):
+            rows.append((fam * 4 + rep, body))
+    # 80 docs of identical boilerplate -> one bucket of 80 in EVERY band
+    for i in range(80):
+        rows.append((1000 + i, "all rights reserved please do not copy this page"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size="auto", sketch_prefilter=None
+        ).collect()
+    }
+    # knee: family buckets (size 4, 6 pairs each) fit the 128*200
+    # budget; the 80-doc boilerplate buckets (3160 pairs each x 16
+    # bands) blow it -> cap lands in [4, 79]
+    explicit = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size=4, sketch_prefilter=None
+        ).collect()
+    }
+    # family pairs all found in both (identical texts band identically)
+    fams = {(a, b) for a, b in auto if a < 1000 and b < 1000}
+    assert len(fams) == 30 * 6
+    assert all(a // 4 == b // 4 for a, b in fams)
+    # boilerplate's 80x79/2 pair clique is gone
+    assert not any(a >= 1000 for a, _ in auto)
+    assert auto == explicit
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, sketch_prefilter=None
+        ).collect()
+    }
+    assert auto <= uncapped
+    with __import__("pytest").raises(ValueError, match="auto"):
+        minhash_lsh_pairs(docs, max_bucket_size="automatic").collect()
+
+
+def test_simhash_auto_bucket_cap_matches_explicit(spark):
+    """simhash_pairs max_bucket_size='auto': same knee, keyed on
+    (band, band_key) bucket sizes; benign corpus -> auto == uncapped."""
+    from mlx_vector_db_spark.operators.dedup import simhash_pairs
+
+    rng = __import__("numpy").random.default_rng(9)
+    words = [f"w{i}" for i in range(300)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words, 15))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    auto = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_bucket_size="auto").collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs).collect()
+    }
+    assert auto == uncapped
+    with __import__("pytest").raises(ValueError, match="auto"):
+        simhash_pairs(docs, max_bucket_size="never").collect()
