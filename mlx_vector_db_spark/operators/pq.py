@@ -55,7 +55,13 @@ from mlx_vector_db_spark.operators.ann import _kmeans_numpy
 from mlx_vector_db_spark.operators.knn import knn_join
 from mlx_vector_db_spark.operators.topk import top_k_per_group
 
-__all__ = ["PQCodebooks", "train_pq", "pq_search_batch", "ivfpq_search_batch"]
+__all__ = [
+    "PQCodebooks",
+    "train_pq",
+    "pq_search_batch",
+    "ivfpq_search_batch",
+    "tune_overfetch",
+]
 
 
 class PQCodebooks:
@@ -502,3 +508,92 @@ def ivfpq_search_batch(
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
     )
+
+
+def tune_overfetch(
+    coded: DataFrame,
+    queries: DataFrame,
+    pq: PQCodebooks,
+    k: int = 10,
+    target_recall: float = 0.9,
+    metric: str = "cosine",
+    candidates: Sequence[int] | None = None,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 4,
+    id_col: str = "id",
+    code_col: str = "pq_code",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> tuple[int, dict[int, float]]:
+    """Pick the smallest ``overfetch`` whose measured recall@k on a
+    sampled query set meets ``target_recall`` — the PQ twin of
+    :func:`~mlx_vector_db_spark.operators.ann.tune_nprobe` (the
+    reference hand-sweeps its accuracy knobs in
+    tests/performance_demo_hnsw.py:96; this makes the PQ candidate-pool
+    knob self-calibrating too).
+
+    ``overfetch`` is PQ's only accuracy lever at fixed codebooks: the
+    ADC scan keeps ``k * overfetch`` candidates per query and the exact
+    re-rank can only surface true neighbors that survived that pool.
+    One exact kNN pass over the sampled queries supplies the ground
+    truth (checkpointed — amortized across every candidate), then one
+    compressed search per candidate, ascending, stopping at the first
+    that clears the target. Default ladder: 1, 2, 4, ... 32. Returns
+    ``(overfetch, recall_curve)`` with every TRIED candidate's measured
+    recall; if no candidate reaches the target the largest tried is
+    returned — with ``centroids`` (residual IVF-PQ) the recall CEILING
+    is set by ``nprobe``'s cell pruning, so a saturating curve says
+    "raise nprobe", not "raise overfetch" (tune nprobe first).
+
+    Cost: sample tens of queries, not the corpus — one exact batch kNN
+    over the sample plus a few compressed searches.
+    """
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    ladder = (
+        sorted({max(1, int(c)) for c in candidates})
+        if candidates is not None
+        else [1, 2, 4, 8, 16, 32]
+    )
+    drop_cols = [code_col] + (["centroid_id"] if centroids is not None else [])
+    exact = (
+        knn_join(
+            coded.drop(*drop_cols),
+            queries,
+            k=k,
+            metric=metric,
+            id_col=id_col,
+            query_vec_col=query_vec_col,
+            query_id_col=query_id_col,
+        )
+        .select(F.col(query_id_col).alias("query_id"), F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    n_truth = exact.count()
+    if n_truth == 0:
+        raise ValueError("empty query sample — nothing to tune on")
+    curve: dict[int, float] = {}
+    chosen = ladder[-1]
+    for c in ladder:
+        if centroids is not None:
+            approx = ivfpq_search_batch(
+                coded, queries, pq, centroids, k=k, metric=metric,
+                nprobe=nprobe, overfetch=c, id_col=id_col,
+                code_col=code_col, query_vec_col=query_vec_col,
+                query_id_col=query_id_col,
+            )
+        else:
+            approx = pq_search_batch(
+                coded, queries, pq, k=k, metric=metric, overfetch=c,
+                id_col=id_col, code_col=code_col,
+                query_vec_col=query_vec_col, query_id_col=query_id_col,
+            )
+        hits = approx.select("query_id", id_col).join(
+            exact, on=["query_id", id_col]
+        ).count()
+        recall = hits / n_truth
+        curve[c] = recall
+        if recall >= target_recall:
+            chosen = c
+            break
+    return chosen, curve

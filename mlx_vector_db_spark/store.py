@@ -1286,6 +1286,52 @@ class VectorStore:
             norm_col="norm",
         )
 
+    def tune_overfetch(
+        self,
+        k: int = 10,
+        target_recall: float = 0.9,
+        sample_queries: int = 64,
+        candidates: Sequence[int] | None = None,
+        nprobe: int | None = None,
+    ) -> tuple[int, dict[int, float]]:
+        """Self-calibrate the PQ candidate-pool knob: measure recall@k
+        of compressed-domain search (ADC + exact re-rank; residual
+        IVF-PQ when the store's codes are residual) against the exact
+        scan on the same deterministic self-retrieval sample as
+        :meth:`tune_nprobe`, and return the smallest ``overfetch``
+        meeting ``target_recall`` plus the measured curve. With
+        residual codes the recall ceiling is set by ``nprobe`` (default:
+        the store's configured/tuned value) — a saturating curve means
+        tune nprobe first. Requires built PQ codes."""
+        from mlx_vector_db_spark.operators.pq import tune_overfetch
+
+        pqc = self._pq()
+        if pqc is None:
+            raise ValueError(
+                "tune_overfetch requires PQ codes — run build_pq() first"
+            )
+        residual = bool((self.config.pq or {}).get("residual"))
+        cent = self._ivf().centroids if residual else None
+        if nprobe is None:
+            nprobe = int((self.config.index or {}).get("nprobe", 4))
+        df = self.to_df()
+        queries = (
+            df.select(F.col("id").alias("query_id"), "embedding")
+            .orderBy("id")
+            .limit(int(sample_queries))
+        )
+        return tune_overfetch(
+            df,
+            queries,
+            pqc,
+            k=k,
+            target_recall=target_recall,
+            metric=self.config.metric,
+            candidates=candidates,
+            centroids=cent,
+            nprobe=int(nprobe),
+        )
+
     def build_index(
         self,
         nlist: int = 16,

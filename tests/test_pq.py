@@ -241,3 +241,69 @@ def test_build_ivf_driver_transfer_bounded(spark, monkeypatch):
     assert indexed.select("centroid_id").distinct().count() <= 4
     with pytest.raises(ValueError, match="max_train_rows"):
         build_ivf(df, nlist=4, max_train_rows=0)
+
+
+def test_tune_overfetch_picks_smallest_sufficient(spark, vectors, coded, pq):
+    """The tuner returns the smallest ladder rung whose measured
+    recall@k meets the target, the curve is monotone non-decreasing
+    over tried rungs, and the chosen rung's recall is reproducible via
+    a direct search at that overfetch."""
+    from mlx_vector_db_spark.operators.pq import tune_overfetch
+
+    queries = vectors.where(F.col("id") < 16).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    chosen, curve = tune_overfetch(
+        coded, queries, pq, k=K, target_recall=0.9
+    )
+    assert chosen in curve and curve[chosen] >= 0.9
+    tried = sorted(curve)
+    assert all(curve[a] <= curve[b] + 1e-9 for a, b in zip(tried, tried[1:]))
+    # every rung below the chosen one failed the target (minimality)
+    assert all(curve[c] < 0.9 for c in tried if c < chosen)
+    # direct search at the chosen overfetch reproduces the recall
+    exact = knn_join(vectors, queries, k=K).select("query_id", "id")
+    approx = pq_search_batch(
+        coded, queries, pq, k=K, overfetch=chosen
+    ).select("query_id", "id")
+    n = exact.count()
+    got = approx.join(exact, on=["query_id", "id"]).count() / n
+    assert got == pytest.approx(curve[chosen], abs=1e-9)
+
+
+def test_tune_overfetch_residual_saturates_at_nprobe_ceiling(spark, vectors, ivfpq):
+    """Residual IVF-PQ at a tiny nprobe: recall is capped by cell
+    pruning, so the curve saturates below a 0.99 target and the tuner
+    honestly returns the largest tried rung instead of pretending."""
+    from mlx_vector_db_spark.operators.pq import tune_overfetch
+
+    coded_r, pq_r, ivf = ivfpq
+    queries = vectors.where(F.col("id") < 16).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    chosen, curve = tune_overfetch(
+        coded_r, queries, pq_r, k=K, target_recall=0.99,
+        candidates=[1, 2, 4], centroids=ivf.centroids, nprobe=1,
+    )
+    if max(curve.values()) < 0.99:
+        assert chosen == 4  # largest tried — saturation, not success
+    full_chosen, full_curve = tune_overfetch(
+        coded_r, queries, pq_r, k=K, target_recall=0.9,
+        candidates=[1, 2, 4, 8], centroids=ivf.centroids,
+        nprobe=ivf.nlist,
+    )
+    assert full_curve[full_chosen] >= 0.9  # full probe removes the ceiling
+
+
+def test_tune_overfetch_rejects_bad_params(spark, vectors, coded, pq):
+    from mlx_vector_db_spark.operators.pq import tune_overfetch
+
+    queries = vectors.where(F.col("id") < 4).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError):
+        tune_overfetch(coded, queries, pq, target_recall=0.0)
+    with pytest.raises(ValueError):
+        tune_overfetch(
+            coded, queries.where(F.col("query_id") < 0), pq
+        )

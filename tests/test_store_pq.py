@@ -177,3 +177,17 @@ def test_batch_query_falls_back_on_corrupt_pq(store, spark):
     )
     out = store.batch_query(queries, k=3, use_quantized=True).collect()
     assert [r["id"] for r in out][0] == 0  # silent exact fallback
+
+
+def test_store_tune_overfetch(store):
+    """Store-level self-calibration: plain PQ codes, self-retrieval
+    sample — returns a ladder rung meeting the target with its measured
+    curve; raises without codes."""
+    with pytest.raises(ValueError, match="build_pq"):
+        store.tune_overfetch()
+    store.build_pq(m=4, nbits=8)
+    chosen, curve = store.tune_overfetch(
+        k=5, target_recall=0.9, sample_queries=16
+    )
+    assert chosen in curve and curve[chosen] >= 0.9
+    assert all(curve[c] < 0.9 for c in curve if c < chosen)
