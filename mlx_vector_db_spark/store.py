@@ -2036,6 +2036,29 @@ class VectorStore:
         self._max_id_seen = None  # layout changed; recompute lazily
         return len(self._data_files())
 
+    def maybe_optimize(
+        self,
+        max_files: int = 64,
+        target_files: int = 4,
+        sort_by: str | None = None,
+    ) -> int | None:
+        """Compact only when the committed live-file count exceeds
+        ``max_files`` — the idempotent guard a maintenance cron or a
+        ``foreachBatch`` hook calls after every append. The probe is a
+        manifest read (no Spark job), so calling it per micro-batch is
+        free; the compaction itself runs at most every
+        ``max_files - target_files`` appends. This is the small-file
+        backstop for continuous ingest: one parquet file lands per
+        micro-batch, and at 100 TB an unbounded manifest turns every
+        scan into an open-file storm (the same reason table formats
+        pair streaming writes with background OPTIMIZE). Returns the
+        new file count, or None when under the threshold."""
+        if max_files < 1:
+            raise ValueError(f"max_files must be >= 1 (got {max_files})")
+        if len(self._data_files()) <= max_files:
+            return None
+        return self.optimize(target_files=target_files, sort_by=sort_by)
+
     # -- SQL surface -------------------------------------------------------
 
     def create_view(self, name: str | None = None) -> str:

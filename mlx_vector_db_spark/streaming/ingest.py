@@ -380,12 +380,24 @@ def streaming_ingest_vectors(
     query_name: str = "vector_ingest",
     operations_log: str | None = None,
     dedup_threshold: float | None = None,
+    compact_max_files: int | None = None,
 ):
     """Append a streaming DataFrame of vectors into a VectorStore.
 
     ``dedup_threshold`` turns on dedup-on-write: each micro-batch is
     screened against the store (and itself) at that cosine threshold
     before appending — continuous incremental curation.
+
+    ``compact_max_files`` turns on inline compaction: after each batch
+    commits (and its epoch is ledgered), ``store.maybe_optimize`` runs
+    with that threshold — a manifest-read probe per batch, an actual
+    rewrite only when the file count exceeds it. Continuous ingest
+    writes one parquet file per micro-batch; without a compaction hook
+    a long-lived stream degrades every reader (the small-file problem —
+    the same reason table formats pair streaming writes with background
+    OPTIMIZE). Runs on the stream's own foreachBatch thread, strictly
+    between appends, so it needs none of the cross-writer CAS machinery
+    (which a concurrent external compactor exercises instead).
 
     Each micro-batch goes through the store's normal add path (norm
     projection + append) — chunked ingestion (reference S6). Progress is
@@ -413,6 +425,11 @@ def streaming_ingest_vectors(
             seen_epochs=seen,
             dedup_threshold=dedup_threshold,
         )
+        if compact_max_files is not None:
+            # after the ledger write: a crash mid-compaction replays as
+            # a no-op append (epoch already committed) and the next
+            # batch's probe re-triggers the compaction
+            store.maybe_optimize(max_files=int(compact_max_files))
 
     return (
         stream.writeStream.foreachBatch(_add)

@@ -636,3 +636,40 @@ def test_streaming_ingest_concurrent_with_optimize_and_vacuum(spark, tmp_path):
     # lifecycle stays green: the compacted+appended store answers queries
     probe = final.to_df().select("embedding").first()["embedding"]
     assert final.query(probe, k=1).count() == 1
+
+
+def test_streaming_ingest_inline_compaction(spark, tmp_path):
+    """compact_max_files keeps the store's file count bounded across a
+    many-batch stream (one parquet file lands per micro-batch without
+    it) while every row still arrives exactly once."""
+    rng = np.random.default_rng(13)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    n_batches, rows_per = 12, 5
+    for b in range(n_batches):
+        rows = [
+            (b * rows_per + i, rng.random(8).astype(np.float32).tolist())
+            for i in range(rows_per)
+        ]
+        spark.createDataFrame(rows, "id long, embedding array<float>").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("compact", "m", dimension=8)
+    stream = (
+        spark.readStream.schema("id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_ingest_vectors(
+        stream, store, str(tmp_path / "ckpt"),
+        operations_log=str(tmp_path / "ops"),
+        compact_max_files=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_files = len(store._data_files())
+    assert n_files <= 4 + 1, f"{n_files} files survived inline compaction"
+    assert store.count() == n_batches * rows_per
+    ids = {r["id"] for r in store.to_df().select("id").collect()}
+    assert ids == set(range(n_batches * rows_per))
