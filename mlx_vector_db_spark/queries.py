@@ -2776,6 +2776,47 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): score every raw
+    document against the English-slice target distribution over 4096
+    hashed 1-2-gram buckets; top 50 by weight. The oracle recomputes
+    the full pipeline — md5 bucketing, Laplace-smoothed bucket
+    distributions, per-doc log-ratio sums — in SQL. Ordering uses the
+    ROUNDED weight (ties broken by id) so the top-50 cut is stable
+    across engines' summation orders."""
+    from mlx_vector_db_spark.operators.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.where(F.col("lang") == "en")
+    w = dsir_log_weights(docs, tgt, n_buckets=4096, ngram_max=2, alpha=1.0)
+    return (
+        w.select(
+            "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+        )
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+def q_dsir_gumbel_sample(spark, sf_dir):
+    """DSIR Gumbel-top-k selection: 100 documents drawn without
+    replacement proportionally to importance weight, with the Gumbel
+    noise derived from md5 of the doc id — the selected SET is
+    identical on any engine/cluster size/retry, which is what lets the
+    oracle reproduce a \"random\" sample exactly."""
+    from mlx_vector_db_spark.operators.dsir import dsir_log_weights, gumbel_key
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.where(F.col("lang") == "en")
+    w = dsir_log_weights(docs, tgt, n_buckets=4096, ngram_max=2, alpha=1.0)
+    k = F.round(F.col("log_weight") + gumbel_key("doc_id", "dsir"), 6)
+    return (
+        w.select("doc_id", k.alias("sel_key"))
+        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -2802,6 +2843,8 @@ def q_salted_join_parity(spark, sf_dir):
 # in-window entries has a full value-hash oracle — no rows-only entries
 # remain in the window.
 QUERIES: dict[str, QueryFn] = {
+    "dsir_weights": q_dsir_weights,
+    "dsir_gumbel_sample": q_dsir_gumbel_sample,
     "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
@@ -2984,7 +3027,61 @@ from mlx_vector_db_spark.operators.cleaning import PII_PATTERNS as _PII_LIST
 
 _PII = dict(_PII_LIST)
 
+_DSIR_SCORED_SQL = r"""
+        WITH w AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents WHERE len(trim(text)) > 0
+        ), g AS (
+          SELECT doc_id, lang,
+                 list_concat(
+                   ws,
+                   CASE WHEN len(ws) >= 2 THEN
+                     list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1])
+                   ELSE [] END
+                 ) AS grams
+          FROM w
+        ), f AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(grams, g ->
+                   ('0x' || substring(md5(g), 1, 8))::BIGINT % 4096)) AS bucket
+          FROM g
+        ), tc AS (
+          SELECT bucket, count(*)::DOUBLE AS t_c
+          FROM f WHERE lang = 'en' GROUP BY bucket
+        ), qc AS (
+          SELECT bucket, count(*)::DOUBLE AS q_c FROM f GROUP BY bucket
+        ), tot AS (
+          SELECT (SELECT sum(t_c) FROM tc) AS t_tot,
+                 (SELECT sum(q_c) FROM qc) AS q_tot
+        ), ratio AS (
+          SELECT qc.bucket,
+                 ln(coalesce(tc.t_c, 0) + 1.0) - ln(tot.t_tot + 4096.0)
+                 - ln(qc.q_c + 1.0) + ln(tot.q_tot + 4096.0) AS r
+          FROM qc LEFT JOIN tc USING (bucket), tot
+        ), scored AS (
+          SELECT f.doc_id, count(*)::BIGINT AS n_grams, sum(r) AS lw
+          FROM f JOIN ratio USING (bucket) GROUP BY f.doc_id
+        )
+"""
+
 ORACLES: dict[str, str] = {
+    "dsir_weights": _DSIR_SCORED_SQL
+    + """
+        SELECT doc_id, n_grams, round(lw, 6) AS log_weight
+        FROM scored ORDER BY round(lw, 6) DESC, doc_id LIMIT 50
+    """,
+    "dsir_gumbel_sample": _DSIR_SCORED_SQL
+    + """
+        SELECT doc_id,
+               round(lw + (- ln(- ln(
+                 least(greatest(
+                   ('0x' || substring(md5('dsir' || doc_id::VARCHAR), 1, 8))
+                     ::BIGINT::DOUBLE / 4294967296.0,
+                   1.0 / 8589934592.0), 1.0 - 1.0 / 8589934592.0)
+               ))), 6) AS sel_key
+        FROM scored ORDER BY sel_key DESC, doc_id LIMIT 100
+    """,
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
