@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_keepers"]
+__all__ = ["connected_components", "dedup_keepers", "component_safe_split"]
 
 
 def connected_components(
@@ -93,3 +93,68 @@ def dedup_keepers(
         F.col("node").alias(id_col)
     )
     return df.join(doomed, on=id_col, how="left_anti")
+
+
+def component_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by near-duplicate
+    COMPONENT, never by document, so a near-dup pair can never straddle
+    train and eval — the standard held-out-set hygiene that plain
+    hash-of-id splitting silently violates (a test document's duplicate
+    in train is memorized contamination that n-gram decontamination
+    only catches after the fact).
+
+    ``pairs`` is any near-dup pair frame (``id_a``/``id_b`` — MinHash,
+    SimHash, embedding cosine, exact-fingerprint...). All members of a
+    connected component share the component representative's md5 draw,
+    hence its split; documents in no pair draw on their own id.
+
+    ``fractions`` maps split name to its probability mass, in the
+    order given (default ``{"train": .9, "val": .05, "test": .05}``);
+    must sum to 1 within 1e-9. The draw is
+    :func:`~mlx_vector_db_spark.operators.sampling.sample_key` of the
+    component id — deterministic across engines, cluster sizes and
+    retries, and expressible as a SQL oracle. Per-split mass holds in
+    expectation at the COMPONENT level (components are the atomic
+    units; a giant dup family lands in exactly one split by design).
+
+    Returns ``df`` + ``(component, split)``.
+
+    Scale: components are the iterative min-label propagation above
+    (node-keyed shuffles only); the assignment itself is one left join
+    of the corpus against the component map plus a pure expression —
+    no extra shuffle beyond that join.
+    """
+    from mlx_vector_db_spark.operators.sampling import sample_key
+
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for name, frac in fractions.items():
+        if not 0.0 <= float(frac) <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1] (got {frac})")
+    total = sum(float(v) for v in fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    out = df.join(comp, on=id_col, how="left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    key = sample_key("component", salt)
+    cum = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        cond = key < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return out.withColumn("split", expr)

@@ -2776,6 +2776,33 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+def q_component_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-dup components (exact-
+    fingerprint pair graph, the dedup_components derivation) are the
+    atomic split units, so no near-dup pair straddles train and eval.
+    The oracle recomputes components as MIN OVER (PARTITION BY fp) and
+    the split as the md5 draw of the component id — the whole
+    assignment, "randomness" included, reproduces on any engine."""
+    from mlx_vector_db_spark.operators.components import component_safe_split
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring(norm, 1, 80)).alias("fp")
+    )
+    dup_fps = (
+        docs.groupBy("fp").agg(F.count("*").alias("n")).where("n > 1").select("fp")
+    )
+    members = docs.join(dup_fps, on="fp")
+    pairs = (
+        members.alias("a")
+        .join(members.alias("b"), on="fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    out = component_safe_split(docs.select("doc_id"), pairs)
+    return out.select("doc_id", F.col("component").cast("long").alias("component"), "split")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023): score every raw
     document against the English-slice target distribution over 4096
@@ -2845,6 +2872,7 @@ def q_dsir_gumbel_sample(spark, sf_dir):
 QUERIES: dict[str, QueryFn] = {
     "dsir_weights": q_dsir_weights,
     "dsir_gumbel_sample": q_dsir_gumbel_sample,
+    "component_safe_split": q_component_safe_split,
     "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
@@ -3085,6 +3113,29 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
+    "component_safe_split": r"""
+        WITH f AS (SELECT doc_id,
+                          md5(substring(lower(regexp_replace(trim(text),
+                              '\s+', ' ', 'g')), 1, 80)) AS fp
+                   FROM documents),
+        g AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1),
+        comp AS (SELECT f.doc_id,
+                        MIN(f.doc_id) OVER (PARTITION BY f.fp) AS component
+                 FROM f JOIN g USING (fp)),
+        assigned AS (
+          SELECT f.doc_id::BIGINT AS doc_id,
+                 coalesce(comp.component, f.doc_id)::BIGINT AS component
+          FROM f LEFT JOIN comp USING (doc_id)
+        )
+        SELECT doc_id, component,
+               CASE WHEN k < 0.9 THEN 'train'
+                    WHEN k < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, component,
+                     ('0x' || substring(md5('split' || component::VARCHAR), 1, 8))
+                       ::BIGINT::DOUBLE / 4294967296.0 AS k
+              FROM assigned)
+    """,
     # the chunked tier must reproduce the same brute-force ground truth
     # as the one-pass paths — same oracle, wider query set
     "knn_chunked_parity": _KNN_ORACLE.format(

@@ -98,3 +98,55 @@ def test_end_to_end_with_minhash_pairs(spark):
     kept = {r["doc_id"] for r in dedup_keepers(docs, pairs).collect()}
     assert 0 in kept and 3 in kept
     assert kept.isdisjoint({1, 2}) or len(kept) < 4  # chain collapsed
+
+
+def test_component_safe_split_no_pair_straddles(spark):
+    from mlx_vector_db_spark.operators.components import component_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # chains (0,1),(1,2) ... every 10th id: transitive groups of 3
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200, 10)]
+        + [(i + 1, i + 2) for i in range(0, 200, 10)],
+        "id_a long, id_b long",
+    )
+    out = component_safe_split(docs, pairs).cache()
+    try:
+        assert out.count() == 200  # every doc assigned exactly once
+        split_of = {r.doc_id: r.split for r in out.collect()}
+        comp_of = {r.doc_id: r.component for r in out.collect()}
+        for a, b in [(i, i + 1) for i in range(0, 200, 10)] + [
+            (i + 1, i + 2) for i in range(0, 200, 10)
+        ]:
+            assert split_of[a] == split_of[b], (a, b)
+            assert comp_of[a] == comp_of[b] == (a // 10) * 10
+        # singletons: own component
+        assert comp_of[5] == 5
+        assert set(split_of.values()) <= {"train", "val", "test"}
+    finally:
+        out.unpersist()
+
+
+def test_component_safe_split_deterministic_and_validated(spark):
+    from mlx_vector_db_spark.operators.components import component_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    a = sorted((r.doc_id, r.split) for r in component_safe_split(docs, pairs).collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in component_safe_split(docs.repartition(7), pairs).collect()
+    )
+    assert a == b
+    two = component_safe_split(
+        docs, pairs, fractions={"fit": 0.5, "holdout": 0.5}
+    )
+    assert set(r.split for r in two.collect()) == {"fit", "holdout"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        component_safe_split(docs, pairs, fractions={})
+    with _pytest.raises(ValueError):
+        component_safe_split(docs, pairs, fractions={"a": 0.6, "b": 0.6})
+    with _pytest.raises(ValueError):
+        component_safe_split(docs, pairs, fractions={"a": 1.5, "b": -0.5})
