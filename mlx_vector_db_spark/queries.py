@@ -2776,6 +2776,74 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+def q_semdedup_gate(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) end-to-end gate on a planted
+    fixture: the embeddings table plus 50 byte-exact copies (new ids).
+    k-means is seeded-stochastic, so the driver-stable properties are
+    gated instead of the clustering itself: no planted copy pair keeps
+    both members and >= 50 rows are removed (copies share a cell by
+    construction and cosine 1 >= any threshold), survivors are a subset
+    of the corpus, NO within-cluster pair above threshold survives
+    (the components keeper guarantees this exactly), and every removed
+    row sat in at least one duplicate pair. n_total is pinned by the
+    oracle. Audit form (max_cluster_size=None): the gate must verify
+    every cell, not a capped subset."""
+    from mlx_vector_db_spark.operators.clustering import kmeans_fit
+    from mlx_vector_db_spark.operators.semdedup import semdedup, semdedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (
+        emb.orderBy("vec_id")
+        .limit(50)
+        .select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding")
+    )
+    corpus = emb.unionByName(planted).localCheckpoint(eager=False)
+    model = kmeans_fit(corpus, k=32, vec_col="embedding", seed=42)
+    survivors = semdedup(
+        corpus, threshold=0.98, model=model, max_cluster_size=None, keep="min_id"
+    ).localCheckpoint(eager=False)
+    pairs = semdedup_pairs(
+        corpus, threshold=0.98, model=model, max_cluster_size=None
+    ).localCheckpoint(eager=False)
+
+    surv_ids = survivors.select("vec_id")
+    # no planted pair keeps BOTH members (exact copies always share a
+    # cell and score cosine 1, so the pair is always an edge; losing
+    # both to a larger component's min is legitimate, keeping both is
+    # a dedup failure)
+    both_survive = (
+        survivors.where(F.col("vec_id") >= 1_000_000)
+        .select((F.col("vec_id") - 1_000_000).alias("orig"))
+        .join(
+            surv_ids.withColumnRenamed("vec_id", "orig"), on="orig", how="left_semi"
+        )
+        .count()
+    )
+    doomed = corpus.select("vec_id").exceptAll(surv_ids)
+    graph_nodes = pairs.select(F.col("id_a").alias("vec_id")).unionByName(
+        pairs.select(F.col("id_b").alias("vec_id"))
+    )
+    surv_pairs = semdedup_pairs(
+        survivors, threshold=0.98, model=model, max_cluster_size=None
+    )
+    n_total = corpus.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                50,
+                both_survive == 0 and doomed.count() >= 50,
+                surv_ids.exceptAll(corpus.select("vec_id")).count() == 0,
+                surv_pairs.count() == 0,
+                doomed.join(graph_nodes, on="vec_id", how="left_anti").count() == 0,
+            )
+        ],
+        "n_total long, n_planted int, planted_resolved boolean, "
+        "survivors_subset boolean, no_surviving_dup boolean, "
+        "doomed_in_graph boolean",
+    )
+
+
 def q_component_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split: near-dup components (exact-
     fingerprint pair graph, the dedup_components derivation) are the
@@ -2873,6 +2941,7 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_weights": q_dsir_weights,
     "dsir_gumbel_sample": q_dsir_gumbel_sample,
     "component_safe_split": q_component_safe_split,
+    "semdedup_gate": q_semdedup_gate,
     "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
@@ -3113,6 +3182,12 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
+    "semdedup_gate": """
+        SELECT (count(*) + 50)::BIGINT AS n_total, 50 AS n_planted,
+               TRUE AS planted_resolved, TRUE AS survivors_subset,
+               TRUE AS no_surviving_dup, TRUE AS doomed_in_graph
+        FROM embeddings
+    """,
     "component_safe_split": r"""
         WITH f AS (SELECT doc_id,
                           md5(substring(lower(regexp_replace(trim(text),
