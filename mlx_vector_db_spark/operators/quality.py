@@ -40,6 +40,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_crossdoc_pairs",
     "unigram_lm_scores",
+    "bigram_lm_scores",
     "hashed_feature_buckets",
     "hashed_linear_score",
 ]
@@ -645,6 +646,136 @@ def unigram_lm_scores(
             "_nll",
             -F.log((F.coalesce(F.col("_c"), F.lit(0)) + F.lit(float(alpha))) / denom),
         )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg("_nll").alias("avg_nll")
+    )
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("avg_nll"),
+            F.exp("avg_nll").alias("perplexity"),
+        )
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    ref_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model perplexity — one order up
+    from :func:`unigram_lm_scores`, the shape of CCNet's actual KenLM
+    scorer (word-context models, not bags of words): repetitive
+    boilerplate scores LOW under a bigram model where a unigram model
+    sees only its word mix, and shuffled-word gibberish scores HIGH
+    where the unigram model cannot tell.
+
+    Jelinek-Mercer interpolation with Laplace-smoothed components::
+
+        P(w | v) = lam * (c(v,w) + a) / (ctx(v) + a*(V+1))
+                 + (1 - lam) * (c(w) + a) / (total + a*(V+1))
+
+    with ``V`` the reference unigram vocabulary, one shared OOV slot on
+    both components, ``ctx(v)`` the count of bigrams starting with
+    ``v`` (0 for unseen contexts — the bigram component then degrades
+    to the uniform 1/(V+1) floor and the unigram carry dominates). A
+    document's FIRST token has no context and is scored by the unigram
+    component alone. Output matches ``unigram_lm_scores``:
+    ``(id, n_tokens, avg_nll, perplexity)``, NULL scores for empty
+    documents.
+
+    Scale shape: the reference reduces to three model tables — unigram
+    (vocabulary-sized), bigram (distinct observed pairs — Heaps-law
+    sublinear), context totals (vocabulary-sized) — all
+    map-side-combinable aggregations, all AQE-broadcastable against the
+    corpus-sized token stream. Scoring is one explode of (prev, cur)
+    pairs, three broadcast probes, one doc-keyed mean. Nothing
+    corpus-sized is ever a join build side.
+    """
+    if not 0.0 <= float(lam) <= 1.0:
+        raise ValueError(f"lam must be in [0, 1] (got {lam})")
+    ref = ref_df if ref_df is not None else df
+
+    def _toks(frame: DataFrame) -> Column:
+        return tokens(F.lower(F.col(text_col)))
+
+    ref_tok_arr = ref.select(_toks(ref).alias("_ws"))
+    uni = (
+        ref_tok_arr.select(F.explode("_ws").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_uc"))
+    )
+    ref_pairs = ref_tok_arr.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))).alias(
+                    "_prev"
+                ),
+                F.slice(
+                    F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))
+                ).alias("_cur"),
+            )
+        ).alias("_p")
+    ).select(F.col("_p._prev").alias("_prev"), F.col("_p._cur").alias("_cur"))
+    bi = ref_pairs.groupBy("_prev", "_cur").agg(F.count(F.lit(1)).alias("_bc"))
+    ctx = ref_pairs.groupBy(F.col("_prev").alias("_ctx_tok")).agg(
+        F.count(F.lit(1)).alias("_ctx")
+    )
+    stats = uni.agg(F.sum("_uc").alias("_total"), F.count(F.lit(1)).alias("_vocab"))
+
+    # (prev, cur) pairs of the scored corpus, first token with prev NULL
+    toks_df = df.select(F.col(id_col), _toks(df).alias("_ws"))
+    pairs = toks_df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.slice(
+                        F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))
+                    ),
+                ).alias("_prev"),
+                F.col("_ws").alias("_cur"),
+            )
+        ).alias("_p"),
+    ).select(
+        F.col(id_col), F.col("_p._prev").alias("_prev"), F.col("_p._cur").alias("_cur")
+    # arrays_zip pads the shorter side with NULL: an empty token array
+    # still zips one (null, null) row against the [null] prev seed —
+    # real tokens are never NULL, so drop the padding here
+    ).where(F.col("_cur").isNotNull())
+
+    a = F.lit(float(alpha))
+    denom_u = F.col("_total") + a * (F.col("_vocab") + 1)
+    p_uni = (F.coalesce(F.col("_uc"), F.lit(0)) + a) / denom_u
+    denom_b = F.coalesce(F.col("_ctx"), F.lit(0)) + a * (F.col("_vocab") + 1)
+    p_bi = (F.coalesce(F.col("_bc"), F.lit(0)) + a) / denom_b
+    lm = F.lit(float(lam))
+    p = F.when(F.col("_prev").isNull(), p_uni).otherwise(
+        lm * p_bi + (F.lit(1.0) - lm) * p_uni
+    )
+
+    bi_r = bi.select(
+        F.col("_prev").alias("_bi_prev"), F.col("_cur").alias("_bi_cur"), "_bc"
+    )
+    scored = (
+        pairs.join(uni, pairs["_cur"] == uni["_tok"], "left")
+        .join(
+            bi_r,
+            (F.col("_prev") == F.col("_bi_prev"))
+            & (F.col("_cur") == F.col("_bi_cur")),
+            "left",
+        )
+        .join(ctx, F.col("_prev") == F.col("_ctx_tok"), "left")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (-F.log(p)).alias("_nll"))
     )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"), F.avg("_nll").alias("avg_nll")

@@ -2776,6 +2776,27 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+def q_doc_perplexity_bigram(spark, sf_dir):
+    """Interpolated bigram-LM perplexity (operators/quality.py
+    bigram_lm_scores) — the KenLM-shaped upgrade of doc_perplexity:
+    context-conditioned probabilities with Jelinek-Mercer interpolation
+    against the unigram carry, trained on the lang='en' slice, scoring
+    every document. The oracle rebuilds all three model tables
+    (unigram, bigram, context totals) relationally and re-derives every
+    interpolated probability, first tokens and OOV/unseen-context
+    floors included."""
+    from mlx_vector_db_spark.operators.quality import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(docs, ref_df=docs.where(F.col("lang") == "en"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
+
 def q_semdedup_gate(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) end-to-end gate on a planted
     fixture: the embeddings table plus 50 byte-exact copies (new ids).
@@ -2942,6 +2963,7 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_gumbel_sample": q_dsir_gumbel_sample,
     "component_safe_split": q_component_safe_split,
     "semdedup_gate": q_semdedup_gate,
+    "doc_perplexity_bigram": q_doc_perplexity_bigram,
     "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
@@ -3182,6 +3204,52 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
+    "doc_perplexity_bigram": r"""
+WITH refw AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+), uni AS (
+  SELECT tok, count(*) AS uc
+  FROM (SELECT unnest(ws) AS tok FROM refw) GROUP BY tok
+), stats AS (
+  SELECT sum(uc) AS total, count(*) AS vocab FROM uni
+), refp AS (
+  SELECT ws[i-1] AS prev, ws[i] AS cur
+  FROM refw, unnest(range(2, len(ws)+1)) AS t(i)
+), bi AS (
+  SELECT prev, cur, count(*) AS bc FROM refp GROUP BY prev, cur
+), ctx AS (
+  SELECT prev AS ctx_tok, count(*) AS ctxc FROM refp GROUP BY prev
+), docw AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), pairs AS (
+  SELECT doc_id, ws[i] AS cur,
+         CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev
+  FROM docw, unnest(range(1, len(ws)+1)) AS t(i)
+), scored AS (
+  SELECT p.doc_id,
+    -ln(CASE WHEN p.prev IS NULL
+         THEN (coalesce(uni.uc,0) + 1.0) / (s.total + 1.0*(s.vocab+1))
+         ELSE 0.7 * (coalesce(bi.bc,0) + 1.0)
+                  / (coalesce(ctx.ctxc,0) + 1.0*(s.vocab+1))
+            + (1.0 - 0.7) * (coalesce(uni.uc,0) + 1.0)
+                  / (s.total + 1.0*(s.vocab+1))
+        END) AS nll
+  FROM pairs p
+  LEFT JOIN uni ON uni.tok = p.cur
+  LEFT JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+  LEFT JOIN ctx ON ctx.ctx_tok = p.prev
+  CROSS JOIN stats s
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(nll) AS avg_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT docs.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+       round(agg.avg_nll, 6) AS avg_nll,
+       round(exp(agg.avg_nll), 4) AS perplexity
+FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
+    """,
     "semdedup_gate": """
         SELECT (count(*) + 50)::BIGINT AS n_total, 50 AS n_planted,
                TRUE AS planted_resolved, TRUE AS survivors_subset,

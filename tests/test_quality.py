@@ -336,3 +336,60 @@ def test_unigram_lm_scores_hand_oracle(spark):
     d2 = t2 + 1.0 * (v2 + 1)
     e1 = -(math.log((2 + 1) / d2) + math.log((1 + 1) / d2)) / 2
     assert abs(selfed[1] - e1) < 1e-9
+
+
+def test_bigram_lm_scores_hand_oracle(spark):
+    import math
+
+    from mlx_vector_db_spark.operators.quality import bigram_lm_scores
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, None), (3, "  "), (4, "zz a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in bigram_lm_scores(d, d.where("doc_id = 1")).collect()
+    }
+    # ref "a b a b": uni a:2 b:2 (total 4, V=2); bi (a,b):2 (b,a):1;
+    # ctx a:2 b:1. Laplace alpha=1, lam=0.7.
+    p_a = 3 / 7  # (2+1)/(4+3)
+    p_b_after_a = 0.7 * (2 + 1) / (2 + 3) + 0.3 * p_a
+    p_a_after_b = 0.7 * (1 + 1) / (1 + 3) + 0.3 * p_a
+    want1 = -(
+        math.log(p_a)
+        + math.log(p_b_after_a)
+        + math.log(p_a_after_b)
+        + math.log(p_b_after_a)
+    ) / 4
+    assert out[1].n_tokens == 4
+    assert out[1].avg_nll == pytest.approx(want1, abs=1e-12)
+    assert out[1].perplexity == pytest.approx(math.exp(want1), abs=1e-9)
+    # NULL and whitespace-only docs: zero tokens, NULL scores (no
+    # phantom row from arrays_zip padding)
+    for empty_id in (2, 3):
+        assert out[empty_id].n_tokens == 0
+        assert out[empty_id].avg_nll is None
+    # doc 4 "zz a": OOV first token = unigram smoothing slot 1/(V+1);
+    # then a after unseen context zz: ctx=0, bi=0
+    p_zz = 1 / 7
+    p_a_after_zz = 0.7 * 1 / 3 + 0.3 * p_a
+    want4 = -(math.log(p_zz) + math.log(p_a_after_zz)) / 2
+    assert out[4].avg_nll == pytest.approx(want4, abs=1e-12)
+
+
+def test_bigram_lm_repetition_scores_below_shuffled(spark):
+    # the bigram model's reason to exist: word-ORDER sensitivity.
+    # Same bag of words, coherent vs scrambled order -> lower avg_nll
+    # for the order the reference corpus exhibits.
+    from mlx_vector_db_spark.operators.quality import bigram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_nll for r in bigram_lm_scores(probe, ref).collect()}
+    assert out[1] < out[2]
