@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "winnow_crossdoc_pairs",
     "bpe_pair_counts",
     "vocab_coverage",
+    "dsir_weights",
+    "doc_perplexity_bigram",
 ]
 
 

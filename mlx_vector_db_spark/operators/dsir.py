@@ -107,7 +107,17 @@ def dsir_log_weights(
         raise ValueError(f"alpha must be > 0 (got {alpha})")
 
     t_counts = _bucket_counts(target_df, text_col, n_buckets, ngram_max, "t_c")
-    q_counts = _bucket_counts(raw_df, text_col, n_buckets, ngram_max, "q_c")
+    # materialize the raw corpus' (doc, bucket) features ONCE: both the
+    # q-distribution and the scoring pass consume them, and the md5
+    # gram hashing is the dominant per-row cost — without the fence it
+    # runs twice over the full raw corpus
+    feats = raw_df.select(
+        F.col(id_col),
+        F.explode(hashed_feature_buckets(text_col, n_buckets, ngram_max)).alias(
+            "bucket"
+        ),
+    ).localCheckpoint(eager=False)
+    q_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("q_c"))
 
     # n_buckets-row ratio table; the totals ride 1-row broadcast cross
     # joins (the unigram-LM pattern), never a driver collect
@@ -130,12 +140,6 @@ def dsir_log_weights(
         )
     )
 
-    feats = raw_df.select(
-        F.col(id_col),
-        F.explode(hashed_feature_buckets(text_col, n_buckets, ngram_max)).alias(
-            "bucket"
-        ),
-    )
     # a bucket a scored doc emits is by construction present in q_counts
     # (built from raw_df itself); the left join + coalesce keeps the
     # operator total when callers score a DIFFERENT frame against the

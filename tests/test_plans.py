@@ -233,3 +233,33 @@ def test_release_intermediates_frees_dead_checkpoints(spark, sf_small):
         time.sleep(0.5)
         release_intermediates(spark)
     assert n_blocks() < before
+
+
+def test_dsir_selection_is_take_ordered_broadcast_ratio(spark, sf_small):
+    """DSIR: the final selection is a distributed partial top-k (never
+    a global sort), the n_buckets-row ratio table broadcasts against
+    the corpus feature stream, and no Python runs anywhere (md5
+    bucketing is pure codegen)."""
+    from mlx_vector_db_spark.operators.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    tgt = docs.where(F.col("lang") == "en")
+    plan = explain_str(dsir_resample(docs, tgt, 10, n_buckets=512))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin [bucket" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_model_joins_are_keyed_no_python(spark, sf_small):
+    """bigram_lm_scores: all three model probes are EQUI-joins keyed by
+    token/pair (broadcast at this scale; token-keyed shuffle at worst —
+    never nested-loop against the corpus), and the whole plan is pure
+    codegen expressions."""
+    from mlx_vector_db_spark.operators.quality import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(bigram_lm_scores(docs, docs.where(F.col("lang") == "en")))
+    assert "BroadcastHashJoin [_cur" in plan or "SortMergeJoin [_cur" in plan
+    assert "BroadcastHashJoin [_prev" in plan or "SortMergeJoin [_prev" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
