@@ -282,23 +282,33 @@ def _kmeans_numpy(
     rng = np.random.default_rng(seed)
     n = len(X)
     k = min(k, n)
+    # k-means++ seeding is O(k * n * d) — the dominant fit cost once k
+    # reaches the hundreds. Seed on a bounded subsample (>= 32 points
+    # per centroid); Lloyd's then refines against the FULL sample, so
+    # only the seeds are approximate, not the fit.
+    init_cap = max(4096, 32 * k)
+    Xi = X if n <= init_cap else X[rng.choice(n, init_cap, replace=False)]
+    ni = len(Xi)
     centroids = np.empty((k, X.shape[1]), dtype=np.float64)
-    centroids[0] = X[rng.integers(n)]
-    d2 = ((X - centroids[0]) ** 2).sum(axis=1)
+    centroids[0] = Xi[rng.integers(ni)]
+    d2 = ((Xi - centroids[0]) ** 2).sum(axis=1)
     for j in range(1, k):
         total = d2.sum()
         probs = d2 / total if total > 0 else None
-        centroids[j] = X[rng.choice(n, p=probs)]
-        d2 = np.minimum(d2, ((X - centroids[j]) ** 2).sum(axis=1))
+        centroids[j] = Xi[rng.choice(ni, p=probs)]
+        d2 = np.minimum(d2, ((Xi - centroids[j]) ** 2).sum(axis=1))
     half_sq = 0.5 * (centroids**2).sum(axis=1)
     for _ in range(max_iter):
         assign = (X @ centroids.T - half_sq).argmax(axis=1)
-        new = np.vstack(
-            [
-                X[assign == j].mean(axis=0) if (assign == j).any() else centroids[j]
-                for j in range(k)
-            ]
-        )
+        # vectorized centroid update: per-cluster sums via one
+        # scatter-add + bincount, not a k-long Python loop of boolean
+        # masks (the loop dominated fit wall past k ~ a few hundred)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        new = centroids.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
         shift = float(((new - centroids) ** 2).sum())
         centroids = new
         half_sq = 0.5 * (centroids**2).sum(axis=1)

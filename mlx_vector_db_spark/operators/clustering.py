@@ -43,15 +43,66 @@ class KMeansModel:
     def centroids(self) -> np.ndarray:
         return self.index.centroids
 
-    def assign(self, df: DataFrame, dist_col: str | None = "sq_dist") -> DataFrame:
+    def assign(
+        self,
+        df: DataFrame,
+        dist_col: str | None = "sq_dist",
+        method: str = "auto",
+    ) -> DataFrame:
         """Add ``cluster_id`` (argmin centroid) and, unless ``dist_col``
-        is None, the exact squared L2 distance to the assigned
-        centroid. Both are codegen'd expressions over the literal
-        centroid matrix — map-only."""
-        out = df.withColumn("cluster_id", self.index.assign_expr().alias("cluster_id"))
+        is None, the exact squared L2 distance to the assigned centroid.
+
+        ``method="expr"``: codegen'd expressions over the literal
+        centroid matrix — map-only, composes into any plan (pushdown,
+        streaming ingest). ``method="arrow"``: one BLAS matmul per
+        Arrow batch via ``mapInPandas`` — the documented
+        Python-unavoidable path for LARGE k, where the k-term
+        expression tree leaves codegen and the per-row interpreted
+        argmin dominates (measured ~0.8 ms/row at k=400; the matmul is
+        ~1000x that throughput). ``"auto"`` picks arrow at k >= 128.
+        Both paths break score ties toward the larger cluster id."""
+        if method not in ("auto", "expr", "arrow"):
+            raise ValueError(f"method must be auto|expr|arrow (got {method!r})")
+        if method == "auto":
+            method = "arrow" if self.k >= 128 else "expr"
+        if method == "expr":
+            out = df.withColumn(
+                "cluster_id", self.index.assign_expr().alias("cluster_id")
+            )
+            if dist_col is not None:
+                out = out.withColumn(dist_col, self._sq_dist_expr())
+            return out
+        return self._assign_arrow(df, dist_col)
+
+    def _assign_arrow(self, df: DataFrame, dist_col: str | None) -> DataFrame:
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+        C = self.centroids  # (k, dim) float64, ~KBs — fine in the closure
+        half_sq = 0.5 * (C**2).sum(axis=1)
+        vec_col = self.index.vec_col
+        fields = list(df.schema.fields) + [StructField("cluster_id", IntegerType())]
         if dist_col is not None:
-            out = out.withColumn(dist_col, self._sq_dist_expr())
-        return out
+            fields.append(StructField(dist_col, DoubleType()))
+        schema = StructType(fields)
+
+        def score_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+                scores = X @ C.T - half_sq  # argmax == argmin ||x-c||
+                # ties to the LARGER cid — the array_max(struct) rule of
+                # the expression path, so the two paths agree exactly
+                rev = scores[:, ::-1]
+                a = (C.shape[0] - 1) - rev.argmax(axis=1)
+                out = pdf.copy()
+                out["cluster_id"] = a.astype("int32")
+                if dist_col is not None:
+                    picked = scores[np.arange(len(a)), a]
+                    out[dist_col] = (X**2).sum(axis=1) - 2.0 * picked
+                yield out
+
+        return df.mapInPandas(score_batches, schema)
 
     def _sq_dist_expr(self) -> Column:
         cmat = F.array(

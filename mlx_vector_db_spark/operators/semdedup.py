@@ -106,7 +106,10 @@ def semdedup_pairs(
     mdl = model if model is not None else kmeans_fit(
         df, k, vec_col=vec_col, seed=seed, max_train_rows=max_train_rows
     )
-    assigned = mdl.assign(df, dist_col=None)
+    # fence the assignment: the size aggregate, the semi-join, and BOTH
+    # sides of the pair self-join consume it — unfenced, the per-row
+    # argmin would re-run once per consumer
+    assigned = mdl.assign(df, dist_col=None).localCheckpoint(eager=False)
     assigned = _capped_assignment(assigned, max_cluster_size, id_col)
     return embedding_neardup_pairs(
         assigned,
