@@ -39,6 +39,7 @@ __all__ = [
     "LSHIndex",
     "index_from_dict",
     "build_ivf",
+    "train_ivf",
     "build_lsh",
     "lsh_bucket_expr",
     "add_lsh_buckets",
@@ -272,21 +273,37 @@ def index_from_dict(d: dict) -> _CellIndex:
         raise ValueError(f"unknown index type: {d.get('type')!r}") from None
 
 
-def _kmeans_numpy(
-    X: np.ndarray, k: int, seed: int, max_iter: int = 20, tol: float = 1e-6
+def _vectors_to_matrix(df_1col: DataFrame) -> np.ndarray:
+    """Bounded driver transfer of a single ``array<double>`` column as
+    a contiguous (n, dim) float64 matrix. Arrow list arrays flatten to
+    one values buffer — no per-row Python objects, no vstack loop
+    (which cost as much as the transfer itself at 200k x 64). Falls
+    back to the row-wise path for ragged input (which the dim checks
+    upstream reject anyway)."""
+    tbl = df_1col.toArrow()
+    col = tbl.column(0).combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    import pyarrow.compute as pc
+
+    if col.null_count == 0:
+        lens = pc.unique(pc.list_value_length(col))
+        if len(lens) == 1:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(n, -1)
+    return np.vstack(col.to_pandas().to_numpy()).astype(np.float64, copy=False)
+
+
+def _kmeanspp_seeds(
+    X: np.ndarray, k: int, rng: np.random.Generator, init_cap: int
 ) -> np.ndarray:
-    """Lloyd's k-means with k-means++ init, vectorized numpy. Runs on the
-    driver over the (bounded) training sample — zero Spark jobs per
-    iteration, vs MLlib's several, which dominate wall time for the
-    KB-to-MB-sized training sets IVF coarse quantizers use."""
-    rng = np.random.default_rng(seed)
+    """k-means++ seeding on a bounded subsample. Seeding is
+    O(k * pool * d) — the dominant fit cost once k reaches the
+    hundreds — so the candidate pool is capped; the subsequent
+    refinement passes run against the full sample, so only the seeds
+    are approximate, not the fit."""
     n = len(X)
-    k = min(k, n)
-    # k-means++ seeding is O(k * n * d) — the dominant fit cost once k
-    # reaches the hundreds. Seed on a bounded subsample (>= 32 points
-    # per centroid); Lloyd's then refines against the FULL sample, so
-    # only the seeds are approximate, not the fit.
-    init_cap = max(4096, 32 * k)
     Xi = X if n <= init_cap else X[rng.choice(n, init_cap, replace=False)]
     ni = len(Xi)
     centroids = np.empty((k, X.shape[1]), dtype=np.float64)
@@ -297,15 +314,72 @@ def _kmeans_numpy(
         probs = d2 / total if total > 0 else None
         centroids[j] = Xi[rng.choice(ni, p=probs)]
         d2 = np.minimum(d2, ((Xi - centroids[j]) ** 2).sum(axis=1))
+    return centroids
+
+
+#: flop budget above which the full-Lloyd driver fit hands off to
+#: mini-batch: n * k * d * max_iter beyond this means minutes of BLAS
+_LLOYD_FLOP_BUDGET = 4e11
+
+
+def _group_sums(X: np.ndarray, assign: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cluster (sums, counts) via sort + add.reduceat —
+    ``np.add.at`` is an unbuffered scatter (~100x slower element-wise)
+    and dominated the fit wall at 200k x 64."""
+    counts = np.bincount(assign, minlength=k).astype(np.float64)
+    sums = np.zeros((k, X.shape[1]), dtype=np.float64)
+    order = np.argsort(assign, kind="stable")
+    sa = assign[order]
+    starts = np.flatnonzero(np.diff(sa)) + 1
+    starts = np.concatenate(([0], starts))
+    sums[sa[starts]] = np.add.reduceat(X[order], starts, axis=0)
+    return sums, counts
+
+
+def _kmeans_numpy(
+    X: np.ndarray,
+    k: int,
+    seed: int,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    algo: str = "auto",
+    batch_size: int = 4096,
+) -> np.ndarray:
+    """Driver-side k-means over the (bounded) training sample — zero
+    Spark jobs per iteration, vs MLlib's several, which dominate wall
+    time for the KB-to-MB-sized training sets IVF coarse quantizers
+    use.
+
+    ``algo="lloyd"``: exact Lloyd's, vectorized numpy.
+    ``algo="minibatch"``: Sculley (2010) mini-batch k-means —
+    per-center learning-rate updates over random batches; the fit cost
+    is O(iters * batch * k * d) independent of sample size, which is
+    what keeps large-k quantizer training (nlist in the thousands, the
+    realistic 100 TB regime) in seconds instead of minutes.
+    ``"auto"`` picks mini-batch once full Lloyd's would exceed
+    ~``_LLOYD_FLOP_BUDGET`` flops. Deterministic for a given seed
+    either way."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    k = min(k, n)
+    if algo == "auto":
+        algo = (
+            "minibatch"
+            if float(n) * k * X.shape[1] * max_iter > _LLOYD_FLOP_BUDGET
+            else "lloyd"
+        )
+    if algo == "minibatch":
+        return _minibatch_kmeans(X, k, rng, batch_size=batch_size)
+    if algo != "lloyd":
+        raise ValueError(f"algo must be auto|lloyd|minibatch (got {algo!r})")
+    centroids = _kmeanspp_seeds(X, k, rng, init_cap=max(4096, 32 * k))
     half_sq = 0.5 * (centroids**2).sum(axis=1)
     for _ in range(max_iter):
         assign = (X @ centroids.T - half_sq).argmax(axis=1)
         # vectorized centroid update: per-cluster sums via one
-        # scatter-add + bincount, not a k-long Python loop of boolean
+        # sort + segmented reduce, not a k-long Python loop of boolean
         # masks (the loop dominated fit wall past k ~ a few hundred)
-        counts = np.bincount(assign, minlength=k).astype(np.float64)
-        sums = np.zeros_like(centroids)
-        np.add.at(sums, assign, X)
+        sums, counts = _group_sums(X, assign, k)
         nonempty = counts > 0
         new = centroids.copy()
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
@@ -317,7 +391,49 @@ def _kmeans_numpy(
     return centroids
 
 
-def build_ivf(
+def _minibatch_kmeans(
+    X: np.ndarray,
+    k: int,
+    rng: np.random.Generator,
+    batch_size: int = 4096,
+    max_batches: int = 300,
+) -> np.ndarray:
+    """Sculley (2010) mini-batch k-means: assign a random batch with
+    one BLAS matmul, then move each touched center toward its batch
+    members with a per-center learning rate 1/count — an online
+    gradient step on the k-means objective. Seeds come from k-means++
+    on a small pool (the sklearn convention: quality recovers through
+    the many cheap refinement batches)."""
+    n = len(X)
+    b = min(int(batch_size), n)
+    # random-distinct-point init (the faiss convention): k-means++'s
+    # O(k * pool * d) sequential loop costs more than ALL the
+    # refinement batches combined once k reaches the thousands, and
+    # the batches recover the quality it buys
+    centroids = X[rng.choice(n, k, replace=False)].astype(np.float64, copy=True)
+    counts = np.zeros(k, dtype=np.float64)
+    # ~1 epoch over the sample, floor 60 batches: past that the
+    # centers move by O(1/count) and the quantizer's recall (what the
+    # gates measure) has flattened
+    n_batches = min(max_batches, max(60, n // b))
+    half_sq = 0.5 * (centroids**2).sum(axis=1)
+    for _ in range(n_batches):
+        batch = X[rng.integers(0, n, size=b)]
+        assign = (batch @ centroids.T - half_sq).argmax(axis=1)
+        sums, bc = _group_sums(batch, assign, k)
+        counts += bc
+        touched = bc > 0
+        # x_new = x + (mean_batch - x) * (bc / counts): the aggregate
+        # form of Sculley's per-example 1/count steps within one batch
+        lr = (bc[touched] / counts[touched])[:, None]
+        centroids[touched] += (
+            sums[touched] / bc[touched, None] - centroids[touched]
+        ) * lr
+        half_sq = 0.5 * (centroids**2).sum(axis=1)
+    return centroids
+
+
+def train_ivf(
     df: DataFrame,
     nlist: int = 16,
     vec_col: str = "embedding",
@@ -325,10 +441,10 @@ def build_ivf(
     seed: int = 42,
     max_iter: int = 20,
     max_train_rows: int = 262_144,
-) -> tuple[DataFrame, IVFIndex]:
-    """Batch index build (reference X1's replacement): k-means centroids
-    trained driver-side on a bounded sample, centroid assignment as a
-    projected column. Returns (indexed_df, index).
+) -> IVFIndex:
+    """Quantizer training (reference X1's replacement): k-means
+    centroids trained driver-side on a bounded sample. Returns the
+    index only — see :func:`build_ivf` for the assigned frame.
 
     Training on a sample is the 100 TB design, not a shortcut: a coarse
     quantizer needs ~thousands of points per cell, so ``max_train_rows``
@@ -345,19 +461,46 @@ def build_ivf(
         frac = min(1.0, 1.2 * max_train_rows / n)
         train = train.sample(frac, seed=seed)
     # Arrow transfer: collect() would materialize up to max_train_rows Row
-    # objects of boxed Python floats (multi-GB at 384-dim); toPandas moves
-    # the same sample as Arrow record batches, each cell a numpy array.
-    # The limit is UNCONDITIONAL: the driver transfer is bounded by
-    # construction — a mis-set sample_fraction on a huge store can never
-    # blow past max_train_rows, regardless of what the count estimated.
-    sample = (
-        train.select(F.col(vec_col).cast("array<double>").alias("_v"))
-        .limit(int(max_train_rows))
-        .toPandas()
-    )
-    X = np.vstack(sample["_v"].to_numpy()).astype(np.float64, copy=False)
+    # objects of boxed Python floats (multi-GB at 384-dim); Arrow moves
+    # the sample as contiguous buffers. The transfer stays bounded by
+    # construction: n was just counted exactly, so the limit() is only
+    # needed on the sampled branch (sample() is binomial and can
+    # overshoot max_train_rows) — and skipping it elsewhere avoids
+    # CollectLimit's serial partition pull, which single-threaded the
+    # whole training scan. The float->double widening happens in numpy
+    # (one vectorized pass) instead of a per-element JVM cast.
+    sample_df = train.select(F.col(vec_col).alias("_v"))
+    if n > max_train_rows:
+        sample_df = sample_df.limit(int(max_train_rows))
+    X = _vectors_to_matrix(sample_df)
     centroids = _kmeans_numpy(X, nlist, seed=seed, max_iter=max_iter)
-    index = IVFIndex(centroids, vec_col=vec_col)
+    return IVFIndex(centroids, vec_col=vec_col)
+
+
+def build_ivf(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+    max_train_rows: int = 262_144,
+) -> tuple[DataFrame, IVFIndex]:
+    """:func:`train_ivf` + the centroid-id assignment column. Callers
+    that only need the INDEX (k-means facades, large-k clustering whose
+    assignment goes through the Arrow path) should call ``train_ivf``:
+    merely CONSTRUCTING the literal-matrix assignment expression is
+    O(nlist * dim) py4j round-trips — minutes of driver wall at
+    nlist in the thousands, before anything even runs."""
+    index = train_ivf(
+        df,
+        nlist=nlist,
+        vec_col=vec_col,
+        sample_fraction=sample_fraction,
+        seed=seed,
+        max_iter=max_iter,
+        max_train_rows=max_train_rows,
+    )
     return index.assign(df), index
 
 

@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mlx_vector_db_spark.operators.ann import IVFIndex, build_ivf
+from mlx_vector_db_spark.operators.ann import IVFIndex, train_ivf
 
 __all__ = ["KMeansModel", "kmeans_fit", "cluster_stats"]
 
@@ -77,7 +77,13 @@ class KMeansModel:
     def _assign_arrow(self, df: DataFrame, dist_col: str | None) -> DataFrame:
         from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-        C = self.centroids  # (k, dim) float64, ~KBs — fine in the closure
+        # ship the centroid matrix REVERSED: ties must go to the larger
+        # cid (the array_max(struct) rule of the expression path), and
+        # argmax over a reversed VIEW of the score matrix falls off
+        # numpy's contiguous fast path (measured 40x slower than the
+        # matmul itself) — reversing the k-side once is free
+        C = self.centroids[::-1].copy()  # (k, dim) float64, ~KBs
+        k_total = len(C)
         half_sq = 0.5 * (C**2).sum(axis=1)
         vec_col = self.index.vec_col
         fields = list(df.schema.fields) + [StructField("cluster_id", IntegerType())]
@@ -85,24 +91,36 @@ class KMeansModel:
             fields.append(StructField(dist_col, DoubleType()))
         schema = StructType(fields)
 
+        # mapInArrow, not mapInPandas: the vector column stays an Arrow
+        # ListArray whose values buffer reshapes to the (n, dim) matrix
+        # zero-copy — the pandas route pays a per-row object array plus
+        # an np.vstack loop on the way in and a rebuild on the way out,
+        # which cost more than the matmul itself
         def score_batches(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-                scores = X @ C.T - half_sq  # argmax == argmin ||x-c||
-                # ties to the LARGER cid — the array_max(struct) rule of
-                # the expression path, so the two paths agree exactly
-                rev = scores[:, ::-1]
-                a = (C.shape[0] - 1) - rev.argmax(axis=1)
-                out = pdf.copy()
-                out["cluster_id"] = a.astype("int32")
-                if dist_col is not None:
-                    picked = scores[np.arange(len(a)), a]
-                    out[dist_col] = (X**2).sum(axis=1) - 2.0 * picked
-                yield out
+            import pyarrow as pa
 
-        return df.mapInPandas(score_batches, schema)
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                col = rb.column(rb.schema.get_field_index(vec_col))
+                if col.null_count:
+                    raise ValueError(
+                        f"NULL {vec_col!r} rows cannot be assigned to a cluster"
+                    )
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                X = flat.astype(np.float64, copy=False).reshape(rb.num_rows, -1)
+                scores = X @ C.T - half_sq  # argmax == argmin ||x-c||
+                rev_idx = scores.argmax(axis=1)  # first max = largest cid
+                a = (k_total - 1) - rev_idx
+                arrays = list(rb.columns) + [pa.array(a.astype("int32"))]
+                names = list(rb.schema.names) + ["cluster_id"]
+                if dist_col is not None:
+                    picked = scores[np.arange(len(rev_idx)), rev_idx]
+                    arrays.append(pa.array((X**2).sum(axis=1) - 2.0 * picked))
+                    names.append(dist_col)
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+        return df.mapInArrow(score_batches, schema)
 
     def _sq_dist_expr(self) -> Column:
         cmat = F.array(
@@ -133,11 +151,17 @@ def kmeans_fit(
     max_train_rows: int = 262_144,
 ) -> KMeansModel:
     """Fit k-means on a bounded sample of ``df`` (see
-    :func:`~mlx_vector_db_spark.operators.ann.build_ivf` for why
-    sampling IS the scale design). Deterministic for a given seed."""
+    :func:`~mlx_vector_db_spark.operators.ann.train_ivf` for why
+    sampling IS the scale design). Deterministic for a given seed.
+
+    Goes through ``train_ivf`` (index only): constructing the literal
+    assignment expression costs O(k * dim) py4j round-trips, which at
+    clustering-scale k (thousands) is minutes of driver wall — the
+    assignment happens lazily in :meth:`KMeansModel.assign`, which
+    routes large k through the Arrow path anyway."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
-    _, index = build_ivf(
+    index = train_ivf(
         df, nlist=k, vec_col=vec_col, seed=seed,
         max_iter=max_iter, max_train_rows=max_train_rows,
     )

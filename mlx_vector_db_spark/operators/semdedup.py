@@ -86,6 +86,43 @@ def _capped_assignment(
     return assigned.join(kept, on="cluster_id", how="left_semi")
 
 
+def _pairs_arrow(
+    assigned: DataFrame, threshold: float, vec_col: str, id_col: str
+) -> DataFrame:
+    """Within-cluster pairs as one BLAS gram matrix per cluster
+    (``applyInPandas`` over the cluster id — the SemDeDup paper's
+    actual computation): at s members/cluster the relational form
+    evaluates s^2/2 interpreted zip_with cosines per cluster (~15 us
+    each — measured 180 s for 10M candidates at sf10), where the
+    normalized X @ X.T is one vectorized call. Emits only qualifying
+    pairs. Matches the expression path's eps-floored cosine exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from mlx_vector_db_spark.functions.vector import NORM_EPS
+
+    id_type = assigned.schema[id_col].dataType
+    out_schema = f"id_a {id_type.simpleString()}, id_b {id_type.simpleString()}, cosine double"
+    thr = float(threshold)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        X = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64, copy=False)
+        norms = np.maximum(np.sqrt((X**2).sum(axis=1)), NORM_EPS)
+        S = (X @ X.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] >= thr
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": S[iu, ju][keep]}
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(score, out_schema)
+
+
 def semdedup_pairs(
     df: DataFrame,
     k: int = 1024,
@@ -96,13 +133,22 @@ def semdedup_pairs(
     model: KMeansModel | None = None,
     max_cluster_size: int | str | None = "auto",
     max_train_rows: int = 262_144,
+    pair_method: str = "arrow",
 ) -> DataFrame:
     """Within-cluster semantic near-duplicate pairs:
     ``(id_a, id_b, cosine >= threshold)``, both ids in the same k-means
     cell. Pass a fitted ``model`` to reuse one clustering across calls
-    (and to make the blocking reproducible for gates)."""
+    (and to make the blocking reproducible for gates).
+
+    ``pair_method="arrow"`` (default) scores each cluster as one BLAS
+    gram matrix; ``"expr"`` is the pure-relational form
+    (:func:`~mlx_vector_db_spark.operators.dedup.
+    embedding_neardup_pairs`) — same pairs, kept as the
+    plan-transparent audit tier."""
     if not 0.0 < float(threshold) <= 1.0:
         raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
+    if pair_method not in ("arrow", "expr"):
+        raise ValueError(f"pair_method must be arrow|expr (got {pair_method!r})")
     mdl = model if model is not None else kmeans_fit(
         df, k, vec_col=vec_col, seed=seed, max_train_rows=max_train_rows
     )
@@ -111,6 +157,8 @@ def semdedup_pairs(
     # argmin would re-run once per consumer
     assigned = mdl.assign(df, dist_col=None).localCheckpoint(eager=False)
     assigned = _capped_assignment(assigned, max_cluster_size, id_col)
+    if pair_method == "arrow":
+        return _pairs_arrow(assigned, threshold, vec_col, id_col)
     return embedding_neardup_pairs(
         assigned,
         vec_col=vec_col,
@@ -131,6 +179,7 @@ def semdedup(
     model: KMeansModel | None = None,
     max_cluster_size: int | str | None = "auto",
     max_train_rows: int = 262_144,
+    pair_method: str = "arrow",
 ) -> DataFrame:
     """Corpus filtered to one survivor per semantic-duplicate group
     (see module docstring). Returns ``df``'s rows minus the doomed
@@ -154,6 +203,7 @@ def semdedup(
         seed=seed,
         model=mdl,
         max_cluster_size=max_cluster_size,
+        pair_method=pair_method,
     )
     comp = connected_components(pairs)
     if keep == "min_id":

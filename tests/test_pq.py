@@ -232,7 +232,15 @@ def test_build_ivf_driver_transfer_bounded(spark, monkeypatch):
         sizes.append(len(out))
         return out
 
+    orig_ta = CDF.toArrow
+
+    def spy_ta(self):
+        out = orig_ta(self)
+        sizes.append(out.num_rows)
+        return out
+
     monkeypatch.setattr(CDF, "toPandas", spy)
+    monkeypatch.setattr(CDF, "toArrow", spy_ta)
     # adversarial: full-table sample_fraction — the cap must still hold
     indexed, index = build_ivf(
         df, nlist=4, sample_fraction=1.0, max_train_rows=50, seed=3
