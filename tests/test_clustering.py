@@ -83,3 +83,33 @@ def test_k_validated(spark):
     df = _blobs(spark, CENTERS, per=2)
     with pytest.raises(ValueError):
         kmeans_fit(df, k=0)
+
+
+def test_assign_arrow_matches_expr_exactly(spark):
+    import numpy as np
+
+    from mlx_vector_db_spark.operators.clustering import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(500)]
+    # plant exact duplicates so the tie-break rule is actually exercised
+    rows += [(1000 + i, rows[i][1]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = kmeans_fit(df, k=150, seed=2)  # auto method picks arrow at k>=128
+    expr = {
+        (r.vec_id, r.cluster_id, round(r.sq_dist, 9))
+        for r in model.assign(df, method="expr").collect()
+    }
+    arrow = {
+        (r.vec_id, r.cluster_id, round(r.sq_dist, 9))
+        for r in model.assign(df, method="arrow").collect()
+    }
+    auto = {
+        (r.vec_id, r.cluster_id, round(r.sq_dist, 9))
+        for r in model.assign(df).collect()
+    }
+    assert expr == arrow == auto
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        model.assign(df, method="bogus")

@@ -116,3 +116,21 @@ def test_validation(spark, corpus):
         semdedup_pairs(corpus, max_cluster_size=1)
     with pytest.raises(ValueError):
         semdedup_pairs(corpus, max_cluster_size="bogus")
+
+
+def test_pair_method_parity_arrow_vs_expr(spark, corpus):
+    # the BLAS gram-matrix path and the relational audit tier must
+    # produce the same pair set with the same cosines
+    model = kmeans_fit(corpus, k=6, seed=1)
+    kw = dict(threshold=0.9, model=model, max_cluster_size=None)
+    pe = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in semdedup_pairs(corpus, pair_method="expr", **kw).collect()
+    }
+    pa_ = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in semdedup_pairs(corpus, pair_method="arrow", **kw).collect()
+    }
+    assert pe == pa_ and len(pe) > 0
+    with pytest.raises(ValueError):
+        semdedup_pairs(corpus, pair_method="bogus", model=model)
