@@ -2776,6 +2776,28 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+def q_dq_audit(spark, sf_dir):
+    """Data-quality constraint audit (operators/dq.py, the
+    Deequ shape): every row-predicate constraint rides ONE aggregation
+    pass over lineitem; uniqueness adds one keyed groupBy; the FK
+    check is a left-anti join against orders' distinct keys. The
+    fixture mixes passing and failing constraints so both report
+    states are value-checked."""
+    from mlx_vector_db_spark.operators.dq import Check, dq_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    check = Check(
+        completeness=["l_orderkey", "l_shipdate"],
+        uniqueness=["l_orderkey", ("l_orderkey", "l_linenumber")],
+        in_range={"l_discount": (0.0, 0.05), "l_quantity": (1.0, None)},
+        accepted_values={"l_returnflag": ["A", "R"]},
+        matches={"l_linestatus": r"^[OF]$"},
+        fk={"l_orderkey": (orders, "o_orderkey")},
+    )
+    return dq_audit(li, check)
+
+
 def q_doc_perplexity_bigram(spark, sf_dir):
     """Interpolated bigram-LM perplexity (operators/quality.py
     bigram_lm_scores) — the KenLM-shaped upgrade of doc_perplexity:
@@ -2939,31 +2961,36 @@ def q_dsir_gumbel_sample(spark, sf_dir):
 
 # Registry order is the driver's verification order: it oracle-checks
 # the FIRST 50 entries each round. r7 rotation (VERDICT r6 #7): (a) the
-# three new r7 gates (pq_clustered_recall_gate,
-# ivfpq_clustered_recall_gate, tune_overfetch_gate) enter the window
-# (part_fuzzy_pairs, green in the r6 window, makes room for the third),
-# as do this round's
-# REWORKED entries' dependents (text_jaccard_autocap,
-# winnow_crossdoc_pairs, and the bpe_* family stay in-window because
-# their operators changed in r7); (b) the ten stale rows VERDICT named
-# (events_asof_purchase, part_price_bands, orders_grouping_sets,
-# events_sessionize, approx_distinct_gate, lsh_recall_gate,
-# minhash_recall_gate, part_fuzzy_lsh_gate, customers_without_orders,
-# chunk_documents — none window-green since r4) rotate IN; (c) twelve
-# multi-round-green rows (knn_cosine_filtered, knn_chunked_parity, the
-# uniform-corpus ivf/pq/ivfpq recall gates now superseded in-window by
+# new r7 entries lead the window — the five second-session additions
+# (dsir_weights, dsir_gumbel_sample, component_safe_split,
+# semdedup_gate, doc_perplexity_bigram) plus the three first-session
+# gates (pq_clustered_recall_gate, ivfpq_clustered_recall_gate,
+# tune_overfetch_gate) — as do this round's REWORKED entries'
+# dependents (text_jaccard_autocap, winnow_crossdoc_pairs, the bpe_*
+# family, minhash_dedup_clustered: their operators changed in r7);
+# (b) the ten stale rows VERDICT named (events_asof_purchase,
+# part_price_bands, orders_grouping_sets, events_sessionize,
+# approx_distinct_gate, lsh_recall_gate, minhash_recall_gate,
+# part_fuzzy_lsh_gate, customers_without_orders, chunk_documents —
+# none window-green since r4) rotate IN and STAY in despite the five
+# insertions; (c) to make room, seventeen multi-round-green rows of
+# UNCHANGED operators rotate out past the boundary
+# (knn_cosine_filtered, knn_chunked_parity, part_fuzzy_pairs, the
+# uniform-corpus ivf/pq/ivfpq recall gates superseded in-window by
 # their clustered twins, kmeans_cluster_gate, the simhash gates,
 # embedding_neardup_bucketed, doc_perplexity, quality_classifier,
-# pii_redact) rotate out past the boundary, where the per-round builder
-# sweep and judge re-runs still oracle-check them. Every one of the 50
-# in-window entries has a full value-hash oracle — no rows-only entries
-# remain in the window.
+# pii_redact, dedup_components, doc_repetition, repeated_spans,
+# doc_winnow_fp, part_string_stats), where the per-round builder sweep
+# and judge re-runs still oracle-check them. Every one of the 50
+# in-window entries has a full value-hash oracle — no rows-only
+# entries remain in the window.
 QUERIES: dict[str, QueryFn] = {
     "dsir_weights": q_dsir_weights,
     "dsir_gumbel_sample": q_dsir_gumbel_sample,
     "component_safe_split": q_component_safe_split,
     "semdedup_gate": q_semdedup_gate,
     "doc_perplexity_bigram": q_doc_perplexity_bigram,
+    "dq_audit": q_dq_audit,
     "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
@@ -2973,19 +3000,13 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_dedup_clustered": q_minhash_dedup_clustered,
     "text_jaccard_capped": q_text_jaccard_capped,
     "text_jaccard_autocap": q_text_jaccard_autocap,
-    "dedup_components": q_dedup_components,
-    "doc_repetition": q_doc_repetition,
     "ngram_contamination": q_ngram_contamination,
-    "repeated_spans": q_repeated_spans,
-    "doc_winnow_fp": q_doc_winnow_fp,
     "winnow_crossdoc_pairs": q_winnow_crossdoc_pairs,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train_gate": q_bpe_train_gate,
     "bpe_encode_gate": q_bpe_encode_gate,
     "vocab_coverage": q_vocab_coverage,
     "curation_pipeline": q_curation_pipeline,
-    "part_string_stats": q_part_string_stats,
-    "embed_docs_384": q_embed_docs_384,
     "rag_pack_gate": q_rag_pack_gate,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -3014,6 +3035,12 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct_gate": q_approx_distinct_gate,
     "customers_without_orders": q_customers_without_orders,
     "chunk_documents": q_chunk_documents,
+    "dedup_components": q_dedup_components,
+    "doc_repetition": q_doc_repetition,
+    "repeated_spans": q_repeated_spans,
+    "doc_winnow_fp": q_doc_winnow_fp,
+    "part_string_stats": q_part_string_stats,
+    "embed_docs_384": q_embed_docs_384,
     # ================= driver window boundary (50) ===================
     # entries below keep their driver-green history (r7-rotated-out
     # rows were green in the r6 window or earlier); the sweep + judge
@@ -3204,6 +3231,55 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
+    "dq_audit": """
+        WITH n AS (SELECT count(*)::BIGINT AS checked FROM lineitem)
+        SELECT 'completeness' AS constraint, 'l_orderkey' AS column,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT
+                 AS violations, checked,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) = 0
+                 AS passed FROM n
+        UNION ALL
+        SELECT 'completeness', 'l_shipdate',
+               (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)::BIGINT,
+               checked,
+               (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) = 0
+        FROM n
+        UNION ALL
+        SELECT 'in_range', 'l_discount', v::BIGINT, checked, v = 0 FROM n,
+          (SELECT count(*) AS v FROM lineitem
+           WHERE l_discount IS NOT NULL
+             AND (l_discount < 0.0 OR l_discount > 0.05))
+        UNION ALL
+        SELECT 'in_range', 'l_quantity', v::BIGINT, checked, v = 0 FROM n,
+          (SELECT count(*) AS v FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_quantity < 1.0)
+        UNION ALL
+        SELECT 'accepted_values', 'l_returnflag', v::BIGINT, checked, v = 0
+        FROM n,
+          (SELECT count(*) AS v FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'R'))
+        UNION ALL
+        SELECT 'matches', 'l_linestatus', v::BIGINT, checked, v = 0 FROM n,
+          (SELECT count(*) AS v FROM lineitem
+           WHERE l_linestatus IS NOT NULL
+             AND NOT regexp_matches(l_linestatus, '^[OF]$'))
+        UNION ALL
+        SELECT 'uniqueness', 'l_orderkey', v::BIGINT, checked, v = 0 FROM n,
+          (SELECT coalesce(sum(c), 0) AS v FROM
+            (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey
+             HAVING count(*) > 1))
+        UNION ALL
+        SELECT 'uniqueness', 'l_orderkey,l_linenumber', v::BIGINT, checked,
+               v = 0 FROM n,
+          (SELECT coalesce(sum(c), 0) AS v FROM
+            (SELECT count(*) AS c FROM lineitem
+             GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        UNION ALL
+        SELECT 'fk', 'l_orderkey', v::BIGINT, checked, v = 0 FROM n,
+          (SELECT count(*) AS v FROM lineitem
+           WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    """,
     "doc_perplexity_bigram": r"""
 WITH refw AS (
   SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
