@@ -2776,6 +2776,80 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+def q_jl_projection_gate(spark, sf_dir):
+    """Johnson-Lindenstrauss projection gate (the Gaussian map is
+    seed-derived and not SQL-expressible, so the JL GUARANTEE is gated
+    instead): project the embeddings 64 -> 32 and check, on the seeded
+    consecutive-id pair sample, that squared-distance ratios
+    concentrate around 1 — mean in [0.85, 1.15], >= 95% of pairs
+    within +/-60% (m=32 is a coarse sketch; the bound is the
+    theorem's, not generosity) — plus exact determinism across two
+    independent projections. n_pairs is pinned by the oracle."""
+    from mlx_vector_db_spark.operators.projection import (
+        JLProjection,
+        project_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = JLProjection(64, 32, seed=7)
+    p1 = project_vectors(emb, proj).localCheckpoint(eager=False)
+    p2 = project_vectors(emb, proj)
+
+    # determinism: the two projections agree bit-for-bit
+    both = p1.select("vec_id", F.col("projected").alias("a")).join(
+        p2.select("vec_id", F.col("projected").alias("b")), on="vec_id"
+    )
+    n_diff = both.where(F.col("a") != F.col("b")).count()
+
+    # consecutive-id pairs: (i, i+1) — deterministic, n-1 pairs
+    a = p1.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.col("projected").alias("pa"),
+    )
+    b = p1.select(
+        (F.col("vec_id") - 1).alias("ia"),
+        F.col("embedding").alias("eb"),
+        F.col("projected").alias("pb"),
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(u).cast("array<double>"),
+            F.col(v).cast("array<double>"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, on="ia")
+        .select(sq("ea", "eb").alias("d_orig"), sq("pa", "pb").alias("d_proj"))
+        .where(F.col("d_orig") > 0)
+        .select((F.col("d_proj") / F.col("d_orig")).alias("ratio"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.avg("ratio").alias("mean_ratio"),
+        F.avg(
+            F.when((F.col("ratio") >= 0.4) & (F.col("ratio") <= 1.6), 1.0).otherwise(
+                0.0
+            )
+        ).alias("frac_in_band"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_pairs"]),
+                n_diff == 0,
+                0.85 <= stats["mean_ratio"] <= 1.15,
+                stats["frac_in_band"] >= 0.95,
+            )
+        ],
+        "n_pairs long, deterministic boolean, mean_preserved boolean, "
+        "band_preserved boolean",
+    )
+
+
 def q_dq_audit(spark, sf_dir):
     """Data-quality constraint audit (operators/dq.py, the
     Deequ shape): every row-predicate constraint rides ONE aggregation
@@ -2991,6 +3065,7 @@ QUERIES: dict[str, QueryFn] = {
     "semdedup_gate": q_semdedup_gate,
     "doc_perplexity_bigram": q_doc_perplexity_bigram,
     "dq_audit": q_dq_audit,
+    "jl_projection_gate": q_jl_projection_gate,
     "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
@@ -3007,7 +3082,6 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode_gate": q_bpe_encode_gate,
     "vocab_coverage": q_vocab_coverage,
     "curation_pipeline": q_curation_pipeline,
-    "rag_pack_gate": q_rag_pack_gate,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "multimodal_features": q_multimodal_features,
@@ -3041,6 +3115,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_winnow_fp": q_doc_winnow_fp,
     "part_string_stats": q_part_string_stats,
     "embed_docs_384": q_embed_docs_384,
+    "rag_pack_gate": q_rag_pack_gate,
     # ================= driver window boundary (50) ===================
     # entries below keep their driver-green history (r7-rotated-out
     # rows were green in the r6 window or earlier); the sweep + judge
@@ -3231,6 +3306,11 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
+    "jl_projection_gate": """
+        SELECT (count(*) - 1)::BIGINT AS n_pairs, TRUE AS deterministic,
+               TRUE AS mean_preserved, TRUE AS band_preserved
+        FROM embeddings
+    """,
     "dq_audit": """
         WITH n AS (SELECT count(*)::BIGINT AS checked FROM lineitem)
         SELECT 'completeness' AS constraint, 'l_orderkey' AS column,
