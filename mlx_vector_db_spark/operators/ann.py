@@ -40,12 +40,73 @@ __all__ = [
     "index_from_dict",
     "build_ivf",
     "train_ivf",
+    "assign_cells_arrow",
     "build_lsh",
     "lsh_bucket_expr",
     "add_lsh_buckets",
     "lsh_probe_buckets",
     "tune_nprobe",
 ]
+
+
+#: cell count at which argmin-assignment leaves the expression path:
+#: past this, CONSTRUCTING the literal-matrix expression is O(k * dim)
+#: py4j round-trips and its interpreted per-row evaluation dwarfs one
+#: BLAS matmul per Arrow batch (measured: ~200 s to build + 0.8 ms/row
+#: at k=4000 vs ~20 s total for 200k rows through Arrow)
+ASSIGN_ARROW_MIN_K = 128
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    out_col: str,
+    dist_col: str | None = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = argmin-centroid cell id (int32) via one
+    BLAS matmul per Arrow batch (``mapInArrow``, zero-copy list
+    buffers), plus the exact squared L2 distance when ``dist_col`` is
+    given. Ties break toward the LARGER id — the ``array_max(struct)``
+    rule of the expression path, so the two paths agree exactly (the
+    centroid matrix ships reversed because argmax over a reversed
+    numpy VIEW falls off the contiguous fast path, measured 40x the
+    matmul)."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)[::-1].copy()
+    k_total = len(C)
+    half_sq = 0.5 * (C**2).sum(axis=1)
+    fields = list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    if dist_col is not None:
+        fields.append(StructField(dist_col, DoubleType()))
+    schema = StructType(fields)
+
+    def score_batches(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = rb.column(rb.schema.get_field_index(vec_col))
+            if col.null_count:
+                raise ValueError(
+                    f"NULL {vec_col!r} rows cannot be assigned to a cell"
+                )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype(np.float64, copy=False).reshape(rb.num_rows, -1)
+            scores = X @ C.T - half_sq  # argmax == argmin ||x-c||
+            rev_idx = scores.argmax(axis=1)  # first max = largest cid
+            a = (k_total - 1) - rev_idx
+            arrays = list(rb.columns) + [pa.array(a.astype("int32"))]
+            names = list(rb.schema.names) + [out_col]
+            if dist_col is not None:
+                picked = scores[np.arange(len(rev_idx)), rev_idx]
+                arrays.append(pa.array((X**2).sum(axis=1) - 2.0 * picked))
+                names.append(dist_col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(score_batches, schema)
 
 
 class _CellIndex:
@@ -163,6 +224,20 @@ class IVFIndex(_CellIndex):
     @property
     def nlist(self) -> int:
         return len(self.centroids)
+
+    def assign(self, df: DataFrame, method: str = "auto") -> DataFrame:
+        """``df`` + ``centroid_id``: the expression path composes into
+        any plan (pushdown, streaming projections) and stays the
+        default at small nlist; past ``ASSIGN_ARROW_MIN_K`` cells the
+        Arrow BLAS path takes over (see :func:`assign_cells_arrow` for
+        the measured cliff). Both break ties identically."""
+        if method not in ("auto", "expr", "arrow"):
+            raise ValueError(f"method must be auto|expr|arrow (got {method!r})")
+        if method == "auto":
+            method = "arrow" if self.nlist >= ASSIGN_ARROW_MIN_K else "expr"
+        if method == "expr":
+            return df.withColumn("centroid_id", self.assign_expr())
+        return assign_cells_arrow(df, self.centroids, self.vec_col, "centroid_id")
 
     def assign_expr(self) -> Column:
         """centroid_id as a column expression: argmin over centroid

@@ -22,7 +22,11 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mlx_vector_db_spark.operators.ann import IVFIndex, train_ivf
+from mlx_vector_db_spark.operators.ann import (
+    IVFIndex,
+    assign_cells_arrow,
+    train_ivf,
+)
 
 __all__ = ["KMeansModel", "kmeans_fit", "cluster_stats"]
 
@@ -75,52 +79,12 @@ class KMeansModel:
         return self._assign_arrow(df, dist_col)
 
     def _assign_arrow(self, df: DataFrame, dist_col: str | None) -> DataFrame:
-        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
-
-        # ship the centroid matrix REVERSED: ties must go to the larger
-        # cid (the array_max(struct) rule of the expression path), and
-        # argmax over a reversed VIEW of the score matrix falls off
-        # numpy's contiguous fast path (measured 40x slower than the
-        # matmul itself) — reversing the k-side once is free
-        C = self.centroids[::-1].copy()  # (k, dim) float64, ~KBs
-        k_total = len(C)
-        half_sq = 0.5 * (C**2).sum(axis=1)
-        vec_col = self.index.vec_col
-        fields = list(df.schema.fields) + [StructField("cluster_id", IntegerType())]
-        if dist_col is not None:
-            fields.append(StructField(dist_col, DoubleType()))
-        schema = StructType(fields)
-
-        # mapInArrow, not mapInPandas: the vector column stays an Arrow
-        # ListArray whose values buffer reshapes to the (n, dim) matrix
-        # zero-copy — the pandas route pays a per-row object array plus
-        # an np.vstack loop on the way in and a rebuild on the way out,
-        # which cost more than the matmul itself
-        def score_batches(batches):
-            import pyarrow as pa
-
-            for rb in batches:
-                if rb.num_rows == 0:
-                    continue
-                col = rb.column(rb.schema.get_field_index(vec_col))
-                if col.null_count:
-                    raise ValueError(
-                        f"NULL {vec_col!r} rows cannot be assigned to a cluster"
-                    )
-                flat = col.flatten().to_numpy(zero_copy_only=False)
-                X = flat.astype(np.float64, copy=False).reshape(rb.num_rows, -1)
-                scores = X @ C.T - half_sq  # argmax == argmin ||x-c||
-                rev_idx = scores.argmax(axis=1)  # first max = largest cid
-                a = (k_total - 1) - rev_idx
-                arrays = list(rb.columns) + [pa.array(a.astype("int32"))]
-                names = list(rb.schema.names) + ["cluster_id"]
-                if dist_col is not None:
-                    picked = scores[np.arange(len(rev_idx)), rev_idx]
-                    arrays.append(pa.array((X**2).sum(axis=1) - 2.0 * picked))
-                    names.append(dist_col)
-                yield pa.RecordBatch.from_arrays(arrays, names=names)
-
-        return df.mapInArrow(score_batches, schema)
+        # shared with IVFIndex.assign — mapInArrow (zero-copy list
+        # buffers), one BLAS matmul per batch, tie-break parity with
+        # the expression path
+        return assign_cells_arrow(
+            df, self.centroids, self.index.vec_col, "cluster_id", dist_col
+        )
 
     def _sq_dist_expr(self) -> Column:
         cmat = F.array(

@@ -827,10 +827,17 @@ class VectorStore:
                 out = out.withColumn(key, F.lit(None).cast(_PROMOTED_TYPES[tname]))
         ivf = self._ivf()
         if ivf is not None and "centroid_id" not in out.columns:
-            # incremental index maintenance: assignment is a projection
-            # over the new batch only — never a rebuild (the reference
-            # rebuilt its whole HNSW graph per add, :110-113)
-            out = out.withColumn("centroid_id", ivf.assign_expr().cast("int"))
+            # incremental index maintenance: assignment runs over the
+            # new batch only — never a rebuild (the reference rebuilt
+            # its whole HNSW graph per add, :110-113). IVFIndex.assign
+            # picks the expression path at small nlist (composes into
+            # the ingest projection) and the Arrow BLAS path past
+            # ASSIGN_ARROW_MIN_K cells, where merely BUILDING the
+            # literal expression would cost O(nlist*dim) py4j calls
+            # PER BATCH.
+            out = ivf.assign(out).withColumn(
+                "centroid_id", F.col("centroid_id").cast("int")
+            )
         pqc = self._pq()
         if pqc is not None and "pq_code" not in out.columns:
             # incremental PQ maintenance: encoding is a stateless

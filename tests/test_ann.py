@@ -201,3 +201,23 @@ def test_store_tune_nprobe(spark, tmp_path):
     # the chosen setting actually delivers on a fresh query
     res = st.query(vecs[3].tolist(), k=1, use_index=True, nprobe=nprobe)
     assert res.first()["id"] == 3
+
+
+def test_ivf_assign_arrow_matches_expr(spark):
+    import numpy as np
+
+    from mlx_vector_db_spark.operators.ann import train_ivf
+
+    rng = np.random.default_rng(4)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(400)]
+    rows += [(900 + i, rows[i][1]) for i in range(10)]  # exact-dup ties
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = train_ivf(df, nlist=130, seed=6)  # past ASSIGN_ARROW_MIN_K
+    expr = {(r.vec_id, r.centroid_id) for r in idx.assign(df, method="expr").collect()}
+    arrow = {(r.vec_id, r.centroid_id) for r in idx.assign(df, method="arrow").collect()}
+    auto = {(r.vec_id, r.centroid_id) for r in idx.assign(df).collect()}
+    assert expr == arrow == auto
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        idx.assign(df, method="nope")
