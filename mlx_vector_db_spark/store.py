@@ -718,6 +718,23 @@ class VectorStore:
             )
         return self._df_over(files)
 
+    def restore(self, version: int | str) -> None:
+        """Roll the store back to a retained snapshot — a NEW commit
+        whose live set is the old snapshot's file list (metadata-only:
+        no data is copied, no files move; Delta's RESTORE semantics).
+        The rolled-back states stay in history, so a restore is itself
+        restorable. Fails like :meth:`as_of` when retention already
+        reaped the target; the CAS loop keeps a concurrent writer's
+        commit from being silently clobbered."""
+        self.as_of(version)  # existence + file checks, loud failure
+        name = (
+            self.history()[version]["name"] if isinstance(version, int) else version
+        )
+        data = json.loads((self._manifest_dir / name).read_text())
+        files = [self.data_dir / rel for rel in data["files"]]
+        self._cas_commit(lambda live: files)
+        self._max_id_seen = None  # id high-water mark may have moved back
+
     # -- ingest ------------------------------------------------------------
 
     def _prepare_batch(

@@ -995,3 +995,23 @@ def test_vacuum_bounds_time_travel(store):
     # current snapshot unaffected
     assert store.as_of(-1).count() == store.to_df().count()
     assert not (files_v0 - set(store._data_files())) or True
+
+
+def test_restore_rolls_back_and_is_itself_restorable(store):
+    assert store.count() == 50
+    store.delete_vectors(filter_metadata={"category": "B"})
+    assert store.count() == 25
+    pre_delete = store.history()[-2]["name"]
+    store.restore(pre_delete)
+    assert store.count() == 50  # metadata-only rollback
+    # auto-id continues above the restored high-water mark
+    store.add_vectors([[0.5] * DIM])
+    ids = {r["id"] for r in store.to_df().select("id").collect()}
+    assert max(ids) == 50 and len(ids) == 51
+    # the rollback is a new commit: the deleted state is still in
+    # history, so the restore itself can be undone
+    deleted_state = store.history()[-3]["name"]
+    store.restore(deleted_state)
+    assert store.count() == 25
+    with pytest.raises(ValueError):
+        store.restore("manifest-nope.json")
