@@ -33,7 +33,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample_exact", "weighted_sample", "sample_key"]
+__all__ = ["stratified_sample_exact", "weighted_sample", "sample_key", "plan_mixture"]
 
 
 def sample_key(id_col: Column | str, salt: str = "") -> Column:
@@ -103,3 +103,66 @@ def weighted_sample(
     if not 0.0 <= wt <= 1.0:
         raise ValueError(f"weight must be in [0, 1] (got {wt})")
     return df.where(key < F.lit(wt))
+
+
+def plan_mixture(
+    df: DataFrame,
+    targets: Mapping[str, float],
+    stratum_col: str = "source",
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> tuple[DataFrame, DataFrame]:
+    """Token-budget data mixing: given per-stratum TARGET masses
+    (tokens, rows — whatever ``weight_col`` measures; rows when None),
+    derive the per-stratum keep-probability ``min(1, target/actual)``
+    and apply it as a deterministic :func:`weighted_sample`-style
+    filter. The standard pretraining-mix step ("this run wants 40B web
+    tokens, 10B code tokens") expressed as a plan over the corpus.
+
+    Returns ``(plan, sampled)``:
+
+    - ``plan`` — one row per stratum present in ``df``:
+      ``(stratum, available, target, keep_prob)``; strata missing from
+      ``targets`` get target 0 (dropped), targets above availability
+      clamp to keep everything (a plan can't mint data — the plan row
+      makes the shortfall visible instead of hiding it);
+    - ``sampled`` — the filtered corpus. Expected kept mass per stratum
+      is ``keep_prob * available``.
+
+    Scale: the availability aggregate is ONE map-side-combinable
+    groupBy; the plan is stratum-sized (broadcast); the sample is a
+    pure filter keyed on md5 of the row id — no shuffle of the corpus,
+    same rows on every engine/cluster/retry.
+    """
+    for s, t in targets.items():
+        if float(t) < 0:
+            raise ValueError(f"target for {s!r} must be >= 0 (got {t})")
+    mass = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    avail = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(mass).alias("available")
+    )
+    tgt = F.lit(0.0)
+    for s, t in targets.items():
+        tgt = F.when(F.col("stratum") == s, F.lit(float(t))).otherwise(tgt)
+    plan = avail.select(
+        "stratum",
+        "available",
+        tgt.alias("target"),
+        F.least(
+            F.lit(1.0),
+            F.when(F.col("available") > 0, tgt / F.col("available")).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("keep_prob"),
+    )
+    key = sample_key(id_col, salt)
+    joined = df.join(
+        F.broadcast(plan.select(F.col("stratum").alias(stratum_col), "keep_prob")),
+        on=stratum_col,
+        how="left",
+    )
+    sampled = joined.where(key < F.coalesce(F.col("keep_prob"), F.lit(0.0))).drop(
+        "keep_prob"
+    )
+    return plan, sampled

@@ -2776,6 +2776,45 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget mixing plan (operators/sampling.plan_mixture): one
+    availability aggregate per source (mass = n_chars), target mass
+    from the run config, keep_prob = min(1, target/available) with
+    shortfalls clamped visible. The oracle recomputes the whole plan
+    relationally."""
+    from mlx_vector_db_spark.operators.sampling import plan_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    plan, _ = plan_mixture(
+        docs,
+        {"src1": 10_000_000.0, "src2": 3000.0, "src5": 500.0},
+        stratum_col="source",
+        weight_col="n_chars",
+    )
+    return plan.select(
+        "stratum",
+        F.round("available", 4).alias("available"),
+        "target",
+        F.round("keep_prob", 6).alias("keep_prob"),
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """The rows the mixing plan actually keeps: a pure md5-key filter
+    against the broadcast plan — the oracle reproduces the exact row
+    set, keep-probabilities and \"randomness\" included."""
+    from mlx_vector_db_spark.operators.sampling import plan_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    _, sampled = plan_mixture(
+        docs,
+        {"src1": 10_000_000.0, "src2": 3000.0, "src5": 500.0},
+        stratum_col="source",
+        weight_col="n_chars",
+    )
+    return sampled.select("doc_id", "source")
+
+
 def q_jl_projection_gate(spark, sf_dir):
     """Johnson-Lindenstrauss projection gate (the Gaussian map is
     seed-derived and not SQL-expressible, so the JL GUARANTEE is gated
@@ -3066,6 +3105,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_perplexity_bigram": q_doc_perplexity_bigram,
     "dq_audit": q_dq_audit,
     "jl_projection_gate": q_jl_projection_gate,
+    "mixture_plan": q_mixture_plan,
+    "mixture_sample": q_mixture_sample,
     "streaming_knn_gate": q_streaming_knn_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
@@ -3084,8 +3125,6 @@ QUERIES: dict[str, QueryFn] = {
     "curation_pipeline": q_curation_pipeline,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
-    "multimodal_features": q_multimodal_features,
-    "stratified_sample": q_stratified_sample,
     "export_shard_plan": q_export_shard_plan,
     "packing_gate": q_packing_gate,
     "ingest_dedup_gate": q_ingest_dedup_gate,
@@ -3116,6 +3155,8 @@ QUERIES: dict[str, QueryFn] = {
     "part_string_stats": q_part_string_stats,
     "embed_docs_384": q_embed_docs_384,
     "rag_pack_gate": q_rag_pack_gate,
+    "multimodal_features": q_multimodal_features,
+    "stratified_sample": q_stratified_sample,
     # ================= driver window boundary (50) ===================
     # entries below keep their driver-green history (r7-rotated-out
     # rows were green in the r6 window or earlier); the sweep + judge
@@ -3306,6 +3347,40 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
+    "mixture_plan": r"""
+        WITH avail AS (
+          SELECT source AS stratum, sum(n_chars)::DOUBLE AS available
+          FROM documents GROUP BY source
+        )
+        SELECT stratum, round(available, 4) AS available,
+               CASE stratum WHEN 'src1' THEN 10000000.0
+                            WHEN 'src2' THEN 3000.0
+                            WHEN 'src5' THEN 500.0 ELSE 0.0 END AS target,
+               round(least(1.0, CASE WHEN available > 0 THEN
+                 (CASE stratum WHEN 'src1' THEN 10000000.0
+                               WHEN 'src2' THEN 3000.0
+                               WHEN 'src5' THEN 500.0 ELSE 0.0 END) / available
+                 ELSE 0.0 END), 6) AS keep_prob
+        FROM avail
+    """,
+    "mixture_sample": r"""
+        WITH avail AS (
+          SELECT source AS stratum, sum(n_chars)::DOUBLE AS available
+          FROM documents GROUP BY source
+        ), plan AS (
+          SELECT stratum,
+                 least(1.0, CASE WHEN available > 0 THEN
+                   (CASE stratum WHEN 'src1' THEN 10000000.0
+                                 WHEN 'src2' THEN 3000.0
+                                 WHEN 'src5' THEN 500.0 ELSE 0.0 END) / available
+                   ELSE 0.0 END) AS keep_prob
+          FROM avail
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN plan p ON p.stratum = d.source
+        WHERE ('0x' || substring(md5('mix' || d.doc_id::VARCHAR), 1, 8))
+                ::BIGINT::DOUBLE / 4294967296.0 < p.keep_prob
+    """,
     "jl_projection_gate": """
         SELECT (count(*) - 1)::BIGINT AS n_pairs, TRUE AS deterministic,
                TRUE AS mean_preserved, TRUE AS band_preserved

@@ -81,3 +81,30 @@ def test_sample_key_range(docs):
         F.min(sample_key("doc_id")).alias("a"), F.max(sample_key("doc_id")).alias("b")
     ).first()
     assert 0.0 <= mn and mx < 1.0
+
+
+def test_plan_mixture_keep_probs_and_sample(spark):
+    from mlx_vector_db_spark.operators.sampling import plan_mixture
+
+    rows = [(i, "web", 100) for i in range(50)] + [
+        (100 + i, "code", 100) for i in range(10)
+    ] + [(200 + i, "junk", 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    plan, sampled = plan_mixture(
+        df, {"web": 2500.0, "code": 99999.0}, weight_col="n_chars"
+    )
+    p = {r.stratum: r for r in plan.collect()}
+    assert p["web"].keep_prob == pytest.approx(0.5)     # 2500 of 5000
+    assert p["code"].keep_prob == 1.0                   # clamped shortfall
+    assert p["code"].available == 1000.0
+    assert p["junk"].keep_prob == 0.0                   # absent target drops
+    got = {r.doc_id for r in sampled.collect()}
+    assert got and all(100 <= d < 110 or d < 50 for d in got)
+    assert {d for d in got if d >= 100} == set(range(100, 110))  # all code kept
+    # deterministic under repartition
+    _, s2 = plan_mixture(
+        df.repartition(7), {"web": 2500.0, "code": 99999.0}, weight_col="n_chars"
+    )
+    assert {r.doc_id for r in s2.collect()} == got
+    with pytest.raises(ValueError, match=">= 0"):
+        plan_mixture(df, {"web": -1.0})
