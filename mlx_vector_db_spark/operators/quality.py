@@ -41,6 +41,7 @@ __all__ = [
     "winnow_crossdoc_pairs",
     "unigram_lm_scores",
     "bigram_lm_scores",
+    "calibrate_keep_threshold",
     "hashed_feature_buckets",
     "hashed_linear_score",
 ]
@@ -790,3 +791,49 @@ def bigram_lm_scores(
             F.exp("avg_nll").alias("perplexity"),
         )
     )
+
+
+def calibrate_keep_threshold(
+    df: DataFrame,
+    score_col: str,
+    keep_fraction: float,
+    higher_is_better: bool = True,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Quality-filter calibration: find the score threshold that keeps
+    ~``keep_fraction`` of the corpus, instead of hand-picking a magic
+    number that silently keeps 20% on one crawl and 90% on the next.
+    The standard way quality classifiers (fastText/CCNet scores,
+    perplexity, Gopher signals) are actually deployed: the BUDGET is
+    the spec, the threshold is derived.
+
+    Returns ``(calibration, kept)``: a 1-row frame
+    ``(threshold, n_total, n_kept)`` and the filtered corpus (ties at
+    the threshold are kept, so ``n_kept >= keep_fraction * n_total``).
+
+    ``exact=False`` (default, the 100 TB path) uses
+    ``approx_percentile`` — one aggregation with a bounded-memory
+    sketch. ``exact=True`` uses the sort-based exact percentile; at
+    corpus scale that is a full sort of the score column, so reserve
+    it for audits and oracle parity.
+    """
+    if not 0.0 < float(keep_fraction) <= 1.0:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1] (got {keep_fraction})"
+        )
+    q = (1.0 - float(keep_fraction)) if higher_is_better else float(keep_fraction)
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    thr = df.agg(
+        F.expr(f"{fn}({score_col}, {q}{acc})").cast("double").alias("threshold"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    side = F.col(score_col) >= F.col("threshold") if higher_is_better else (
+        F.col(score_col) <= F.col("threshold")
+    )
+    kept = df.crossJoin(F.broadcast(thr)).where(side).drop("threshold", "n_total")
+    calibration = thr.crossJoin(
+        F.broadcast(kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept")))
+    ).select("threshold", "n_total", "n_kept")
+    return calibration, kept

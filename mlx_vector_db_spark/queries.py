@@ -2776,6 +2776,23 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+def q_quality_threshold_calibration(spark, sf_dir):
+    """Budgeted quality filtering (operators/quality.py
+    calibrate_keep_threshold): derive the score threshold that keeps
+    60% of documents by n_chars instead of hand-picking one. Exact
+    percentile here for oracle parity; the operator's default is the
+    approx_percentile sketch (the 100 TB path — see docstring)."""
+    from mlx_vector_db_spark.operators.quality import calibrate_keep_threshold
+
+    docs = _t(spark, sf_dir, "documents")
+    calibration, _kept = calibrate_keep_threshold(
+        docs, "n_chars", keep_fraction=0.6, exact=True
+    )
+    return calibration.select(
+        F.round("threshold", 6).alias("threshold"), "n_total", "n_kept"
+    )
+
+
 def q_mixture_plan(spark, sf_dir):
     """Token-budget mixing plan (operators/sampling.plan_mixture): one
     availability aggregate per source (mass = n_chars), target mass
@@ -3105,6 +3122,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_perplexity_bigram": q_doc_perplexity_bigram,
     "dq_audit": q_dq_audit,
     "jl_projection_gate": q_jl_projection_gate,
+    "quality_threshold_calibration": q_quality_threshold_calibration,
     "mixture_plan": q_mixture_plan,
     "mixture_sample": q_mixture_sample,
     "streaming_knn_gate": q_streaming_knn_gate,
@@ -3125,7 +3143,6 @@ QUERIES: dict[str, QueryFn] = {
     "curation_pipeline": q_curation_pipeline,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
-    "export_shard_plan": q_export_shard_plan,
     "packing_gate": q_packing_gate,
     "ingest_dedup_gate": q_ingest_dedup_gate,
     "streaming_dedup_gate": q_streaming_dedup_gate,
@@ -3157,6 +3174,7 @@ QUERIES: dict[str, QueryFn] = {
     "rag_pack_gate": q_rag_pack_gate,
     "multimodal_features": q_multimodal_features,
     "stratified_sample": q_stratified_sample,
+    "export_shard_plan": q_export_shard_plan,
     # ================= driver window boundary (50) ===================
     # entries below keep their driver-green history (r7-rotated-out
     # rows were green in the r6 window or earlier); the sweep + judge
@@ -3347,6 +3365,15 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": _KNN_ORACLE.format(
         nq=N_KNN_QUERIES, k=KNN_K, where="", score=_COSINE_SQL, dir="DESC"
     ),
+    "quality_threshold_calibration": """
+        WITH t AS (SELECT quantile_cont(n_chars, 0.4) AS threshold,
+                          count(*)::BIGINT AS n_total
+                   FROM documents)
+        SELECT round(t.threshold, 6) AS threshold, t.n_total,
+               (SELECT count(*) FROM documents d, t
+                WHERE d.n_chars >= t.threshold)::BIGINT AS n_kept
+        FROM t
+    """,
     "mixture_plan": r"""
         WITH avail AS (
           SELECT source AS stratum, sum(n_chars)::DOUBLE AS available

@@ -393,3 +393,27 @@ def test_bigram_lm_repetition_scores_below_shuffled(spark):
     )
     out = {r.doc_id: r.avg_nll for r in bigram_lm_scores(probe, ref).collect()}
     assert out[1] < out[2]
+
+
+def test_calibrate_keep_threshold(spark):
+    from mlx_vector_db_spark.operators.quality import calibrate_keep_threshold
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, score double"
+    )
+    cal, kept = calibrate_keep_threshold(df, "score", 0.25, exact=True)
+    row = cal.first()
+    # keep top 25% of 0..99: threshold = percentile(0.75) = 74.25
+    assert row.threshold == pytest.approx(74.25)
+    assert row.n_total == 100 and row.n_kept == 25
+    assert {r.doc_id for r in kept.collect()} == set(range(75, 100))
+    # lower-is-better flips the side
+    cal2, kept2 = calibrate_keep_threshold(
+        df, "score", 0.1, higher_is_better=False, exact=True
+    )
+    assert {r.doc_id for r in kept2.collect()} == set(range(10))
+    # the approx sketch lands near the exact cut at default accuracy
+    cal3, _ = calibrate_keep_threshold(df, "score", 0.25)
+    assert abs(cal3.first().threshold - 74.25) <= 2.0
+    with pytest.raises(ValueError, match="keep_fraction"):
+        calibrate_keep_threshold(df, "score", 0.0)
