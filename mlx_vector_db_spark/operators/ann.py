@@ -448,9 +448,20 @@ def _kmeans_numpy(
     if algo != "lloyd":
         raise ValueError(f"algo must be auto|lloyd|minibatch (got {algo!r})")
     centroids = _kmeanspp_seeds(X, k, rng, init_cap=max(4096, 32 * k))
-    half_sq = 0.5 * (centroids**2).sum(axis=1)
+    # the per-iteration cost is MEMORY BANDWIDTH on the (n, k) score
+    # matrix, not flops (measured: the broadcast bias subtraction alone
+    # tripled the wall by rewriting the 268 MB buffer) — so score in
+    # float32 into ONE preallocated buffer, in place; centroid sums
+    # still accumulate from the float64 sample, so only the argmax
+    # sees reduced precision (a seeded-training tie, not a result)
+    Xf = X.astype(np.float32)
+    buf = np.empty((len(X), k), dtype=np.float32)
     for _ in range(max_iter):
-        assign = (X @ centroids.T - half_sq).argmax(axis=1)
+        Cf = centroids.T.astype(np.float32)
+        half_f = (0.5 * (centroids**2).sum(axis=1)).astype(np.float32)
+        np.matmul(Xf, Cf, out=buf)
+        np.subtract(buf, half_f, out=buf)
+        assign = buf.argmax(axis=1)
         # vectorized centroid update: per-cluster sums via one
         # sort + segmented reduce, not a k-long Python loop of boolean
         # masks (the loop dominated fit wall past k ~ a few hundred)
@@ -460,7 +471,6 @@ def _kmeans_numpy(
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         shift = float(((new - centroids) ** 2).sum())
         centroids = new
-        half_sq = 0.5 * (centroids**2).sum(axis=1)
         if shift < tol:
             break
     return centroids

@@ -154,23 +154,46 @@ class PQCodebooks:
         """
         vec_col = self.vec_col
         books_self = self
+        m = self.m
         cent = None if centroids is None else np.asarray(centroids, np.float64)
         fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
         out_schema = f"{fields}, {code_col} binary"
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-                if cent is not None:
-                    X = X - cent[pdf[cell_col].to_numpy()]
-                codes = books_self._assign(X)
-                yield pdf.assign(**{code_col: [c.tobytes() for c in codes]})
+        # mapInArrow: the vector column's list buffer reshapes to the
+        # (n, dim) matrix zero-copy, and the (n, m) uint8 code matrix
+        # becomes the binary column through ONE fixed-size-binary
+        # buffer — no per-row to_list()/tobytes() Python loops (they
+        # cost more than the subspace matmuls at ingest batch sizes)
+        def run(batches):
+            import pyarrow as pa
 
-        return df.mapInPandas(run, schema=out_schema)
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                col = rb.column(rb.schema.get_field_index(vec_col))
+                if col.null_count:
+                    raise ValueError(f"NULL {vec_col!r} rows cannot be encoded")
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                X = flat.astype(np.float64, copy=False).reshape(rb.num_rows, -1)
+                if cent is not None:
+                    cells = rb.column(
+                        rb.schema.get_field_index(cell_col)
+                    ).to_numpy(zero_copy_only=False)
+                    X = X - cent[cells]
+                codes = np.ascontiguousarray(books_self._assign(X))
+                fsb = pa.Array.from_buffers(
+                    pa.binary(m),
+                    rb.num_rows,
+                    [None, pa.py_buffer(codes.tobytes())],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    list(rb.columns) + [fsb.cast(pa.binary())],
+                    names=list(rb.schema.names) + [code_col],
+                )
+
+        return df.mapInArrow(run, schema=out_schema)
 
     def search_errors(self, X: np.ndarray) -> np.ndarray:
         """Mean squared reconstruction error per vector (diagnostics)."""
@@ -201,16 +224,24 @@ def train_pq(
     train = df
     if n > max_train_rows:
         train = df.sample(min(1.0, 1.2 * max_train_rows / n), seed=seed)
-    cols = [F.col(vec_col).cast("array<double>").alias("_v")] + (
+    cols = [F.col(vec_col).alias("_v")] + (
         [F.col(cell_col).alias("_c")] if centroids is not None else []
     )
-    # the limit is UNCONDITIONAL: the driver transfer is bounded by
-    # construction, not by trusting the count/sample estimate — a stale
-    # count or a mis-set fraction can never toPandas() a huge store
-    sample = train.select(*cols).limit(int(max_train_rows)).toPandas()
-    X = np.vstack(sample["_v"].to_numpy()).astype(np.float64, copy=False)
+    # Arrow transfer of contiguous list buffers (the build_ivf policy):
+    # bounded by construction — n was just counted exactly, so limit()
+    # is only needed on the sampled branch (binomial overshoot), and
+    # skipping it elsewhere avoids CollectLimit's serial partition
+    # pull; the float->double widening happens vectorized in numpy
+    sample_df = train.select(*cols)
+    if n > max_train_rows:
+        sample_df = sample_df.limit(int(max_train_rows))
+    tbl = sample_df.toArrow()
+    vcol = tbl.column("_v").combine_chunks()
+    flat = vcol.flatten().to_numpy(zero_copy_only=False)
+    X = flat.astype(np.float64, copy=False).reshape(len(vcol), -1)
     if centroids is not None:
-        X = X - np.asarray(centroids, np.float64)[sample["_c"].to_numpy()]
+        cells = tbl.column("_c").combine_chunks().to_numpy(zero_copy_only=False)
+        X = X - np.asarray(centroids, np.float64)[cells]
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")

@@ -206,7 +206,15 @@ def test_train_pq_driver_transfer_bounded(spark, monkeypatch):
         sizes.append(len(out))
         return out
 
+    orig_ta = CDF.toArrow
+
+    def spy_ta(self):
+        out = orig_ta(self)
+        sizes.append(out.num_rows)
+        return out
+
     monkeypatch.setattr(CDF, "toPandas", spy)
+    monkeypatch.setattr(CDF, "toArrow", spy_ta)
     pq = train_pq(df, m=4, nbits=2, max_train_rows=64)
     assert sizes and max(sizes) <= 64
     assert pq.books.shape[0] == 4
