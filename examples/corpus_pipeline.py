@@ -10,9 +10,14 @@ scale shape (no collects between stages).
                                      hashed grams, broadcast eval side)
     stage 4  quality filtering      (Gopher repetition rules + langid,
                                      pure codegen expressions)
-    stage 5  mixing                 (deterministic per-source quotas)
-    stage 6  chunk + embed + store  (pandas-UDF chunker, 384-dim
+    stage 5  DSIR selection         (importance weights vs the English
+                                     slice; deterministic Gumbel-top-k)
+    stage 6  mixing                 (token-budget mixture planner)
+    stage 7  leakage-safe split     (train/val assigned per near-dup
+                                     component, never per document)
+    stage 8  chunk + embed + store  (pandas-UDF chunker, 384-dim
                                      encoder, partitioned parquet store)
+    stage 9  dq audit               (constraint report over the store)
 
     python examples/corpus_pipeline.py [sf_dir]
 """
@@ -36,7 +41,6 @@ def main() -> None:
         ngram_contamination,
         repetition_signals,
     )
-    from mlx_vector_db_spark.operators.sampling import stratified_sample_exact
     from mlx_vector_db_spark.pipeline import RandomProjectionEncoder, embed_texts
     from mlx_vector_db_spark.store import VectorStoreCatalog
 
@@ -74,11 +78,39 @@ def main() -> None:
     )
     n4 = docs.count()
 
-    # 5. deterministic mixing: equal per-source quotas
-    docs = stratified_sample_exact(docs, "source", 8)
+    # 5. DSIR: keep the documents most like the English target slice
+    from mlx_vector_db_spark.operators.dsir import dsir_resample
+
+    target = docs.where(F.col("lang") == "en")
+    picked = dsir_resample(docs, target, n=max(50, n4 // 2), n_buckets=4096)
+    docs = docs.join(picked.select("doc_id"), "doc_id", "left_semi")
     n5 = docs.count()
 
-    # 6. chunk -> embed -> store
+    # 6. token-budget mixing: per-source char budgets, shortfalls visible
+    from mlx_vector_db_spark.operators.sampling import plan_mixture
+
+    targets = {f"src{i}": 50_000.0 for i in range(1, 21)}
+    plan, docs = plan_mixture(docs, targets, stratum_col="source",
+                              weight_col="n_chars")
+    n6 = docs.count()
+
+    # 7. leakage-safe split: near-dup components are the atomic units
+    from mlx_vector_db_spark.operators.components import component_safe_split
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fps = docs.select("doc_id", F.md5(F.substring(norm, 1, 80)).alias("fp"))
+    dup_fps = fps.groupBy("fp").agg(F.count("*").alias("n")).where("n > 1")
+    members = fps.join(dup_fps.select("fp"), "fp")
+    pairs = (
+        members.alias("a").join(members.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    docs = component_safe_split(docs, pairs, {"train": 0.95, "val": 0.05})
+    n7 = docs.where("split = 'train'").count()
+    docs = docs.where("split = 'train'").drop("split", "component")
+
+    # 8. chunk -> embed -> store
     chunks = chunk_documents(docs, chunk_size=400, overlap=50)
     emb = embed_texts(chunks, RandomProjectionEncoder(384), 384)
     root = tempfile.mkdtemp(prefix="corpus-store-")
@@ -96,16 +128,29 @@ def main() -> None:
             ).alias("meta"),
         )
     )
-    n6 = store.count()
+    n8 = store.count()
+
+    # 9. dq audit over the landed store: every constraint one report
+    from mlx_vector_db_spark.operators.dq import Check, dq_audit
+
+    report = dq_audit(
+        store.to_df(),
+        Check(completeness=["id", "embedding"], uniqueness=["id"]),
+    )
+    n_failed = report.where("NOT passed").count()
 
     print(f"documents             : {n0}")
     print(f"after exact dedup     : {n1}")
     print(f"after near-dup removal: {n2}")
     print(f"after decontamination : {n3} (train split only)")
     print(f"after quality gates   : {n4}")
-    print(f"after mixing quotas   : {n5}")
-    print(f"chunks embedded+stored: {n6}")
-    assert n0 >= n1 >= n2 >= n3 >= n4 >= n5 and n6 > 0
+    print(f"after DSIR selection  : {n5}")
+    print(f"after mixture budget  : {n6}")
+    print(f"train split (95%)     : {n7}")
+    print(f"chunks embedded+stored: {n8}")
+    print(f"dq constraints failed : {n_failed}")
+    assert n0 >= n1 >= n2 >= n3 >= n4 >= n5 >= n6 >= n7 and n8 > 0
+    assert n_failed == 0
     print("corpus pipeline OK")
 
 

@@ -2158,7 +2158,13 @@ class VectorStore:
         micro-batch, and at 100 TB an unbounded manifest turns every
         scan into an open-file storm (the same reason table formats
         pair streaming writes with background OPTIMIZE). Returns the
-        new file count, or None when under the threshold."""
+        new file count, or None when under the threshold.
+
+        Pair long-running streams with a periodic
+        ``catalog.vacuum()``: compacted-away files are RETAINED as
+        time-travel history (see :meth:`history`), so without vacuum a
+        continuous ingest's disk footprint grows with every
+        compaction — retention is a policy, vacuum enforces it."""
         if max_files < 1:
             raise ValueError(f"max_files must be >= 1 (got {max_files})")
         if len(self._data_files()) <= max_files:
