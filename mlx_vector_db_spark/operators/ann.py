@@ -41,6 +41,7 @@ __all__ = [
     "build_ivf",
     "train_ivf",
     "assign_cells_arrow",
+    "auto_nlist",
     "build_lsh",
     "lsh_bucket_expr",
     "add_lsh_buckets",
@@ -518,9 +519,24 @@ def _minibatch_kmeans(
     return centroids
 
 
+def auto_nlist(n_rows: int) -> int:
+    """The faiss sizing rule for IVF cell counts: ~4*sqrt(n) cells
+    (each cell then holds ~sqrt(n)/4 rows — big enough to amortize the
+    probe, small enough that nprobe/nlist prunes hard), rounded to a
+    power of two and clamped to [16, 65536]. Practical at the top of
+    that range only because training is mini-batch and assignment is
+    the Arrow BLAS path past ASSIGN_ARROW_MIN_K."""
+    import math
+
+    if n_rows < 1:
+        return 16
+    raw = 4.0 * math.sqrt(float(n_rows))
+    return min(1 << 16, max(16, 1 << round(math.log2(raw))))
+
+
 def train_ivf(
     df: DataFrame,
-    nlist: int = 16,
+    nlist: int | str = 16,
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     seed: int = 42,
@@ -542,6 +558,10 @@ def train_ivf(
     n = train.count()
     if n == 0:
         raise ValueError("cannot build an IVF index over an empty table")
+    if isinstance(nlist, str):
+        if nlist != "auto":
+            raise ValueError(f"nlist must be an int or 'auto' (got {nlist!r})")
+        nlist = auto_nlist(n)
     if n > max_train_rows:
         frac = min(1.0, 1.2 * max_train_rows / n)
         train = train.sample(frac, seed=seed)
@@ -564,7 +584,7 @@ def train_ivf(
 
 def build_ivf(
     df: DataFrame,
-    nlist: int = 16,
+    nlist: int | str = 16,
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     seed: int = 42,

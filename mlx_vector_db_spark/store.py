@@ -1446,7 +1446,7 @@ class VectorStore:
 
     def build_index(
         self,
-        nlist: int = 16,
+        nlist: int | str = 16,
         sample_fraction: float | None = None,
         seed: int = 42,
         partition_by_cell: bool = False,
@@ -1464,6 +1464,10 @@ class VectorStore:
         a sample (adaptive cells, the default); ``"lsh"`` uses random
         hyperplanes (``2**n_planes`` buckets) — zero training scan,
         preferable when the corpus churns too fast to retrain.
+
+        ``nlist="auto"`` sizes the cell count by the faiss rule
+        (~4*sqrt(n), power of two, clamped [16, 65536]) from the
+        store's actual row count — the knob most users should use.
 
         ``partition_by_cell=True`` additionally lays the data out as
         Hive partitions on ``centroid_id``: probe queries then prune at

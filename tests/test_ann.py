@@ -221,3 +221,25 @@ def test_ivf_assign_arrow_matches_expr(spark):
 
     with _pytest.raises(ValueError):
         idx.assign(df, method="nope")
+
+
+def test_auto_nlist_rule(spark):
+    import numpy as np
+
+    from mlx_vector_db_spark.operators.ann import auto_nlist, train_ivf
+
+    assert auto_nlist(0) == 16
+    assert auto_nlist(100) == 32          # 4*10 = 40 -> nearest pow2 = 32
+    assert auto_nlist(200_000) == 2048    # 4*447 ~ 1789 -> 2048
+    assert auto_nlist(10**12) == 65536    # clamped
+    rng = np.random.default_rng(2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = train_ivf(df, nlist="auto", seed=1)
+    assert idx.nlist == auto_nlist(300)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto"):
+        train_ivf(df, nlist="bogus")
