@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "dsir_weights",
     "doc_perplexity_bigram",
+    "dq_audit",
 ]
 
 

@@ -108,7 +108,11 @@ def dq_audit(df: DataFrame, check: Check) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("long").alias("_n")] + [
             expr.alias(f"_v{i}") for i, (_, _, expr) in enumerate(preds)
         ]
-        wide = df.agg(*aggs)
+        # fence the 1-row wide aggregate: the per-constraint report rows
+        # each select from it, and unfenced each union branch would
+        # re-run the full table scan (the "ONE pass" claim must hold in
+        # the PHYSICAL plan, not just the logical one)
+        wide = df.agg(*aggs).localCheckpoint(eager=False)
         rows = None
         for i, (name, col, _) in enumerate(preds):
             one = wide.select(

@@ -263,3 +263,35 @@ def test_bigram_lm_model_joins_are_keyed_no_python(spark, sf_small):
     assert "BroadcastHashJoin [_cur" in plan or "SortMergeJoin [_cur" in plan
     assert "BroadcastHashJoin [_prev" in plan or "SortMergeJoin [_prev" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dq_row_predicates_share_one_scan(spark, sf_small):
+    """All row-predicate constraints ride ONE aggregation pass over the
+    table — physically: the wide 1-row aggregate is fenced, so the
+    per-constraint report rows do not each re-run the scan."""
+    from mlx_vector_db_spark.operators.dq import Check, dq_audit
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    rep = dq_audit(
+        li,
+        Check(
+            completeness=["l_orderkey"],
+            in_range={"l_discount": (0.0, 0.05)},
+            accepted_values={"l_returnflag": ["A", "R"]},
+        ),
+    )
+    plan = explain_str(rep)
+    assert plan.count("Scan parquet") <= 1  # post-fence: scan appears once at most
+    rep.collect()  # and it actually runs
+
+
+def test_mixture_sample_is_filter_plus_broadcast(spark, sf_small):
+    """plan_mixture's sample side: one availability aggregate, the
+    stratum-sized plan broadcasts, and the corpus is never shuffled."""
+    from mlx_vector_db_spark.operators.sampling import plan_mixture
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    _, sampled = plan_mixture(docs, {"src1": 100.0}, weight_col="n_chars")
+    plan = explain_str(sampled)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the avail agg only
