@@ -3380,9 +3380,10 @@ ORACLES: dict[str, str] = {
           FROM documents GROUP BY source
         )
         SELECT stratum, round(available, 4) AS available,
-               CASE stratum WHEN 'src1' THEN 10000000.0
-                            WHEN 'src2' THEN 3000.0
-                            WHEN 'src5' THEN 500.0 ELSE 0.0 END AS target,
+               (CASE stratum WHEN 'src1' THEN 10000000.0
+                             WHEN 'src2' THEN 3000.0
+                             WHEN 'src5' THEN 500.0 ELSE 0.0 END)::DOUBLE
+                 AS target,
                round(least(1.0, CASE WHEN available > 0 THEN
                  (CASE stratum WHEN 'src1' THEN 10000000.0
                                WHEN 'src2' THEN 3000.0
