@@ -86,6 +86,14 @@ N_REPS = 3
 #: regressions unreadable without this).
 SENTINEL = "region_revenue"
 
+#: second sentinel for the PYTHON-WORKER regime: a fixed Arrow-batched
+#: mapInPandas plan (the chunker over a 256-doc slice). The JVM
+#: sentinel is blind to Python-worker slowdowns — observed same-day
+#: local runs where every mapInPandas-heavy query ran 2-3x slower
+#: while region_revenue (and vmstat idle%) stayed flat — so the noise
+#: band must watch both execution regimes.
+PY_SENTINEL = "chunk_256"
+
 
 def _median(xs: list[float]) -> float:
     xs = sorted(xs)
@@ -156,13 +164,30 @@ def main() -> int:
             errors[f"sentinel:{SENTINEL}"] = repr(exc)[:300]
             return -1.0
 
+    def _py_sentinel_median() -> float:
+        try:
+            from mlx_vector_db_spark.functions.text import chunk_documents
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(256)
+            reps = []
+            for _ in range(N_REPS):
+                t0 = time.perf_counter()
+                _consume(chunk_documents(docs, chunk_size=400, overlap=50))
+                reps.append(time.perf_counter() - t0)
+            return round(_median(reps), 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"sentinel:{PY_SENTINEL}"] = repr(exc)[:300]
+            return -1.0
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     sentinel_meds: list[float] = [_sentinel_median()]
+    py_sentinel_meds: list[float] = [_py_sentinel_median()]
     total = 0.0
     for i, name in enumerate(BENCH_QUERIES):
         if i == len(BENCH_QUERIES) // 2:
             sentinel_meds.append(_sentinel_median())
+            py_sentinel_meds.append(_py_sentinel_median())
         if name in errors:
             timings[name] = -1.0  # broke in warm-up: don't re-crash
             continue
@@ -184,6 +209,7 @@ def main() -> int:
         # long bench measures plans, not cumulative storage pressure
         release_intermediates(spark)
     sentinel_meds.append(_sentinel_median())
+    py_sentinel_meds.append(_py_sentinel_median())
 
     # batched-throughput figure: every embedding row queries the whole
     # table at once (N x N scoring + per-query top-10), the batch
@@ -228,7 +254,17 @@ def main() -> int:
         # noise_band (= max/min of the three medians) are not plan
         # regressions
         "sentinel": {"query": SENTINEL, "medians": sentinel_meds},
+        "py_sentinel": {"query": PY_SENTINEL, "medians": py_sentinel_meds},
         "noise_band": round(max(good) / min(good), 3) if good else -1.0,
+        # Python-worker-regime band: mapInPandas/Arrow queries can slow
+        # 2-3x while the JVM band stays flat (observed same-day) — a
+        # cross-round delta on a Python-heavy query is weather when it
+        # sits inside THIS band
+        "py_noise_band": (
+            round(max(g) / min(g), 3)
+            if (g := [m for m in py_sentinel_meds if m > 0])
+            else -1.0
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
