@@ -72,7 +72,9 @@ def assign_cells_arrow(
     rule of the expression path, so the two paths agree exactly (the
     centroid matrix ships reversed because argmax over a reversed
     numpy VIEW falls off the contiguous fast path, measured 40x the
-    matmul)."""
+    matmul). NULL vectors pass through as NULL cell id (and NULL
+    distance) — the same semantics the expression path gets for free —
+    so the auto expr/arrow switch never changes failure behavior."""
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     C = np.asarray(centroids, dtype=np.float64)[::-1].copy()
@@ -90,20 +92,31 @@ def assign_cells_arrow(
             if rb.num_rows == 0:
                 continue
             col = rb.column(rb.schema.get_field_index(vec_col))
-            if col.null_count:
-                raise ValueError(
-                    f"NULL {vec_col!r} rows cannot be assigned to a cell"
-                )
+            # NULL rows contribute no values to flatten(), so the valid
+            # rows stay densely packed for the matmul; results scatter
+            # back under the validity mask
+            valid = (
+                ~np.asarray(col.is_null())
+                if col.null_count
+                else np.ones(rb.num_rows, dtype=bool)
+            )
+            n_valid = int(valid.sum())
             flat = col.flatten().to_numpy(zero_copy_only=False)
-            X = flat.astype(np.float64, copy=False).reshape(rb.num_rows, -1)
-            scores = X @ C.T - half_sq  # argmax == argmin ||x-c||
-            rev_idx = scores.argmax(axis=1)  # first max = largest cid
-            a = (k_total - 1) - rev_idx
-            arrays = list(rb.columns) + [pa.array(a.astype("int32"))]
+            cells = np.zeros(rb.num_rows, dtype="int32")
+            dists = np.zeros(rb.num_rows, dtype="float64")
+            if n_valid:
+                X = flat.astype(np.float64, copy=False).reshape(n_valid, -1)
+                scores = X @ C.T - half_sq  # argmax == argmin ||x-c||
+                rev_idx = scores.argmax(axis=1)  # first max = largest cid
+                cells[valid] = ((k_total - 1) - rev_idx).astype("int32")
+                if dist_col is not None:
+                    picked = scores[np.arange(len(rev_idx)), rev_idx]
+                    dists[valid] = (X**2).sum(axis=1) - 2.0 * picked
+            mask = None if col.null_count == 0 else ~valid
+            arrays = list(rb.columns) + [pa.array(cells, mask=mask)]
             names = list(rb.schema.names) + [out_col]
             if dist_col is not None:
-                picked = scores[np.arange(len(rev_idx)), rev_idx]
-                arrays.append(pa.array((X**2).sum(axis=1) - 2.0 * picked))
+                arrays.append(pa.array(dists, mask=mask))
                 names.append(dist_col)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
@@ -250,7 +263,13 @@ class IVFIndex(_CellIndex):
         ``transform`` lambda over a literal nlist x dim matrix — a single
         shared dot-product subtree, not nlist inlined copies (nlist
         copies made Catalyst analysis + codegen the dominant cost of
-        every plan touching the index)."""
+        every plan touching the index).
+
+        A NULL vector yields a NULL centroid_id — explicitly guarded,
+        because struct comparison under ``array_max`` falls through to
+        the cid field when every score is NULL and would otherwise
+        silently park NULL rows in the last cell. The Arrow path
+        (``assign_cells_arrow``) masks NULL rows to the same effect."""
         cmat = F.array(
             *[
                 F.array(*[F.lit(float(x)) for x in c]).alias("c")
@@ -267,7 +286,9 @@ class IVFIndex(_CellIndex):
                 i.alias("cid"),
             ),
         )
-        return F.array_max(scored)["cid"]
+        return F.when(
+            F.col(self.vec_col).isNotNull(), F.array_max(scored)["cid"]
+        )
 
     def probes_for(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vector, dtype=np.float64)

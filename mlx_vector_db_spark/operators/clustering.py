@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.operators.ann import (
+    ASSIGN_ARROW_MIN_K,
     IVFIndex,
     assign_cells_arrow,
     train_ivf,
@@ -63,12 +64,14 @@ class KMeansModel:
         Python-unavoidable path for LARGE k, where the k-term
         expression tree leaves codegen and the per-row interpreted
         argmin dominates (measured ~0.8 ms/row at k=400; the matmul is
-        ~1000x that throughput). ``"auto"`` picks arrow at k >= 128.
+        ~1000x that throughput). ``"auto"`` picks arrow at
+        k >= ASSIGN_ARROW_MIN_K (the same switch IVFIndex.assign uses,
+        so tuning the constant moves both paths together).
         Both paths break score ties toward the larger cluster id."""
         if method not in ("auto", "expr", "arrow"):
             raise ValueError(f"method must be auto|expr|arrow (got {method!r})")
         if method == "auto":
-            method = "arrow" if self.k >= 128 else "expr"
+            method = "arrow" if self.k >= ASSIGN_ARROW_MIN_K else "expr"
         if method == "expr":
             out = df.withColumn(
                 "cluster_id", self.index.assign_expr().alias("cluster_id")

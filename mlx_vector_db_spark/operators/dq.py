@@ -65,8 +65,12 @@ class Check:
 def _pred_violation(name: str, col: str, bad: Column) -> tuple[str, str, Column]:
     """(constraint, column, conditional-sum expression) — NULLs never
     count as predicate violations except for completeness itself (a
-    NULL price is a completeness finding, not a range finding)."""
-    return name, col, F.sum(F.when(bad, 1).otherwise(0)).cast("long")
+    NULL price is a completeness finding, not a range finding). The
+    coalesce keeps an empty table's report at violations=0/passed=true
+    (checked=0) instead of NULL — sum over zero rows is NULL in SQL."""
+    return name, col, F.coalesce(
+        F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
 
 
 def dq_audit(df: DataFrame, check: Check) -> DataFrame:

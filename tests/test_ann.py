@@ -243,3 +243,35 @@ def test_auto_nlist_rule(spark):
 
     with _pytest.raises(ValueError, match="auto"):
         train_ivf(df, nlist="bogus")
+
+
+def test_assign_arrow_null_vectors_match_expr(spark):
+    """NULL embeddings must yield NULL cell ids on BOTH assignment
+    paths (the expression path gets this for free; the Arrow path used
+    to hard-fail the whole batch), so the auto switch at
+    ASSIGN_ARROW_MIN_K never changes ingest failure semantics."""
+    import numpy as np
+
+    from mlx_vector_db_spark.operators.ann import assign_cells_arrow, train_ivf
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = train_ivf(df.where("embedding is not null"), nlist=8, seed=3)
+    expr = {
+        (r.vec_id, r.centroid_id)
+        for r in idx.assign(df, method="expr").collect()
+    }
+    arrow = {
+        (r.vec_id, r.centroid_id)
+        for r in idx.assign(df, method="arrow").collect()
+    }
+    assert expr == arrow
+    assert (100, None) in arrow and (101, None) in arrow
+    # the dist column is NULL on NULL rows too
+    with_d = assign_cells_arrow(
+        df, idx.centroids, "embedding", "cid", dist_col="d"
+    )
+    nulls = {r.vec_id: (r.cid, r.d) for r in with_d.collect() if r.vec_id >= 100}
+    assert nulls == {100: (None, None), 101: (None, None)}

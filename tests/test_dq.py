@@ -70,3 +70,24 @@ def test_validation_errors(spark, frame):
         dq_audit(frame, Check(in_range={"amount": (None, None)}))
     with pytest.raises(ValueError, match="is empty"):
         dq_audit(frame, Check(accepted_values={"country": []}))
+
+
+def test_empty_table_reports_zero_not_null(spark):
+    """Row-predicate sums over zero rows are NULL in SQL; the report
+    must coalesce them to violations=0 / passed=true (checked=0)."""
+    df = spark.createDataFrame([], "id long, name string, amount double")
+    rep = _report(
+        dq_audit(
+            df,
+            Check(
+                completeness=["name"],
+                in_range={"amount": (0.0, None)},
+                matches={"name": "^[a-z]+$"},
+                uniqueness=["id"],
+            ),
+        )
+    )
+    assert rep[("completeness", "name")] == (0, 0, True)
+    assert rep[("in_range", "amount")] == (0, 0, True)
+    assert rep[("matches", "name")] == (0, 0, True)
+    assert rep[("uniqueness", "id")] == (0, 0, True)
