@@ -39,9 +39,19 @@ Spark-first mapping:
   the retention window, exactly a table format's VACUUM contract; the
   same sweep reclaims orphans from crashed mutations.
 
-Concurrency: single-writer per store (the reference holds an RLock per
-store, :63; at cluster scale the table format's optimistic concurrency
-takes over).
+Concurrency: optimistic multi-writer per store. Every mutation commits
+through a compare-and-swap loop (``_cas_commit``): the writer derives
+its manifest from the freshly observed live set, and the pointer flip
+is conditioned — under a cross-process ``flock`` — on CURRENT still
+naming the snapshot the writer read. A losing append re-derives and
+retries (two interleaved appends both land); a losing rewrite whose
+target files another writer replaced fails with
+``ConcurrentWriteError`` instead of resurrecting removed rows. This is
+the plain-parquet miniature of a table format's optimistic concurrency
+(the reference instead holds a single-process RLock per store,
+service/optimized_vector_store.py:63, and cannot compose writers at
+all); composition is tested cross-handle and against a live streaming
+ingest (test_streaming.py, test_store.py).
 """
 
 from __future__ import annotations
@@ -229,7 +239,19 @@ class VectorStoreCatalog:
         Only items older than ``min_age_seconds`` go, so an in-flight
         mutation on another handle is never raced (its files exist
         before its pointer flip). Returns the count removed — the
-        plain-parquet analog of ``VACUUM`` on a table format."""
+        plain-parquet analog of ``VACUUM`` on a table format.
+
+        Retention semantics: ``min_age_seconds`` is time since a
+        snapshot was SUPERSEDED, not since its files were written —
+        every commit touches the mtime of the manifest and data files
+        it retires (``_commit_manifest``), so history created hours ago
+        but replaced seconds ago stays travelable for the full window.
+        Manifests and their exclusively-referenced data files go
+        together: a data file is reaped only when NO retained manifest
+        references it, so every snapshot ``history()`` still lists has
+        all of its files on disk (``as_of`` never finds a hole inside
+        the window). Each store's sweep runs under that store's commit
+        lock, serializing against ``restore()``'s re-verified commit."""
         now = time.time()
         n = 0
         # temp config files stranded by a crashed atomic create/update
@@ -249,31 +271,46 @@ class VectorStoreCatalog:
                 continue
         for cfg in self.list_stores():
             st = VectorStore(self, cfg)
-            live = st._live_files()
-            if live is None:  # legacy layout: every file is live
+            if st._live_files() is None:  # legacy layout: every file is live
                 continue
-            live_set = {p.resolve() for p in live}
-            for f in st.data_dir.glob("**/*.parquet"):
-                try:
-                    if (
-                        f.resolve() not in live_set
-                        and now - f.stat().st_mtime > min_age_seconds
-                    ):
-                        f.unlink()
-                        n += 1
-                except OSError:
+            with st._commit_lock():
+                n += self._vacuum_store(st, now, min_age_seconds)
+        return n
+
+    @staticmethod
+    def _vacuum_store(st: "VectorStore", now: float, min_age_seconds: int) -> int:
+        """One store's sweep, caller holds the store's commit lock:
+        first retire superseded manifests whose supersede-mtime aged
+        out, then reap data files referenced by NO surviving manifest
+        (and themselves aged out — orphans from crashed mutations age
+        from creation, retired files from the commit that dropped
+        them)."""
+        n = 0
+        current = (st._manifest_dir / "CURRENT").read_text().strip()
+        kept_refs: set[Path] = set()
+        for m in sorted(st._manifest_dir.glob("manifest-*.json")):
+            try:
+                if m.name != current and now - m.stat().st_mtime > min_age_seconds:
+                    m.unlink()
+                    n += 1
                     continue
-            current = (st._manifest_dir / "CURRENT").read_text().strip()
-            for m in st._manifest_dir.glob("manifest-*.json"):
-                try:
-                    if (
-                        m.name != current
-                        and now - m.stat().st_mtime > min_age_seconds
-                    ):
-                        m.unlink()
-                        n += 1
-                except OSError:
-                    continue
+            except OSError:
+                pass  # raced / unreadable: treat as kept, protect its files
+            try:
+                for rel in json.loads(m.read_text())["files"]:
+                    kept_refs.add((st.data_dir / rel).resolve())
+            except (OSError, json.JSONDecodeError, KeyError):
+                continue
+        for f in st.data_dir.glob("**/*.parquet"):
+            try:
+                if (
+                    f.resolve() not in kept_refs
+                    and now - f.stat().st_mtime > min_age_seconds
+                ):
+                    f.unlink()
+                    n += 1
+            except OSError:
+                continue
         return n
 
     def store_exists(self, user_id: str, model_id: str) -> bool:
@@ -549,7 +586,10 @@ class VectorStore:
             os.close(fd)
 
     def _commit_manifest(
-        self, files: Sequence[Path], expected_parent: object = _UNCHECKED
+        self,
+        files: Sequence[Path],
+        expected_parent: object = _UNCHECKED,
+        require_files_exist: bool = False,
     ) -> None:
         """Atomic snapshot commit: manifest write + pointer flip.
 
@@ -560,7 +600,21 @@ class VectorStore:
         is committed — the caller re-reads the live set and retries
         (append-only commits compose trivially; see ``_cas_commit``).
         The observed parent is recorded in the manifest, so the commit
-        chain is auditable."""
+        chain is auditable.
+
+        ``require_files_exist`` re-verifies every listed file INSIDE
+        the commit lock before the flip — :meth:`restore` uses it so a
+        ``vacuum`` sweeping between its as_of() validation and this
+        commit (vacuum holds the same lock per store) can never land a
+        CURRENT manifest that references reaped files: the commit fails
+        loudly with ``FileNotFoundError`` and nothing flips.
+
+        After the flip, the superseded parent manifest and every data
+        file that just LEFT the live set get their mtime touched to the
+        commit instant: vacuum's ``min_age_seconds`` then ages history
+        by time-since-superseded, not time-since-created (a file
+        written hours ago but replaced seconds ago is still inside the
+        retention window)."""
         rels = sorted(
             str(Path(f).relative_to(self.data_dir)) for f in set(files)
         )
@@ -575,6 +629,27 @@ class VectorStore:
                     f"{observed!r} during commit of store "
                     f"{self.config.user_id}/{self.config.model_id}"
                 )
+            if require_files_exist:
+                missing = [
+                    str(self.data_dir / rel)
+                    for rel in rels
+                    if not (self.data_dir / rel).exists()
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"commit of store {self.config.user_id}/"
+                        f"{self.config.model_id} references missing data "
+                        f"files (first: {missing[0]}); a vacuum may have "
+                        f"reaped the snapshot — nothing was committed"
+                    )
+            parent_files: set[str] = set()
+            if observed is not None:
+                with contextlib.suppress(OSError, json.JSONDecodeError):
+                    parent_files = set(
+                        json.loads(
+                            (self._manifest_dir / observed).read_text()
+                        )["files"]
+                    )
             (self._manifest_dir / mname).write_text(
                 json.dumps(
                     {
@@ -587,10 +662,19 @@ class VectorStore:
             tmp = self._manifest_dir / f".CURRENT.tmp-{mid}"
             tmp.write_text(mname)
             os.replace(tmp, self._manifest_dir / "CURRENT")  # the commit point
+            # retention clock: age superseded history from THIS instant
+            if observed is not None:
+                with contextlib.suppress(OSError):
+                    os.utime(self._manifest_dir / observed)
+                for rel in parent_files.difference(rels):
+                    with contextlib.suppress(OSError):
+                        os.utime(self.data_dir / rel)
         # our own commit: keep the max-id cache trusted under the new token
         self._id_token = mname
 
-    def _cas_commit(self, files_fn, max_retries: int = 64) -> None:
+    def _cas_commit(
+        self, files_fn, max_retries: int = 64, require_files_exist: bool = False
+    ) -> None:
         """Compare-and-swap commit loop: derive the manifest from the
         freshly observed live set, attempt the conditional flip, and on
         conflict re-derive against the other writer's snapshot. An
@@ -603,7 +687,11 @@ class VectorStore:
             parent = self._current_token()
             files = files_fn(self._data_files())
             try:
-                self._commit_manifest(files, expected_parent=parent)
+                self._commit_manifest(
+                    files,
+                    expected_parent=parent,
+                    require_files_exist=require_files_exist,
+                )
                 return
             except ManifestConflictError:
                 continue
@@ -725,14 +813,19 @@ class VectorStore:
         The rolled-back states stay in history, so a restore is itself
         restorable. Fails like :meth:`as_of` when retention already
         reaped the target; the CAS loop keeps a concurrent writer's
-        commit from being silently clobbered."""
+        commit from being silently clobbered; and because a concurrent
+        ``vacuum`` can reap the target BETWEEN that validation and the
+        flip, the commit itself re-verifies the file list inside the
+        commit lock (which vacuum also holds per store) — restore
+        either lands with every file present or raises
+        ``FileNotFoundError`` before anything flips."""
         self.as_of(version)  # existence + file checks, loud failure
         name = (
             self.history()[version]["name"] if isinstance(version, int) else version
         )
         data = json.loads((self._manifest_dir / name).read_text())
         files = [self.data_dir / rel for rel in data["files"]]
-        self._cas_commit(lambda live: files)
+        self._cas_commit(lambda live: files, require_files_exist=True)
         self._max_id_seen = None  # id high-water mark may have moved back
 
     # -- ingest ------------------------------------------------------------

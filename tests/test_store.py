@@ -766,14 +766,14 @@ def test_interleaved_appends_both_land(catalog, monkeypatch):
     orig = VectorStore._commit_manifest
     state = {"fired": False}
 
-    def inject(self, files, expected_parent=_UNCHECKED):
+    def inject(self, files, expected_parent=_UNCHECKED, **kw):
         # first commit attempt from writer A: let writer B slip a full
         # append in between A's live-set read and A's pointer flip
         if self is not st_b and not state["fired"]:
             state["fired"] = True
             st_b.add_vectors([[2.0, 0.0, 0.0, 0.0]] * 10,
                              ids=list(range(100, 110)))
-        return orig(self, files, expected_parent=expected_parent)
+        return orig(self, files, expected_parent=expected_parent, **kw)
 
     import mlx_vector_db_spark.store as S
     monkeypatch.setattr(VectorStore, "_commit_manifest", inject)
@@ -890,12 +890,12 @@ def test_append_during_optimize_composes(catalog, monkeypatch):
     orig = VectorStore._commit_manifest
     state = {"fired": False}
 
-    def inject(self, files, expected_parent=_UNCHECKED):
+    def inject(self, files, expected_parent=_UNCHECKED, **kw):
         if self is not st2 and not state["fired"]:
             state["fired"] = True
             st2.add_vectors([[3.0, 0.0, 0.0, 0.0]] * 5,
                             ids=list(range(100, 105)))
-        return orig(self, files, expected_parent=expected_parent)
+        return orig(self, files, expected_parent=expected_parent, **kw)
 
     monkeypatch.setattr(VectorStore, "_commit_manifest", inject)
     st.optimize(target_files=1)
@@ -1015,3 +1015,96 @@ def test_restore_rolls_back_and_is_itself_restorable(store):
     assert store.count() == 25
     with pytest.raises(ValueError):
         store.restore("manifest-nope.json")
+
+
+def _backdate(paths, seconds):
+    import os as _os
+    import time as _time
+
+    old = _time.time() - seconds
+    for p in paths:
+        _os.utime(p, (old, old))
+
+
+def test_vacuum_retention_ages_from_supersede_time(store):
+    """A file written hours ago but superseded seconds ago is INSIDE
+    the retention window: min_age_seconds counts from the commit that
+    retired it (the commit touches retired files + the superseded
+    manifest), not from file creation."""
+    files_v0 = list(store._data_files())
+    m0 = store._current_token()
+    # pretend the first snapshot is 2h old
+    _backdate(files_v0 + [store._manifest_dir / m0], 7200)
+    pre = store.history()[-1]["name"]
+    store.delete_vectors(filter_metadata={"category": "A"})  # rewrite NOW
+    assert store.catalog.vacuum(min_age_seconds=3600) == 0
+    # the 2h-old-but-just-superseded snapshot is fully travelable
+    assert store.as_of(pre).count() == 50
+    # once genuinely aged past the window (backdate the supersede marks),
+    # the manifest and its exclusive files go together
+    _backdate(
+        [f for f in files_v0 if f.exists()] + [store._manifest_dir / pre], 7200
+    )
+    assert store.catalog.vacuum(min_age_seconds=3600) > 0
+    assert pre not in {h["name"] for h in store.history()}
+    assert store.to_df().count() == store.count()  # current intact
+
+
+def test_vacuum_never_reaps_files_of_retained_manifests(store):
+    """Coupling: as long as a superseded manifest is retained (inside
+    the window), every data file it references survives — history()
+    never lists a snapshot whose as_of() finds a hole."""
+    files_v0 = list(store._data_files())
+    store.delete_vectors(filter_metadata={"category": "A"})
+    # age the RETIRED DATA FILES far past the window, but leave the
+    # superseded manifest young (as if the commit-touch on files were
+    # lost): the reference-coupling must still protect them
+    _backdate([f for f in files_v0 if f.exists()], 7200)
+    store.catalog.vacuum(min_age_seconds=3600)
+    for h in store.history():
+        assert store.as_of(h["name"]).count() >= 0  # no FileNotFoundError
+
+
+def test_restore_vs_vacuum_composition(store):
+    """A vacuum(min_age_seconds=0) loop racing restore()/as_of(): every
+    restore either lands with ALL its files present on disk, or fails
+    loudly BEFORE committing — CURRENT never references reaped files."""
+    import threading
+
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def sweeper():
+        while not stop.is_set():
+            try:
+                store.catalog.vacuum(min_age_seconds=0)
+            except Exception as e:  # noqa: BLE001 — surface in the test
+                errs.append(e)
+
+    # mint a pool of snapshots BEFORE the sweeper starts (vacuum at
+    # retention 0 legitimately reaps in-flight staging dirs, so writes
+    # don't race it — restore is metadata-only and is the race target)
+    for i in range(4):
+        store.add_vectors([[0.25] * DIM], [{"category": "A", "priority": 9}])
+    t = threading.Thread(target=sweeper)
+    t.start()
+    try:
+        for i in range(40):
+            hist = store.history()
+            if len(hist) < 2:
+                break  # sweeper reaped all history: nothing left to race
+            try:
+                store.restore(hist[-2]["name"])
+            except (FileNotFoundError, ValueError):
+                continue  # loud pre-commit failure: the allowed outcome
+            # committed: the invariant — every live file exists
+            live = store._live_files()
+            assert live is not None
+            missing = [str(f) for f in live if not f.exists()]
+            assert not missing, f"restore committed reaped files: {missing[:3]}"
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, errs[:2]
+    # the final state is scannable end-to-end
+    assert store.to_df().count() == store.count()

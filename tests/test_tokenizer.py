@@ -220,3 +220,105 @@ def test_vocab_coverage_rejects_bad_size(spark):
     df = _docs(spark, [(1, "a")])
     with pytest.raises(ValueError):
         vocab_coverage(df, vocab_size=0)
+
+
+def test_bpe_train_batched_parity_random_corpus(spark):
+    """merge_batch > 1 is EXACT: the batched distributed loop, the
+    strict one-merge-per-round loop, and the driver loop all emit the
+    identical merge table on a random corpus (the certification rule
+    cuts every batch that could diverge)."""
+    import random
+
+    rng = random.Random(17)
+    words = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 7)))
+        for _ in range(120)
+    ]
+    text = " ".join(rng.choice(words) for _ in range(800))
+    df = _docs(spark, [(1, text[:2000]), (2, text[2000:])])
+
+    def table(**kw):
+        return [
+            (r.rank, r.lhs, r.rhs, r.n_pairs)
+            for r in bpe_train(df, num_merges=25, min_pair_count=1, **kw)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    batched = table(strategy="distributed", merge_batch=8)
+    strict = table(strategy="distributed", merge_batch=1)
+    driver = table(strategy="driver")
+    assert batched == strict == driver
+    assert len(batched) == 25
+
+
+def test_bpe_train_batch_certification_cuts_self_pair_overtake(spark):
+    """The one case symbol-disjointness alone cannot catch: merging a
+    self-pair (a,a) creates (aa,a) pairs that can overtake the next
+    disjoint candidate. 'aaa'x9 gives (a,a)=18, then (aa,a)=9 which
+    MUST outrank (c,d)=5 in sequential order — the certification job
+    cuts the batch so the batched table stays sequential-identical."""
+    df = _docs(spark, [(1, " ".join(["aaa"] * 9 + ["cd"] * 5))])
+    expect = [(1, "a", "a", 18), (2, "aa", "a", 9), (3, "c", "d", 5)]
+    for kw in (
+        dict(strategy="distributed", merge_batch=8),
+        dict(strategy="distributed", merge_batch=1),
+        dict(strategy="driver"),
+    ):
+        got = [
+            (r.rank, r.lhs, r.rhs, r.n_pairs)
+            for r in bpe_train(df, num_merges=3, min_pair_count=1, **kw)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == expect, (kw, got)
+
+
+def test_bpe_train_batching_cuts_rounds_4x(spark):
+    """On a corpus of disjoint frequent pairs, a 100-merge training run
+    completes in >= 4x fewer Spark rounds than one-merge-per-round,
+    with the identical merge table."""
+    # 100 two-symbol words over a 200-char alphabet: every candidate
+    # batch is fully disjoint and certification finds no triples
+    alpha = [chr(0x100 + i) for i in range(200)]
+    parts = []
+    for i in range(100):
+        parts.extend([alpha[2 * i] + alpha[2 * i + 1]] * (300 - 2 * i))
+    df = _docs(spark, [(1, " ".join(parts))])
+    s_batched: dict = {}
+    s_strict: dict = {}
+    batched = [
+        (r.rank, r.lhs, r.rhs, r.n_pairs)
+        for r in bpe_train(
+            df,
+            num_merges=100,
+            min_pair_count=1,
+            strategy="distributed",
+            merge_batch=16,
+            stats=s_batched,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    strict = [
+        (r.rank, r.lhs, r.rhs, r.n_pairs)
+        for r in bpe_train(
+            df,
+            num_merges=100,
+            min_pair_count=1,
+            strategy="distributed",
+            merge_batch=1,
+            stats=s_strict,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert batched == strict and len(batched) == 100
+    assert s_strict["rounds"] >= 100
+    assert s_batched["rounds"] * 4 <= s_strict["rounds"], (s_batched, s_strict)
+
+
+def test_bpe_train_rejects_bad_merge_batch(spark):
+    df = _docs(spark, [(1, "ab ab")])
+    with pytest.raises(ValueError, match="merge_batch"):
+        bpe_train(df, num_merges=1, merge_batch=0)
