@@ -316,19 +316,32 @@ def _certify_batch(
        involve a merged symbol, created ones all involve the new token,
        and the string-equality clause rules out a new token aliasing a
        later pair's symbol. Existing pairs' counts only DECREASE.
-    2. *No new-pair overtake* (this function, ONE Spark job): a merge
-       ``p_i`` creates only pairs containing its new token, and every
-       such pair's count — even after later batch merges fuse onto it —
-       is bounded by a triple count ``#(x, lhs_i, rhs_i)`` or
-       ``#(lhs_i, rhs_i, y)`` over the CURRENT vocab. The job computes
-       ``max_new_i`` = the largest such triple count per candidate;
-       ``p_j`` stays the sequential round-``j`` argmax iff
-       ``n_pairs_j > max(max_new_i for i < j)`` (strict: equal-count
-       ties against an unknown new pair cannot be ordered safely).
+    2. *No new-pair overtake* (this function, ONE Spark action): a
+       merge ``p_i`` creates only pairs containing its new token, and
+       every such pair's count — even after later batch merges fuse
+       onto it — is bounded by a triple count ``#(x, lhs_i, rhs_i)`` or
+       ``#(lhs_i, rhs_i, y)`` over the CURRENT vocab, where the triple
+       count SUMS the word frequency ``n`` over every occurrence of the
+       distinct triple (across word types and repeats within a word).
+       The job computes ``max_new_i`` = the largest such summed triple
+       count per candidate; ``p_j`` stays the sequential round-``j``
+       argmax iff ``n_pairs_j > max(max_new_i for i < j)`` (strict:
+       equal-count ties against an unknown new pair cannot be ordered
+       safely).
+    3. *No merged-string aliasing*: if ``lhs_i + rhs_i`` equals a
+       symbol ALREADY in the current vocab (reachable only via
+       context-dependent segmentation of the same character run), a
+       post-merge pair ``(x, merged_i)`` counts old + new occurrences
+       and the triple bound no longer covers it — so the batch is cut
+       at the first aliasing candidate (``cands[0]`` itself is always
+       the sound round argmax, aliased or not; nothing is batched
+       AFTER an aliasing merge). Checked in the same action via a
+       1-row × 1-row crossJoin with a distinct-symbol membership
+       aggregate.
 
-    Candidates failing either check CUT the batch (skipping would
-    diverge from the sequential argmax order). Worst case the prefix is
-    just ``cands[:1]`` — the strict top-1 round, always sound.
+    Candidates failing any check CUT the batch (skipping would diverge
+    from the sequential argmax order). Worst case the prefix is just
+    ``cands[:1]`` — the strict top-1 round, always sound.
     """
     if len(cands) <= 1:
         return cands
@@ -353,27 +366,49 @@ def _certify_batch(
         .select(F.col("n"), F.explode(triples).alias("t"))
         .select("n", F.col("t.x1").alias("x1"), F.col("t.x2").alias("x2"), F.col("t.x3").alias("x3"))
     )
+    # a distinct triple's count SUMS n over every occurrence (across
+    # word types and repeats within a word) — a per-occurrence max would
+    # under-bound a triple spread over several words and admit an
+    # unsound batch
+    tc = (
+        t.groupBy("x1", "x2", "x3")
+        .agg(F.sum("n").cast("long").alias("tn"))
+    )
     key12 = F.concat_ws(" ", F.col("x1"), F.col("x2"))
     key23 = F.concat_ws(" ", F.col("x2"), F.col("x3"))
-    lits = [F.lit(" ".join(p)) for p in pair_keys]
-    # new pair (merged_i, y) arises from triple (lhs_i, rhs_i, y);
-    # (x, merged_i) from (x, lhs_i, rhs_i) — aggregate the max triple
-    # count per candidate pair in one conditional-max pass
+    # new pair (merged_i, y) arises from triple (lhs_i, rhs_i, y) —
+    # keyed on positions 1-2; (x, merged_i) from (x, lhs_i, rhs_i) —
+    # keyed on positions 2-3. Max of the summed triple counts per
+    # candidate in one conditional-max pass.
     aggs = []
     for i, p in enumerate(pair_keys):
         lit = F.lit(" ".join(p))
         aggs.append(
             F.max(
-                F.when((key12 == lit) | (key23 == lit), F.col("n"))
+                F.when((key12 == lit) | (key23 == lit), F.col("tn"))
             ).alias(f"_m{i}")
         )
-    # a triple (lhs_i, rhs_i, y): its count keyed on positions 1-2;
-    # (x, lhs_i, rhs_i) keyed on positions 2-3 — sum per row then max
-    row = t.agg(*aggs).collect()[0]
+    # merged-string aliasing probe: does lhs_i+rhs_i already exist as a
+    # vocab symbol? (1-row aggregate, crossJoined 1x1 with the triple
+    # row so the whole certification stays a single collect)
+    sym = vocab.select(F.explode(s).alias("sym"))
+    alias_aggs = [
+        F.max(
+            F.when(F.col("sym") == F.lit(lhs + rhs), F.lit(1))
+        ).alias(f"_a{i}")
+        for i, (lhs, rhs, _n) in enumerate(cands)
+    ]
+    row = tc.agg(*aggs).crossJoin(sym.agg(*alias_aggs)).collect()[0]
     max_new = [int(row[f"_m{i}"]) if row[f"_m{i}"] is not None else 0 for i in range(len(cands))]
+    aliased = [row[f"_a{i}"] is not None for i in range(len(cands))]
     accepted = [cands[0]]
     running = max_new[0]
     for j in range(1, len(cands)):
+        # never batch past an aliasing merge: its new token fuses with
+        # pre-existing occurrences of the same string, voiding the
+        # triple bound for pairs that involve it
+        if aliased[j - 1]:
+            break
         if cands[j][2] > running:
             accepted.append(cands[j])
             running = max(running, max_new[j])
@@ -450,8 +485,8 @@ def _bpe_train_distributed(
             cands.append((lhs, rhs, n))
             used |= trio
         batch = _certify_batch(vocab, cands)
-        if len(batch) > 1:
-            rounds += 1  # the certification job
+        if len(cands) > 1:
+            rounds += 1  # the certification job ran (even if it cut to 1)
         out = F.col("syms")
         for lhs, rhs, _n in batch:
             out = _merge_fold(lhs, rhs)(out)

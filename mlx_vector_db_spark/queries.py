@@ -3407,76 +3407,74 @@ QUERIES: dict[str, QueryFn] = {
     "semdedup_embeddings": q_semdedup_embeddings,
 }
 
-# r8 window rotation (VERDICT r7 #2): the driver oracle-checks the
+# r9 window rotation (VERDICT r8 #6): the driver oracle-checks the
 # FIRST 50 registry entries each round, so the order is rebuilt here
-# from an explicit list instead of re-shuffling the literal above.
-# Composition: (a) the two new r8 gates; (b) every entry whose
-# OPERATOR changed this round (dq coalesce, store retention/restore,
-# cell-assignment NULL guard + shared arrow switch, batched
-# distributed BPE) so the driver re-certifies the changed code; (c)
-# ALL 25 round-2-stale rows VERDICT r7 named; (d) the remaining slots
-# go to the next-oldest driver-green rows (round-1/2 TPC-H shapes).
-# Everything rotated out stays oracle-checked by the per-round builder
-# sweep (tools/oracle_sweep.py) and judge re-runs.
-_R8_WINDOW = [
-    # (a) new this round
+# from an explicit list. Composition: (a) every entry whose OPERATOR
+# changed this round (batched-BPE certification sum-per-triple fix +
+# aliasing cut, vacuum kept-manifest abort) so the driver re-certifies
+# the changed code; (b) ALL 16 round-3-to-5-stale rows VERDICT r8
+# named; (c) the remaining slots go to the next-stalest driver-green
+# rows in last-green order (r3/r4/r5 cohort, then r6, then the oldest
+# r7 rows). Everything rotated out stays oracle-checked by the
+# per-round builder sweep (tools/oracle_sweep.py) and judge re-runs.
+_R9_WINDOW = [
+    # (a) operators changed in r9
     "bpe_train_distributed_gate",
-    "corpus_pipeline_gate",
-    # (b) operators changed in r8
-    "dq_audit",
-    "store_lifecycle_gate",
-    "ingest_dedup_gate",
-    "streaming_dedup_gate",
-    "streaming_knn_gate",
-    "tune_overfetch_gate",
-    "ivf_clustered_recall_gate",
-    "pq_clustered_recall_gate",
-    "ivfpq_clustered_recall_gate",
-    "kmeans_cluster_gate",
-    "semdedup_gate",
-    "bpe_pair_counts",
     "bpe_train_gate",
     "bpe_encode_gate",
-    # (c) the 25 stale rows from VERDICT r7 (last driver-green round 2)
-    "events_histogram",
-    "events_pivot",
-    "events_json_extract",
-    "events_range_frame",
-    "events_rolling_avg",
-    "events_sliding",
-    "events_multi_rollup",
-    "knn_euclidean_topk",
-    "knn_dot_topk",
-    "knn_scored_conversions",
-    "orders_cube",
-    "orders_rollup",
-    "orders_late_exists",
-    "priority_intersect",
-    "parts_above_avg",
-    "brand_price_median",
-    "customer_balance_tiles",
-    "lineitem_quantity_quantiles",
-    "user_journey",
-    "source_lang_agreement",
-    "weighted_mixture",
-    "boilerplate_removal",
-    "distinct_users",
-    "customer_order_distribution",
-    "region_revenue",
-    # (d) next-oldest driver-green rows
-    "top_customers_per_nation",
-    "promo_revenue",
-    "large_volume_customers",
-    "waiting_suppliers",
-    "events_hourly",
-    "events_view_purchase",
-    "sales_opportunity",
-    "nation_volume",
-    "small_qty_revenue",
+    "bpe_pair_counts",
+    "store_lifecycle_gate",
+    # (b) the 16 stale rows from VERDICT r8 (last driver-green r3-r6)
+    "text_jaccard_pairs",
+    "text_jaccard_capped",
+    "text_jaccard_autocap",
+    "winnow_crossdoc_pairs",
+    "embed_docs_384",
+    "doc_repetition",
+    "ngram_contamination",
+    "bm25_topk",
+    "hybrid_rrf",
+    "simhash_exactness_gate",
+    "embedding_neardup_bucketed",
+    "stratified_sample",
+    "dedup_components",
+    "rag_pack_gate",
+    "multimodal_features",
+    "pricing_summary",
+    # (c) next-stalest driver-green rows, oldest first
+    "discounted_revenue",
+    "embedding_neardup",
+    "top_orders",
+    "approx_quantile_gate",
+    "knn_cosine_topk",
+    "embedding_stats",
+    "text_stats",
+    "lang_detect",
+    "dedup_exact",
+    "streaming_hourly_gate",
+    "minhash_precision_gate",
+    "knn_cosine_filtered",
+    "doc_winnow_fp",
+    "pii_redact",
+    "quality_classifier",
+    "ivf_recall_gate",
+    "pq_recall_gate",
+    "ivfpq_recall_gate",
+    "export_shard_plan",
+    "simhash_precision_gate",
+    "knn_chunked_parity",
+    "repeated_spans",
+    "doc_perplexity",
+    "part_string_stats",
+    "part_fuzzy_pairs",
+    "events_sessionize",
+    "customers_without_orders",
+    "events_asof_purchase",
+    "part_price_bands",
 ]
-assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)
 }
 
 _JACCARD_SHINGLES_BODY = """

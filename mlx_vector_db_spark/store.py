@@ -300,7 +300,12 @@ class VectorStoreCatalog:
                 for rel in json.loads(m.read_text())["files"]:
                     kept_refs.add((st.data_dir / rel).resolve())
             except (OSError, json.JSONDecodeError, KeyError):
-                continue
+                # a KEPT manifest we cannot parse means kept_refs is
+                # incomplete — deleting anything now could reap live
+                # files of the snapshot it protects (worst case the
+                # CURRENT one). Abort this store's sweep entirely; the
+                # next vacuum retries.
+                return n
         for f in st.data_dir.glob("**/*.parquet"):
             try:
                 if (

@@ -322,3 +322,98 @@ def test_bpe_train_rejects_bad_merge_batch(spark):
     df = _docs(spark, [(1, "ab ab")])
     with pytest.raises(ValueError, match="merge_batch"):
         bpe_train(df, num_merges=1, merge_batch=0)
+
+
+def test_bpe_train_batch_certification_sums_spread_triples(spark):
+    """A triple spread across several word types must SUM its counts,
+    not take the per-word max, or certification admits an unsound
+    batch. Corpus: 'axy'x4 + 'qaxy'x4 + 'ax'x2 + 'cd'x8. Round 1
+    argmax is (a,x)=10; merging it creates (ax,y)=8 (4 from 'axy' + 4
+    from 'qaxy'), which TIES (c,d)=8 and wins the lhs tie-break — so
+    (c,d) must NOT be batched with (a,x). A max-per-row bound sees
+    only 4 and would accept it."""
+    df = _docs(
+        spark,
+        [(1, " ".join(["axy"] * 4 + ["qaxy"] * 4 + ["ax"] * 2 + ["cd"] * 8))],
+    )
+    expect = [
+        (r.rank, r.lhs, r.rhs, r.n_pairs)
+        for r in bpe_train(
+            df, num_merges=3, min_pair_count=1, strategy="driver"
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert expect == [(1, "a", "x", 10), (2, "ax", "y", 8), (3, "c", "d", 8)]
+    for mb in (8, 1):
+        got = [
+            (r.rank, r.lhs, r.rhs, r.n_pairs)
+            for r in bpe_train(
+                df,
+                num_merges=3,
+                min_pair_count=1,
+                strategy="distributed",
+                merge_batch=mb,
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == expect, (mb, got)
+
+
+def test_certify_batch_cuts_after_merged_string_alias(spark):
+    """If a candidate's lhs+rhs equals a symbol ALREADY in the vocab,
+    nothing may be batched after it: post-merge pairs on the fused
+    symbol count old + new occurrences, voiding the triple bound.
+    (No corpus reaching this state via argmax order is known — the
+    leftmost-fold makes the simple constructions unreachable — so the
+    state is synthesized directly.)"""
+    from mlx_vector_db_spark.operators.tokenizer import _certify_batch
+
+    rows = [
+        (["x", "y"], 10),
+        (["a", "b"], 9),  # candidate 2's symbols exist somewhere
+        (["q", "abc"], 5),  # 'abc' is already a vocab symbol
+        (["e", "f"], 7),
+    ]
+    vocab = spark.createDataFrame(rows, "syms array<string>, n long")
+    cands = [("x", "y", 10), ("ab", "c", 8), ("e", "f", 7)]
+    got = _certify_batch(vocab, cands)
+    # ('ab','c') itself is still a sound round argmax (last element),
+    # but ('e','f') after the aliasing merge is not
+    assert got == [("x", "y", 10), ("ab", "c", 8)]
+    # without the aliasing symbol the same shape batches all three
+    clean = spark.createDataFrame(
+        [r for r in rows if r[0] != ["q", "abc"]], "syms array<string>, n long"
+    )
+    assert _certify_batch(clean, cands) == cands
+
+
+def test_bpe_train_batched_parity_run_heavy_corpus(spark):
+    """Adversarial parity attempt at the aliasing construction: long
+    single-character runs make (a,a)-style self-pairs and multi-way
+    concatenation ambiguity ('aaa' = a+aa = aa+a) the dominant merge
+    material; the batched table must still be sequential-identical."""
+    import random
+
+    rng = random.Random(23)
+    words = []
+    for _ in range(150):
+        w = "".join(
+            rng.choice("ab") * rng.randint(1, 5) for _ in range(rng.randint(1, 3))
+        )
+        words.append(w)
+    text = " ".join(rng.choice(words) for _ in range(600))
+    df = _docs(spark, [(1, text)])
+
+    def table(**kw):
+        return [
+            (r.rank, r.lhs, r.rhs, r.n_pairs)
+            for r in bpe_train(df, num_merges=20, min_pair_count=1, **kw)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    batched = table(strategy="distributed", merge_batch=8)
+    driver = table(strategy="driver")
+    assert batched == driver
