@@ -13,15 +13,17 @@ Spark-first execution, two physical strategies:
    window (batch). Zero Python in the data path. Best when the query
    batch is small-to-moderate.
 
-2. ``knn_join_blocked`` — the 100 TB path for large query batches
-   (reference J2, performance/mlx_optimized.py:59-88 does this as one
-   (M,N) matmul). The query block is collected (queries are the small
-   side by design), broadcast to every executor, and each Arrow batch of
-   vectors is scored as a single NumPy matmul; a per-batch partial top-k
-   (np.argpartition) keeps only k candidates per query per batch, so the
-   shuffle into the final per-query top-k carries O(num_batches * M * k)
-   rows instead of O(N * M). This mirrors a map-side combine for the
-   top-k "aggregation".
+2. ``knn_join_blocked`` — the BLAS batch path (reference J2,
+   performance/mlx_optimized.py:59-88 does this as one (M,N) matmul),
+   with two transposed physical strategies behind one ``block_side``
+   switch. ``"vectors"``: collect+broadcast the query block, sweep the
+   vectors table batch-wise, partial top-k per batch, final window —
+   shuffle O(num_batches * M * k); the huge-vectors shape.
+   ``"queries"``: collect+broadcast the (budget-checked) vector matrix
+   as fp32, sweep the QUERY set — each query's top-k is exact and
+   batch-local (fp32 select with a provable margin, fp64 re-score of
+   the frontier), rank emitted in-batch, NO shuffle at all; the
+   all-vs-all / huge-query-batch shape. ``"auto"`` picks by size.
 
 3. ``knn_join_chunked`` — huge-Q x huge-V: hash-partition the query set
    into broadcastable chunks, one blocked sweep per chunk over the
@@ -48,6 +50,7 @@ from mlx_vector_db_spark.functions.vector import (
     similarity_for_metric,
 )
 from mlx_vector_db_spark.operators.topk import top_k_per_group
+from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
 __all__ = [
     "knn_query",
@@ -246,6 +249,18 @@ def knn_join(
     )
 
 
+#: auto block-side dispatch: flip to the query-partitioned strategy only
+#: when the query side is large enough that the vector-blocked plan's
+#: O(blocks * M * k) candidate shuffle dominates ...
+QBLOCK_MIN_QUERIES = 1024
+#: ... and the whole fp32 vector matrix fits a broadcast comfortably
+#: (every Python worker on an executor holds one copy).
+QBLOCK_VECTOR_BUDGET_BYTES = 256 * 1024 * 1024
+#: float32 machine epsilon — the frontier margin for fp32-selection /
+#: fp64-rescore is derived from it (see _qblock_margin).
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
 def knn_join_blocked(
     vectors: DataFrame,
     queries: DataFrame,
@@ -256,21 +271,58 @@ def knn_join_blocked(
     id_col: str = "id",
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    block_side: str = "auto",
 ) -> DataFrame:
     """Arrow block-matmul batch k-NN — the wide-batch / huge-table path.
 
     Equivalent results to :func:`knn_join` (same scores to float64
-    rounding, same deterministic tie-break). The query matrix is
-    collected and broadcast once; each Arrow record batch of the vectors
-    table is scored with a single ``V @ Q.T`` BLAS call and reduced to a
-    per-batch top-k with ``np.argpartition`` before anything is emitted,
-    so executor->shuffle volume is O(batches * M * k), independent of N.
+    rounding, same deterministic tie-break) under every ``block_side``.
+
+    ``block_side`` picks which side is partitioned:
+
+    - ``"vectors"``: the query matrix is collected and broadcast once;
+      each Arrow batch of the vectors table is scored with one
+      ``V @ Q.T`` BLAS call and reduced to a per-batch top-k, so the
+      shuffle into the final per-query window carries
+      O(batches * M * k) rows, independent of N. The 100 TB-vectors
+      shape.
+    - ``"queries"``: the transposed plan — the VECTOR matrix is
+      collected (budget-checked) and broadcast as fp32; the query set
+      stays distributed and each Arrow batch of queries sees the WHOLE
+      vector matrix, so its top-k is exact and batch-local: selection
+      runs on an fp32 matmul with a provable error margin, the
+      surviving frontier (~k rows per query) is re-scored in exact
+      float64, and rank is emitted in-batch. Map-only — no candidate
+      shuffle, no window; output is exactly M*k rows. The all-vs-all /
+      huge-query-batch shape (found r9: at sf1 the vector-blocked plan
+      spent its wall in 32 * M * k candidate traffic and axis-hostile
+      partitions — the transposed plan is ~10x on the same data).
+    - ``"auto"`` (default): ``"queries"`` when M >= QBLOCK_MIN_QUERIES
+      and the fp32 vector matrix fits QBLOCK_VECTOR_BUDGET_BYTES, else
+      ``"vectors"``. Three metadata-cheap sizing jobs (two counts + a
+      width probe), paid only on the auto path.
     """
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
+    if block_side not in ("auto", "vectors", "queries"):
+        raise ValueError(f"unknown block_side {block_side!r}")
     _validate(vectors, k, vec_col=vec_col, id_col=id_col)
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
     filtered = apply_metadata_filter(vectors, filter_metadata)
+    if block_side == "auto":
+        # cheapest gate first: a small query batch (the common store
+        # search) pays ONE count and stays on the vector-blocked path
+        if queries.count() >= QBLOCK_MIN_QUERIES:
+            n_vec = filtered.count()
+            dim_row = filtered.select(F.size(vec_col)).first() if n_vec else None
+            dim = int(dim_row[0]) if dim_row and dim_row[0] is not None else 0
+            if 0 < n_vec * dim * 4 <= QBLOCK_VECTOR_BUDGET_BYTES:
+                block_side = "queries"
+    if block_side == "queries":
+        return _knn_join_query_blocked(
+            filtered, queries, k, metric,
+            vec_col, id_col, query_vec_col, query_id_col,
+        )
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
@@ -349,7 +401,18 @@ def knn_join_blocked(
                 }
             )
 
-    candidates = filtered.select(id_col, vec_col).mapInPandas(
+    # The matmul's parallelism is the INPUT partition count, and dense
+    # embeddings compress hard on disk — a table whose scan plans to a
+    # couple of splits (a single-file local table, an over-compacted
+    # store at scale) would serialize the whole O(N*M*d) BLAS sweep
+    # onto one or two Python workers regardless of cluster size (found
+    # r9: the sf1 "regression" r6-r8 chased was exactly this — 20k
+    # rows packed into one 5.6 MB file ran the 300-GFLOP sweep 2-way).
+    # rebalance_for_compute shuffles the narrow (id, vec) projection
+    # out to defaultParallelism only when under-partitioned; a real
+    # wide scan passes through shuffle-free.
+    src = rebalance_for_compute(filtered.select(id_col, vec_col))
+    candidates = src.mapInPandas(
         score_blocks, schema=f"query_id long, {id_col} long, score double"
     )
     scored = (
@@ -360,6 +423,149 @@ def knn_join_blocked(
     return top_k_per_group(
         scored, ["query_id"], _order(met, F.col("score"), id_col), kk
     ).select("query_id", id_col, "score", "similarity", "distance", "rank")
+
+
+def _knn_join_query_blocked(
+    filtered: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    vec_col: str,
+    id_col: str,
+    query_vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """``knn_join_blocked(block_side="queries")`` — see its docstring.
+
+    Exactness argument for the fp32-select / fp64-rescore split: with
+    ``key32`` the fp32 selection key and ``key64`` the exact key,
+    normwise rounding analysis bounds ``|key32 - key64| <= eps`` per
+    entry (eps from _qblock_margin, metric-specific). Order statistics
+    then shift by at most eps, so every member of the TRUE top-k —
+    including every exact-score tie at the k frontier — sits within
+    ``2 * eps`` of the fp32 k-th bound and is caught by the ``margin =
+    4 * eps`` net. The survivors (~k + frontier-ties per query) are
+    re-scored with the IDENTICAL float64 formula the expression path
+    uses, and the final (score, id ASC) sort + row_number happen on
+    those exact values — so fp32 decides nothing; it only prunes rows
+    provably outside the top-k.
+    """
+    vrows = filtered.select(id_col, vec_col).collect()
+    if not vrows:
+        # no vectors survive the filter: delegate to the expression
+        # path's empty result rather than hand-building a schema
+        return knn_join(
+            filtered, queries.limit(1), k, metric, None,
+            vec_col, id_col, query_vec_col, query_id_col,
+        ).where(F.lit(False))
+    v_ids = np.asarray([r[0] for r in vrows], dtype=np.int64)
+    V64 = np.asarray([r[1] for r in vrows], dtype=np.float64)
+    del vrows
+    d = V64.shape[1]
+    # embeddings are float32-origin in every store/table this engine
+    # writes, so the fp32 image is almost always lossless — broadcast
+    # only it and reconstruct exact float64 in the worker (widening
+    # casts are exact). Fall back to shipping float64 when not.
+    V32 = V64.astype(np.float32)
+    lossless = bool(np.array_equal(V32.astype(np.float64), V64))
+    sc = filtered.sparkSession.sparkContext
+    bv = sc.broadcast(
+        {"ids": v_ids, "raw32": V32 if lossless else None,
+         "raw64": None if lossless else V64}
+    )
+    del V64, V32
+    kk = int(k)
+    met = metric
+    ascending = metric_ascending(metric)
+
+    def score_qblocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pay = bv.value
+        vm64 = (
+            pay["raw32"].astype(np.float64)
+            if pay["raw64"] is None
+            else pay["raw64"]
+        )
+        ids = pay["ids"]
+        n = vm64.shape[0]
+        dd = vm64.shape[1]
+        v_norms = np.linalg.norm(vm64, axis=1)
+        if met == "cosine":
+            Vn64 = vm64 / np.maximum(v_norms, NORM_EPS)[:, None]
+            M32 = np.ascontiguousarray(Vn64.astype(np.float32).T)
+        else:
+            Vn64 = vm64
+            M32 = np.ascontiguousarray(vm64.astype(np.float32).T)
+            if met == "euclidean":
+                v_sq32 = (M32.astype(np.float64) ** 2).sum(axis=0).astype(np.float32)
+        vmax = float(v_norms.max()) if n else 0.0
+        take = min(kk, n)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q64 = np.asarray(pdf[query_vec_col].to_list(), dtype=np.float64)
+            qids = pdf[query_id_col].to_numpy()
+            q_norms = np.linalg.norm(Q64, axis=1)
+            if met == "cosine":
+                Qn64 = Q64 / np.maximum(q_norms, NORM_EPS)[:, None]
+                S32 = Qn64.astype(np.float32) @ M32  # (m, n) similarities
+                # unit rows: |fp32 dot - fp64 dot| <= ~d * eps32
+                margin = np.full(len(qids), 4.0 * dd * _F32_EPS)
+            elif met == "dot_product":
+                Qn64 = Q64
+                S32 = Q64.astype(np.float32) @ M32
+                margin = 4.0 * dd * _F32_EPS * q_norms * max(vmax, 1e-30)
+            else:  # euclidean, squared-distance domain for selection
+                Qn64 = Q64
+                S32 = (
+                    (Q64.astype(np.float32) ** 2).sum(axis=1)[:, None]
+                    - 2.0 * (Q64.astype(np.float32) @ M32)
+                    + v_sq32[None, :]
+                )
+                margin = 4.0 * dd * _F32_EPS * (q_norms + vmax) ** 2
+            if take < n:
+                if ascending:
+                    bound = np.partition(S32, take - 1, axis=1)[:, take - 1]
+                    mask = S32 <= (bound + margin)[:, None]
+                else:
+                    bound = np.partition(S32, n - take, axis=1)[:, n - take]
+                    mask = S32 >= (bound - margin)[:, None]
+                qrow, vcol = np.nonzero(mask)
+            else:
+                qrow = np.repeat(np.arange(S32.shape[0]), n)
+                vcol = np.tile(np.arange(n), S32.shape[0])
+            # exact float64 re-score of the frontier — the same formula
+            # as the expression path, so scores/ties are bit-comparable
+            if met == "euclidean":
+                s64 = np.linalg.norm(Q64[qrow] - vm64[vcol], axis=1)
+            else:
+                s64 = np.einsum("ij,ij->i", Qn64[qrow], Vn64[vcol])
+            idv = ids[vcol]
+            order = np.lexsort((idv, s64 if ascending else -s64, qrow))
+            qs = qrow[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            group_len = np.diff(np.r_[starts, len(qs)])
+            seq = np.arange(len(qs)) - np.repeat(starts, group_len)
+            keep = seq < take
+            sel = order[keep]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qrow[sel]],
+                    id_col: ids[vcol[sel]],
+                    "score": s64[sel],
+                    "rank": (seq[keep] + 1).astype(np.int32),
+                }
+            )
+
+    src = rebalance_for_compute(queries.select(query_id_col, query_vec_col))
+    ranked = src.mapInPandas(
+        score_qblocks,
+        schema=f"query_id long, {id_col} long, score double, rank int",
+    )
+    return (
+        ranked.withColumn("similarity", similarity_for_metric(met, F.col("score")))
+        .withColumn("distance", distance_for_metric(met, F.col("score")))
+        .select("query_id", id_col, "score", "similarity", "distance", "rank")
+    )
 
 
 def knn_join_chunked(
@@ -425,7 +631,14 @@ def knn_join_chunked(
         return out
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
-    filtered = apply_metadata_filter(vectors, filter_metadata).select(id_col, vec_col)
+    # rebalance BEFORE the persist: the cached blocks are then already
+    # spread to defaultParallelism, every per-chunk sweep inherits the
+    # width, and the guard inside knn_join_blocked no-ops (its probe
+    # sees >= target partitions) instead of re-shuffling the cache once
+    # per chunk
+    filtered = rebalance_for_compute(
+        apply_metadata_filter(vectors, filter_metadata).select(id_col, vec_col)
+    )
     if cache_vectors:
         filtered = filtered.persist()
     bucket = F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_chunks))
@@ -444,9 +657,14 @@ def knn_join_chunked(
     def _chunk_plan(b: int) -> DataFrame | None:
         sc.setLocalProperty("spark.scheduler.pool", "knn-chunks")
         try:
+            # pin block_side: the chunked contract is "sweep the CACHED
+            # vectors once per query chunk" — auto flipping a chunk to
+            # the query-blocked strategy would re-collect the whole
+            # vector matrix to the driver once per chunk
             return knn_join_blocked(
                 filtered, queries.where(bucket == b), k, metric, None,
                 vec_col, id_col, query_vec_col, query_id_col,
+                block_side="vectors",
             )
         except ValueError as e:
             if "empty query set" not in str(e):

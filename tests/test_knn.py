@@ -185,6 +185,98 @@ def test_chunked_empty_queries_raises(spark, vectors, queries):
         knn_join_chunked(vectors, queries.where("query_id < 0"), k=K)
 
 
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+def test_query_blocked_path_parity(spark, vectors, queries, metric):
+    """block_side="queries" (vector matrix broadcast, query-partitioned,
+    fp32 select + fp64 re-score, in-batch rank, no shuffle) must be
+    bit-comparable to the expression path — ids exact, scores to 1e-9."""
+    a = knn_join(vectors, queries, k=K, metric=metric)
+    b = knn_join_blocked(
+        vectors, queries, k=K, metric=metric, block_side="queries"
+    )
+    pa = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in a.collect()}
+    pb = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in b.collect()}
+    assert pa.keys() == pb.keys()
+    for key in pa:
+        assert pa[key][0] == pb[key][0]
+        assert pa[key][1] == pytest.approx(pb[key][1], abs=1e-9)
+
+
+def test_query_blocked_wide_batch_parity(spark):
+    """A query batch wide enough for several Arrow batches + the margin
+    net actually pruning (N >> k), with planted exact ties straddling
+    the k frontier in every metric."""
+    rng = np.random.default_rng(9)
+    n, m, d, k = 400, 150, 12, 5
+    V = rng.standard_normal((n, d)).astype(np.float32)
+    V[50] = V[51]
+    V[52] = V[51]  # triple tie
+    Q = rng.standard_normal((m, d)).astype(np.float32)
+    Q[7] = V[51]  # self-query lands the tie group at rank 1..3
+    vectors = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)], "id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(i, Q[i].tolist()) for i in range(m)],
+        "query_id long, embedding array<float>",
+    ).repartition(6)
+    for metric in ("cosine", "euclidean", "dot_product"):
+        a = knn_join(vectors, queries, k=k, metric=metric)
+        b = knn_join_blocked(
+            vectors, queries, k=k, metric=metric, block_side="queries"
+        )
+        pa = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in a.collect()}
+        pb = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in b.collect()}
+        assert pa.keys() == pb.keys(), metric
+        for key in pa:
+            assert pa[key][0] == pb[key][0], (metric, key)
+            assert pa[key][1] == pytest.approx(pb[key][1], abs=1e-9), (metric, key)
+
+
+def test_query_blocked_keeps_ties_and_filter(spark, vectors, queries, vec_np, queries_np):
+    """Metadata pre-filter semantics hold on the query-blocked path
+    (filter applies before the vector matrix is collected)."""
+    got = knn_join_blocked(
+        vectors, queries, k=K, metric="cosine",
+        filter_metadata={"category": "A"}, block_side="queries",
+    ).collect()
+    mask = np.array([i % 2 == 0 for i in range(N)])
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in range(NQ):
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        exp_ids, exp_scores = oracle_topk(vec_np, queries_np[qid], "cosine", K, mask=mask)
+        assert [r["id"] for r in rows] == exp_ids
+        for r, s in zip(rows, exp_scores):
+            assert r["score"] == pytest.approx(s, abs=1e-6)
+
+
+def test_blocked_auto_dispatch(spark, vectors):
+    """auto flips to the query-blocked (map-only, shuffle-free) plan
+    exactly when M >= QBLOCK_MIN_QUERIES and the fp32 vector matrix
+    fits the broadcast budget — visible as the absence of an Exchange
+    in the executed plan."""
+    from mlx_vector_db_spark.operators.knn import QBLOCK_MIN_QUERIES
+
+    rng = np.random.default_rng(3)
+    big_q = spark.createDataFrame(
+        [(i, rng.random(DIM).astype(np.float32).tolist()) for i in range(QBLOCK_MIN_QUERIES)],
+        "query_id long, embedding array<float>",
+    )
+    wide = knn_join_blocked(vectors, big_q, k=3)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    # no per-query window and no hash-partitioned candidate shuffle —
+    # the only Exchange the query-blocked plan may carry is the
+    # round-robin rebalance of an under-partitioned query scan
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+    small_q = big_q.where(F.col("query_id") < 5)
+    narrow = knn_join_blocked(vectors, small_q, k=3)
+    plan2 = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan2 or "Window" in plan2
+
+
 def test_blocked_keeps_score_ties_at_k_boundary(spark):
     """With duplicate vectors the per-batch partial top-k must keep ALL
     score-ties at the k frontier, so the canonical (score, id ASC) order
