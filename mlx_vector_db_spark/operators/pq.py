@@ -54,6 +54,7 @@ from mlx_vector_db_spark.functions.vector import metric_ascending
 from mlx_vector_db_spark.operators.ann import _kmeans_numpy
 from mlx_vector_db_spark.operators.knn import knn_join
 from mlx_vector_db_spark.operators.topk import top_k_per_group
+from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
 __all__ = [
     "PQCodebooks",
@@ -355,9 +356,13 @@ def pq_search_batch(
                 }
             )
 
-    cand = (
-        coded.select(id_col, code_col)
-        .mapInPandas(adc, schema=f"query_id long, {id_col} long, _approx double")
+    # PQ codes are bytes-per-row, so the coded table packs into very
+    # few file splits at ANY corpus size and the ADC sweep would
+    # serialize onto one or two workers (the r9 knn_join_blocked
+    # lesson, worse here because compression is ~100x) — spread the
+    # narrow (id, code) projection when under-partitioned
+    cand = rebalance_for_compute(coded.select(id_col, code_col)).mapInPandas(
+        adc, schema=f"query_id long, {id_col} long, _approx double"
     )
     order = [
         F.col("_approx").asc() if ascending else F.col("_approx").desc(),
@@ -511,9 +516,11 @@ def ivfpq_search_batch(
                 }
             )
 
-    cand = coded.select(id_col, cell_col, code_col).mapInPandas(
-        adc, schema=f"query_id long, {id_col} long, _approx double"
-    )
+    # same under-partitioning guard as the flat-ADC scan above: cell
+    # ids + codes compress to a handful of splits at any scale
+    cand = rebalance_for_compute(
+        coded.select(id_col, cell_col, code_col)
+    ).mapInPandas(adc, schema=f"query_id long, {id_col} long, _approx double")
     order = [
         F.col("_approx").asc() if ascending else F.col("_approx").desc(),
         F.col(id_col).asc(),

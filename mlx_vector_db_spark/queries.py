@@ -703,7 +703,10 @@ def q_text_jaccard_autocap(spark, sf_dir):
     driver pins the derivation AND the values. At sf0.01 (500 benign
     docs, 14k candidate pairs < the 64k budget) the knee sits at the
     max observed DF (7) and nothing is dropped; at sf0.1/sf1/sf10 the
-    budget genuinely binds at caps 11/45/142 (SCALE.md, measured)."""
+    budget genuinely binds — caps 11/45/300 on the r9 decade corpus,
+    holding kept join mass at ~125 pairs/doc at every tier (SCALE.md
+    r9 section; the knee is corpus-derived, r7's sf10 corpus kneed at
+    142)."""
     pairs = jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.5,
