@@ -257,8 +257,39 @@ QBLOCK_MIN_QUERIES = 1024
 #: (every Python worker on an executor holds one copy).
 QBLOCK_VECTOR_BUDGET_BYTES = 256 * 1024 * 1024
 #: float32 machine epsilon — the frontier margin for fp32-selection /
-#: fp64-rescore is derived from it (see _qblock_margin).
+#: fp64-rescore is derived from it (see _knn_join_query_blocked).
 _F32_EPS = float(np.finfo(np.float32).eps)
+
+#: (applicationId, analyzed-plan semanticHash) -> (n_rows, dim) for the
+#: auto block-side probe. Same bounded-cache + staleness contract as
+#: rebalance._PROBE_CACHE: a stale hit can only pick a suboptimal block
+#: side, never change results.
+_SIZE_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
+_SIZE_CACHE_MAX = 1024
+
+
+def _vector_matrix_size(filtered: DataFrame, vec_col: str) -> tuple[int, int]:
+    """(row count, vector width) of the filtered vectors frame, memoized
+    on the analyzed plan's semanticHash so bench reps / repeated batch
+    calls over the same table pay the two sizing jobs once."""
+    try:
+        key = (
+            filtered.sparkSession.sparkContext.applicationId,
+            filtered._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        hit = _SIZE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    except Exception:  # pragma: no cover — connect / internal-API drift
+        key = None
+    n_vec = filtered.count()
+    dim_row = filtered.select(F.size(vec_col)).first() if n_vec else None
+    dim = int(dim_row[0]) if dim_row and dim_row[0] is not None else 0
+    if key is not None:
+        if len(_SIZE_CACHE) >= _SIZE_CACHE_MAX:
+            _SIZE_CACHE.clear()
+        _SIZE_CACHE[key] = (n_vec, dim)
+    return n_vec, dim
 
 
 def knn_join_blocked(
@@ -299,8 +330,13 @@ def knn_join_blocked(
       partitions — the transposed plan is ~10x on the same data).
     - ``"auto"`` (default): ``"queries"`` when M >= QBLOCK_MIN_QUERIES
       and the fp32 vector matrix fits QBLOCK_VECTOR_BUDGET_BYTES, else
-      ``"vectors"``. Three metadata-cheap sizing jobs (two counts + a
-      width probe), paid only on the auto path.
+      ``"vectors"``. Sizing jobs are cheap and cached: the query-side
+      gate is a LIMIT-bounded count (early-exit on huge sets, never a
+      full scan), and the vector-side (count, dim) probe is memoized
+      per analyzed-plan fingerprint with the same staleness contract
+      as ``rebalance_for_compute`` (a table whose file set changed
+      under an identical plan can serve one stale decision — the
+      consequence is a suboptimal block side, never wrong results).
     """
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -311,14 +347,25 @@ def knn_join_blocked(
     filtered = apply_metadata_filter(vectors, filter_metadata)
     if block_side == "auto":
         # cheapest gate first: a small query batch (the common store
-        # search) pays ONE count and stays on the vector-blocked path
-        if queries.count() >= QBLOCK_MIN_QUERIES:
-            n_vec = filtered.count()
-            dim_row = filtered.select(F.size(vec_col)).first() if n_vec else None
-            dim = int(dim_row[0]) if dim_row and dim_row[0] is not None else 0
+        # search) pays ONE bounded count and stays on the vector-
+        # blocked path; the limit makes the probe early-exit on a
+        # huge query set instead of scanning it
+        m_probe = queries.limit(QBLOCK_MIN_QUERIES).count()
+        if m_probe >= QBLOCK_MIN_QUERIES:
+            n_vec, dim = _vector_matrix_size(filtered, vec_col)
             if 0 < n_vec * dim * 4 <= QBLOCK_VECTOR_BUDGET_BYTES:
-                block_side = "queries"
-    if block_side == "queries":
+                # cap guards the memoized size against a table that
+                # grew since the probe: an over-cap collect aborts
+                # cheaply (LIMIT cap+1) and falls through to the
+                # vector-blocked plan instead of flooding the driver
+                out = _knn_join_query_blocked(
+                    filtered, queries, k, metric,
+                    vec_col, id_col, query_vec_col, query_id_col,
+                    max_rows=(2 * QBLOCK_VECTOR_BUDGET_BYTES) // (dim * 4),
+                )
+                if out is not None:
+                    return out
+    elif block_side == "queries":
         return _knn_join_query_blocked(
             filtered, queries, k, metric,
             vec_col, id_col, query_vec_col, query_id_col,
@@ -434,8 +481,21 @@ def _knn_join_query_blocked(
     id_col: str,
     query_vec_col: str,
     query_id_col: str,
-) -> DataFrame:
+    max_rows: int | None = None,
+) -> DataFrame | None:
     """``knn_join_blocked(block_side="queries")`` — see its docstring.
+
+    ``max_rows`` (auto-dispatch only) bounds the vector collect with a
+    LIMIT; when exceeded (a stale size-probe on a grown table) the
+    function returns ``None`` and the caller falls through to the
+    vector-blocked plan.
+
+    Deliberate asymmetry: an empty QUERY set yields an empty result
+    here (the query side is a distributed stream this plan never
+    counts), while the vector-blocked path raises ``ValueError`` (it
+    collects the queries and an empty collect is a caller bug). The
+    auto dispatcher routes empty/small query sets to the vector-blocked
+    path, so the raise is what auto callers observe either way.
 
     Exactness argument for the fp32-select / fp64-rescore split: with
     ``key32`` the fp32 selection key and ``key64`` the exact key,
@@ -450,7 +510,13 @@ def _knn_join_query_blocked(
     those exact values — so fp32 decides nothing; it only prunes rows
     provably outside the top-k.
     """
-    vrows = filtered.select(id_col, vec_col).collect()
+    src_v = filtered.select(id_col, vec_col)
+    if max_rows is not None:
+        vrows = src_v.limit(int(max_rows) + 1).collect()
+        if len(vrows) > max_rows:
+            return None  # grew past budget since the size probe
+    else:
+        vrows = src_v.collect()
     if not vrows:
         # no vectors survive the filter: delegate to the expression
         # path's empty result rather than hand-building a schema

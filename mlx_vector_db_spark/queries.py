@@ -54,7 +54,7 @@ from mlx_vector_db_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from mlx_vector_db_spark.operators.knn import knn_join
+from mlx_vector_db_spark.operators.knn import knn_join, knn_join_blocked
 from mlx_vector_db_spark.functions.text import chunk_documents
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -168,6 +168,34 @@ def q_knn_chunked_parity(spark, sf_dir):
     out = knn_join_chunked(
         emb, queries, k=5, metric="cosine",
         vec_col="embedding", id_col="vec_id", chunk_size=8,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_knn_qblocked_parity(spark, sf_dir):
+    """Query-blocked batch k-NN (operators/knn.py knn_join_blocked
+    block_side="queries", new r9): the vector matrix is broadcast fp32,
+    the query set stays distributed, selection runs on an fp32 matmul
+    under a provable error margin and the frontier is re-scored in
+    exact float64 — so ranks and 6-dp scores must be bit-identical to
+    the DuckDB brute-force oracle. Euclidean on purpose: it is the
+    metric with the trickiest fp32 selection domain (the squared
+    expansion) and the driver previously only pinned it on the
+    expression path. The pairwise parity pytests (tests/test_knn.py)
+    cover all three metrics and planted frontier ties; this entry pins
+    the new physical strategy to ground truth in the driver artifact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join_blocked(
+        emb, queries, k=5, metric="euclidean",
+        vec_col="embedding", id_col="vec_id", block_side="queries",
     )
     return out.select(
         "query_id",
@@ -3341,6 +3369,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_cosine_filtered": q_knn_cosine_filtered,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
     "knn_chunked_parity": q_knn_chunked_parity,
+    "knn_qblocked_parity": q_knn_qblocked_parity,
     "ivf_recall_gate": q_ivf_recall_gate,
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
@@ -3421,12 +3450,15 @@ QUERIES: dict[str, QueryFn] = {
 # r7 rows). Everything rotated out stays oracle-checked by the
 # per-round builder sweep (tools/oracle_sweep.py) and judge re-runs.
 _R9_WINDOW = [
-    # (a) operators changed in r9
+    # (a) operators changed in r9 (BPE certification + store vacuum in
+    # the first session; the query-blocked kNN strategy + ADC rebalance
+    # in the second — knn_* and the new gate re-certify knn.py/pq.py)
     "bpe_train_distributed_gate",
     "bpe_train_gate",
     "bpe_encode_gate",
     "bpe_pair_counts",
     "store_lifecycle_gate",
+    "knn_qblocked_parity",
     # (b) the 16 stale rows from VERDICT r8 (last driver-green r3-r6)
     "text_jaccard_pairs",
     "text_jaccard_capped",
@@ -3473,7 +3505,6 @@ _R9_WINDOW = [
     "events_sessionize",
     "customers_without_orders",
     "events_asof_purchase",
-    "part_price_bands",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
@@ -3908,6 +3939,11 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     # as the one-pass paths — same oracle, wider query set
     "knn_chunked_parity": _KNN_ORACLE.format(
         nq=30, k=5, where="", score=_COSINE_SQL, dir="DESC"
+    ),
+    # the query-blocked tier (fp32 select + fp64 re-score) against the
+    # same brute-force ground truth, on the trickiest selection domain
+    "knn_qblocked_parity": _KNN_ORACLE.format(
+        nq=30, k=5, where="", score="list_distance(v.ev, q.qv)", dir="ASC"
     ),
     # greedy skip-packing: recursive CTE walks rank order per lang and
     # accumulates ONLY kept lengths (overflowing rows are skipped, not a
