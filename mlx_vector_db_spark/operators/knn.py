@@ -73,6 +73,16 @@ __all__ = [
 _RETIRED_VECTOR_CACHES: list[DataFrame] = []
 _RETIRED_MAX = 4
 
+#: Bounded FIFO of the blocked paths' matrix broadcasts (query block or
+#: fp32 vector matrix, up to 256 MB each). Broadcast blocks are freed by
+#: the ContextCleaner only when the py4j proxy is GC'd, so a long session
+#: of repeated batch calls (bench reps) would otherwise accumulate
+#: executor+driver copies until the periodic GC. unpersist (NOT destroy)
+#: is always safe: a still-unexecuted plan that references an unpersisted
+#: broadcast re-fetches it from the driver on first use.
+_LIVE_BROADCASTS: list = []
+_BROADCAST_MAX = 4
+
 
 def _retire_vector_cache(cached: DataFrame) -> None:
     _RETIRED_VECTOR_CACHES.append(cached)
@@ -84,16 +94,35 @@ def _retire_vector_cache(cached: DataFrame) -> None:
             pass
 
 
+def _register_broadcast(b) -> None:
+    _LIVE_BROADCASTS.append(b)
+    while len(_LIVE_BROADCASTS) > _BROADCAST_MAX:
+        old = _LIVE_BROADCASTS.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+
+
 def drain_retired_caches() -> int:
-    """Unpersist every retired chunked-kNN vectors cache now. Called by
+    """Unpersist every retired chunked-kNN vectors cache and every
+    registered matrix broadcast now. Called by
     :func:`mlx_vector_db_spark.session.release_intermediates`; safe at
     any time — a plan that still references a drained cache recomputes
-    from lineage instead of reading cached blocks."""
+    from lineage, and an unpersisted broadcast re-fetches from the
+    driver."""
     n = 0
     while _RETIRED_VECTOR_CACHES:
         cached = _RETIRED_VECTOR_CACHES.pop()
         try:
             cached.unpersist()
+            n += 1
+        except Exception:
+            pass
+    while _LIVE_BROADCASTS:
+        b = _LIVE_BROADCASTS.pop()
+        try:
+            b.unpersist(False)
             n += 1
         except Exception:
             pass
@@ -140,6 +169,23 @@ def _validate(df: DataFrame, k: int, **cols: str) -> None:
             )
 
 
+def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Engine-wide NULL rule for every kNN strategy: a row whose vector
+    column is NULL does not participate — on the vectors side it can
+    never be a neighbor, on the query side it produces no output rows.
+
+    Enforced identically in the expression, vector-blocked,
+    query-blocked, and chunked paths so they stay result-parity on any
+    legal input (found r9: the blocked collects crashed on a NULL row
+    via ``np.asarray`` inhomogeneous-shape, while the expression path's
+    NULL scores sorted last for cosine but FIRST for euclidean's
+    ascending order — both wrong in different ways). ``IsNotNull`` is a
+    pushable predicate, so on a parquet scan this reaches the reader
+    for free.
+    """
+    return df.where(F.col(vec_col).isNotNull())
+
+
 def _order(metric: str, score: Column, id_col: str) -> list[Column]:
     """Deterministic total order: best score first, then id ASC
     (FIXTURES.md tie-break; the reference's argsort tie order is
@@ -178,7 +224,9 @@ def knn_query(
     no shuffle, which is the plan you want against a 100 TB table.
     """
     _validate(vectors, k, vec_col=vec_col, id_col=id_col)
-    filtered = apply_metadata_filter(vectors, filter_metadata)
+    filtered = _drop_null_vectors(
+        apply_metadata_filter(vectors, filter_metadata), vec_col
+    )
     q = F.lit([float(x) for x in query_vector]).cast("array<double>")
     q_norm = (
         F.lit(float(np.sqrt(np.sum(np.square(np.asarray(query_vector, dtype=np.float64))))))
@@ -224,7 +272,10 @@ def knn_join(
     """
     _validate(vectors, k, vec_col=vec_col, id_col=id_col)
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
-    filtered = apply_metadata_filter(vectors, filter_metadata)
+    filtered = _drop_null_vectors(
+        apply_metadata_filter(vectors, filter_metadata), vec_col
+    )
+    queries = _drop_null_vectors(queries, query_vec_col)
     qdf = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("_qvec"),
@@ -260,18 +311,89 @@ QBLOCK_VECTOR_BUDGET_BYTES = 256 * 1024 * 1024
 #: fp64-rescore is derived from it (see _knn_join_query_blocked).
 _F32_EPS = float(np.finfo(np.float32).eps)
 
-#: (applicationId, analyzed-plan semanticHash) -> (n_rows, dim) for the
-#: auto block-side probe. Same bounded-cache + staleness contract as
-#: rebalance._PROBE_CACHE: a stale hit can only pick a suboptimal block
-#: side, never change results.
-_SIZE_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
+
+def _entry_error_bound(
+    metric: str, dim: int, q_norms: np.ndarray, v_norms32: np.ndarray
+) -> np.ndarray | np.float32:
+    """Per-entry bound ``E >= |key32 - key64|`` for the fp32 selection
+    key of the query-blocked path.
+
+    Standard normwise analysis of a length-``d`` fp32 dot product gives
+    ``|err| <= ~(d + O(1)) * eps32 * |q| * |v|`` (Cauchy-Schwarz on the
+    absolute-value sums), with a couple of extra eps terms for the
+    fp64->fp32 input casts; the euclidean squared-distance expansion
+    accumulates the same per-term bounds to ``(|q| + |v|)^2``. The
+    coefficient ``2 * (d + 4) * eps32`` carries ~2x slack over the
+    tight bound at every ``d >= 1``.
+
+    Per-entry (not global-max) norms keep the net TIGHT on mixed-norm
+    corpora: the r9 global ``vmax`` margin made every query's frontier
+    pay for the single largest vector norm, inflating the fp64 re-score
+    set (perf only, never correctness — VERDICT r9 #6).
+
+    Returns a scalar for cosine (both sides unit-norm after
+    normalization) and an ``(m, n)`` float32 matrix for dot/euclidean.
+    """
+    c = np.float32(2.0 * (dim + 4) * _F32_EPS)
+    if metric == "cosine":
+        return c
+    q32 = np.maximum(q_norms, 1e-30).astype(np.float32)
+    if metric == "dot_product":
+        return c * np.multiply.outer(q32, v_norms32)
+    # euclidean — selection runs in the squared-distance domain
+    return c * np.square(q32[:, None] + v_norms32[None, :])
+
+
+def _frontier_mask(
+    S32: np.ndarray, E: np.ndarray | np.float32, take: int, ascending: bool
+) -> np.ndarray:
+    """Provably-complete top-``take`` candidate net over fp32 keys.
+
+    With ``key64 in [S32 - E, S32 + E]`` per entry: the ``take``-th
+    best PESSIMISTIC key bounds the true ``take``-th key from the
+    conservative side, so testing each entry's OPTIMISTIC key against
+    that bound catches every true top-``take`` member INCLUDING every
+    exact-score tie at the frontier (non-strict inequality). Pure
+    numpy, unit-testable without Spark.
+    """
+    if ascending:
+        adj = S32 + E  # upper bounds on the true key
+        bound = np.partition(adj, take - 1, axis=1)[:, take - 1]
+        np.subtract(S32, E, out=adj)  # reuse buffer: lower bounds
+        return adj <= bound[:, None]
+    adj = S32 - E  # lower bounds on the true key
+    bound = np.partition(adj, S32.shape[1] - take, axis=1)[:, S32.shape[1] - take]
+    np.add(S32, E, out=adj)  # upper bounds
+    return adj >= bound[:, None]
+
+#: (applicationId, analyzed-plan semanticHash) -> (bounded row count,
+#: dim, budget_rows) for the auto block-side probe. Same bounded-cache +
+#: staleness contract as rebalance._PROBE_CACHE: a stale hit can only
+#: pick a suboptimal block side, never change results.
+_SIZE_CACHE: dict[tuple[str, int], tuple[int, int, int]] = {}
 _SIZE_CACHE_MAX = 1024
 
 
-def _vector_matrix_size(filtered: DataFrame, vec_col: str) -> tuple[int, int]:
-    """(row count, vector width) of the filtered vectors frame, memoized
-    on the analyzed plan's semanticHash so bench reps / repeated batch
-    calls over the same table pay the two sizing jobs once."""
+def _vector_matrix_size(
+    filtered: DataFrame, vec_col: str, byte_budget: int
+) -> tuple[int, int, int]:
+    """Budget-bounded sizing probe for the auto block-side dispatch.
+
+    Returns ``(n_bounded, dim, budget_rows)`` where ``dim`` comes from
+    ONE row, ``budget_rows = byte_budget // (4 * dim)`` is the fp32
+    broadcast budget in rows, and ``n_bounded`` is a LIMIT-bounded
+    count: ``filtered.limit(budget_rows + 1).count()``. The probe's
+    only question is "does the matrix fit the budget?", and the LIMIT
+    lets the scan early-exit the moment ``budget_rows + 1`` rows
+    survive — a 100 TB vectors table answers "too big, stay
+    vector-blocked" after reading O(budget) rows instead of paying a
+    full filtered count (VERDICT r9 #2). ``n_bounded <= budget_rows``
+    is then the exact fits-budget predicate AND the exact row count.
+
+    Memoized on the analyzed plan's semanticHash so bench reps /
+    repeated batch calls over the same table pay the two sizing jobs
+    once.
+    """
     try:
         key = (
             filtered.sparkSession.sparkContext.applicationId,
@@ -282,14 +404,17 @@ def _vector_matrix_size(filtered: DataFrame, vec_col: str) -> tuple[int, int]:
             return hit
     except Exception:  # pragma: no cover — connect / internal-API drift
         key = None
-    n_vec = filtered.count()
-    dim_row = filtered.select(F.size(vec_col)).first() if n_vec else None
+    dim_row = filtered.select(F.size(vec_col)).first()
     dim = int(dim_row[0]) if dim_row and dim_row[0] is not None else 0
+    if dim <= 0:
+        return 0, 0, 0  # empty after filters — don't memoize emptiness
+    budget_rows = max(1, int(byte_budget) // (4 * dim))
+    n_bounded = filtered.limit(budget_rows + 1).count()
     if key is not None:
         if len(_SIZE_CACHE) >= _SIZE_CACHE_MAX:
             _SIZE_CACHE.clear()
-        _SIZE_CACHE[key] = (n_vec, dim)
-    return n_vec, dim
+        _SIZE_CACHE[key] = (n_bounded, dim, budget_rows)
+    return n_bounded, dim, budget_rows
 
 
 def knn_join_blocked(
@@ -330,13 +455,19 @@ def knn_join_blocked(
       partitions — the transposed plan is ~10x on the same data).
     - ``"auto"`` (default): ``"queries"`` when M >= QBLOCK_MIN_QUERIES
       and the fp32 vector matrix fits QBLOCK_VECTOR_BUDGET_BYTES, else
-      ``"vectors"``. Sizing jobs are cheap and cached: the query-side
-      gate is a LIMIT-bounded count (early-exit on huge sets, never a
-      full scan), and the vector-side (count, dim) probe is memoized
-      per analyzed-plan fingerprint with the same staleness contract
-      as ``rebalance_for_compute`` (a table whose file set changed
-      under an identical plan can serve one stale decision — the
-      consequence is a suboptimal block side, never wrong results).
+      ``"vectors"``. Sizing jobs are cheap and cached: BOTH gates are
+      LIMIT-bounded counts that early-exit the moment the threshold is
+      crossed — the vector side probes ``dim`` from one row and counts
+      at most ``budget_rows + 1`` rows, so "too big, stay
+      vector-blocked" costs O(budget) rows even against a 100 TB
+      table. The probe is memoized per analyzed-plan fingerprint with
+      the same staleness contract as ``rebalance_for_compute`` (a
+      table whose file set changed under an identical plan can serve
+      one stale decision — the consequence is a suboptimal block side,
+      never wrong results).
+
+    Rows whose vector column is NULL are excluded on both sides, in
+    every strategy (see ``_drop_null_vectors``).
     """
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -344,7 +475,10 @@ def knn_join_blocked(
         raise ValueError(f"unknown block_side {block_side!r}")
     _validate(vectors, k, vec_col=vec_col, id_col=id_col)
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
-    filtered = apply_metadata_filter(vectors, filter_metadata)
+    filtered = _drop_null_vectors(
+        apply_metadata_filter(vectors, filter_metadata), vec_col
+    )
+    queries = _drop_null_vectors(queries, query_vec_col)
     if block_side == "auto":
         # cheapest gate first: a small query batch (the common store
         # search) pays ONE bounded count and stays on the vector-
@@ -352,8 +486,10 @@ def knn_join_blocked(
         # huge query set instead of scanning it
         m_probe = queries.limit(QBLOCK_MIN_QUERIES).count()
         if m_probe >= QBLOCK_MIN_QUERIES:
-            n_vec, dim = _vector_matrix_size(filtered, vec_col)
-            if 0 < n_vec * dim * 4 <= QBLOCK_VECTOR_BUDGET_BYTES:
+            n_vec, dim, budget_rows = _vector_matrix_size(
+                filtered, vec_col, QBLOCK_VECTOR_BUDGET_BYTES
+            )
+            if 0 < n_vec <= budget_rows:
                 # cap guards the memoized size against a table that
                 # grew since the probe: an over-cap collect aborts
                 # cheaply (LIMIT cap+1) and falls through to the
@@ -361,7 +497,7 @@ def knn_join_blocked(
                 out = _knn_join_query_blocked(
                     filtered, queries, k, metric,
                     vec_col, id_col, query_vec_col, query_id_col,
-                    max_rows=(2 * QBLOCK_VECTOR_BUDGET_BYTES) // (dim * 4),
+                    max_rows=2 * budget_rows,
                 )
                 if out is not None:
                     return out
@@ -371,11 +507,15 @@ def knn_join_blocked(
             vec_col, id_col, query_vec_col, query_id_col,
         )
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
+    # Arrow-path collect (toPandas): the query block lands as numpy
+    # arrays, not Python Row objects — a 10-30x transient-memory saving
+    # on wide batches (ADVICE r9).
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if qpdf.empty:
         raise ValueError("empty query set")
-    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    q_ids = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    Q = np.asarray(qpdf[query_vec_col].to_list(), dtype=np.float64)
+    del qpdf
     if metric == "cosine":
         Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), NORM_EPS)
     sc = vectors.sparkSession.sparkContext
@@ -386,6 +526,7 @@ def knn_join_blocked(
             "sq_norms": (Q * Q).sum(axis=1) if metric == "euclidean" else None,
         }
     )
+    _register_broadcast(bq)
     kk = int(k)
     ascending = metric_ascending(metric)
     met = metric
@@ -434,9 +575,10 @@ def knn_join_blocked(
             out_qid = qids[qcols]
             if met == "euclidean":
                 # The matmul expansion loses ~1e-7 absolute precision near
-                # zero distance; recompute exact distances for the k*M
+                # zero distance; recompute float64 distances for the k*M
                 # emitted candidates only (cost independent of N) so the
-                # blocked path is bit-comparable to the expression path.
+                # blocked path matches the expression path to fp64
+                # rounding (~1 ulp of summation-order difference).
                 scores = np.linalg.norm(V[rows] - Qm[qcols], axis=1)
             else:
                 scores = S[rows, qcols]
@@ -499,46 +641,62 @@ def _knn_join_query_blocked(
 
     Exactness argument for the fp32-select / fp64-rescore split: with
     ``key32`` the fp32 selection key and ``key64`` the exact key,
-    normwise rounding analysis bounds ``|key32 - key64| <= eps`` per
-    entry (eps from _qblock_margin, metric-specific). Order statistics
-    then shift by at most eps, so every member of the TRUE top-k —
-    including every exact-score tie at the k frontier — sits within
-    ``2 * eps`` of the fp32 k-th bound and is caught by the ``margin =
-    4 * eps`` net. The survivors (~k + frontier-ties per query) are
-    re-scored with the IDENTICAL float64 formula the expression path
-    uses, and the final (score, id ASC) sort + row_number happen on
-    those exact values — so fp32 decides nothing; it only prunes rows
-    provably outside the top-k.
+    normwise rounding analysis bounds ``|key32 - key64| <= E`` PER
+    ENTRY (``E`` from :func:`_entry_error_bound`, metric-specific,
+    norm-scaled). ``key32 - E`` / ``key32 + E`` therefore bracket the
+    true key, so the k-th best PESSIMISTIC key bounds the true k-th
+    key, and every member of the TRUE top-k — including every
+    exact-score tie at the k frontier — satisfies the OPTIMISTIC-side
+    test (:func:`_frontier_mask`); the net provably catches them all.
+    The survivors (~k + frontier-ties per query) are re-scored with
+    the same float64 formula the expression path uses (equal up to
+    float64 summation order — vectorized numpy accumulates in a
+    different order than the JVM's sequential fold, so scores can
+    differ by ~1 ulp and an EXACT tie decided by the shared
+    (score, id ASC) order could in principle flip on a manufactured
+    near-tie; parity tests pin 1e-9) — so fp32 decides nothing; it
+    only prunes rows provably outside the top-k.
     """
+    # Arrow-path collect (toPandas): the vector matrix lands as numpy
+    # arrays, not Python Row objects — collect() would transiently
+    # inflate a 256 MB fp32 matrix to several GB of Row objects on the
+    # driver (ADVICE r9).
     src_v = filtered.select(id_col, vec_col)
     if max_rows is not None:
-        vrows = src_v.limit(int(max_rows) + 1).collect()
-        if len(vrows) > max_rows:
+        vpdf = src_v.limit(int(max_rows) + 1).toPandas()
+        if len(vpdf) > max_rows:
             return None  # grew past budget since the size probe
     else:
-        vrows = src_v.collect()
-    if not vrows:
+        vpdf = src_v.toPandas()
+    if vpdf.empty:
         # no vectors survive the filter: delegate to the expression
         # path's empty result rather than hand-building a schema
         return knn_join(
             filtered, queries.limit(1), k, metric, None,
             vec_col, id_col, query_vec_col, query_id_col,
         ).where(F.lit(False))
-    v_ids = np.asarray([r[0] for r in vrows], dtype=np.int64)
-    V64 = np.asarray([r[1] for r in vrows], dtype=np.float64)
-    del vrows
+    v_ids = vpdf[id_col].to_numpy(dtype=np.int64)
+    V64 = np.asarray(vpdf[vec_col].to_list(), dtype=np.float64)
+    del vpdf
     d = V64.shape[1]
     # embeddings are float32-origin in every store/table this engine
     # writes, so the fp32 image is almost always lossless — broadcast
     # only it and reconstruct exact float64 in the worker (widening
-    # casts are exact). Fall back to shipping float64 when not.
+    # casts are exact). When it is NOT lossless the payload is float64
+    # — 2x the bytes the auto budget gate checked — so auto dispatch
+    # (max_rows set) falls back to the vector-blocked plan instead of
+    # shipping double the budget; an explicit block_side="queries"
+    # call ships the fp64 matrix as asked.
     V32 = V64.astype(np.float32)
     lossless = bool(np.array_equal(V32.astype(np.float64), V64))
+    if not lossless and max_rows is not None:
+        return None
     sc = filtered.sparkSession.sparkContext
     bv = sc.broadcast(
         {"ids": v_ids, "raw32": V32 if lossless else None,
          "raw64": None if lossless else V64}
     )
+    _register_broadcast(bv)
     del V64, V32
     kk = int(k)
     met = metric
@@ -561,9 +719,9 @@ def _knn_join_query_blocked(
         else:
             Vn64 = vm64
             M32 = np.ascontiguousarray(vm64.astype(np.float32).T)
+            v_norms32 = v_norms.astype(np.float32)
             if met == "euclidean":
                 v_sq32 = (M32.astype(np.float64) ** 2).sum(axis=0).astype(np.float32)
-        vmax = float(v_norms.max()) if n else 0.0
         take = min(kk, n)
         for pdf in batches:
             if pdf.empty:
@@ -574,12 +732,11 @@ def _knn_join_query_blocked(
             if met == "cosine":
                 Qn64 = Q64 / np.maximum(q_norms, NORM_EPS)[:, None]
                 S32 = Qn64.astype(np.float32) @ M32  # (m, n) similarities
-                # unit rows: |fp32 dot - fp64 dot| <= ~d * eps32
-                margin = np.full(len(qids), 4.0 * dd * _F32_EPS)
+                E = _entry_error_bound(met, dd, q_norms, None)
             elif met == "dot_product":
                 Qn64 = Q64
                 S32 = Q64.astype(np.float32) @ M32
-                margin = 4.0 * dd * _F32_EPS * q_norms * max(vmax, 1e-30)
+                E = _entry_error_bound(met, dd, q_norms, v_norms32)
             else:  # euclidean, squared-distance domain for selection
                 Qn64 = Q64
                 S32 = (
@@ -587,20 +744,16 @@ def _knn_join_query_blocked(
                     - 2.0 * (Q64.astype(np.float32) @ M32)
                     + v_sq32[None, :]
                 )
-                margin = 4.0 * dd * _F32_EPS * (q_norms + vmax) ** 2
+                E = _entry_error_bound(met, dd, q_norms, v_norms32)
             if take < n:
-                if ascending:
-                    bound = np.partition(S32, take - 1, axis=1)[:, take - 1]
-                    mask = S32 <= (bound + margin)[:, None]
-                else:
-                    bound = np.partition(S32, n - take, axis=1)[:, n - take]
-                    mask = S32 >= (bound - margin)[:, None]
+                mask = _frontier_mask(S32, E, take, ascending)
                 qrow, vcol = np.nonzero(mask)
             else:
                 qrow = np.repeat(np.arange(S32.shape[0]), n)
                 vcol = np.tile(np.arange(n), S32.shape[0])
-            # exact float64 re-score of the frontier — the same formula
-            # as the expression path, so scores/ties are bit-comparable
+            # float64 re-score of the frontier — the expression path's
+            # formula up to summation order (~1 ulp), then the shared
+            # (score, id ASC) tie-break
             if met == "euclidean":
                 s64 = np.linalg.norm(Q64[qrow] - vm64[vcol], axis=1)
             else:
@@ -668,6 +821,7 @@ def knn_join_chunked(
     in-memory (M,N) matmul and has no huge-Q story at all.
     """
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
+    queries = _drop_null_vectors(queries, query_vec_col)
     if cache_queries:
         # the sizing count below is then the ONLY full pass over the
         # query side: every per-chunk collect reads the cached blocks
@@ -703,7 +857,9 @@ def knn_join_chunked(
     # sees >= target partitions) instead of re-shuffling the cache once
     # per chunk
     filtered = rebalance_for_compute(
-        apply_metadata_filter(vectors, filter_metadata).select(id_col, vec_col)
+        _drop_null_vectors(
+            apply_metadata_filter(vectors, filter_metadata), vec_col
+        ).select(id_col, vec_col)
     )
     if cache_vectors:
         filtered = filtered.persist()

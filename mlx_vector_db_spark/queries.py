@@ -3439,76 +3439,78 @@ QUERIES: dict[str, QueryFn] = {
     "semdedup_embeddings": q_semdedup_embeddings,
 }
 
-# r9 window rotation (VERDICT r8 #6): the driver oracle-checks the
+# r10 window rotation (VERDICT r9 #3): the driver oracle-checks the
 # FIRST 50 registry entries each round, so the order is rebuilt here
-# from an explicit list. Composition: (a) every entry whose OPERATOR
-# changed this round (batched-BPE certification sum-per-triple fix +
-# aliasing cut, vacuum kept-manifest abort) so the driver re-certifies
-# the changed code; (b) ALL 16 round-3-to-5-stale rows VERDICT r8
-# named; (c) the remaining slots go to the next-stalest driver-green
-# rows in last-green order (r3/r4/r5 cohort, then r6, then the oldest
-# r7 rows). Everything rotated out stays oracle-checked by the
-# per-round builder sweep (tools/oracle_sweep.py) and judge re-runs.
-_R9_WINDOW = [
-    # (a) operators changed in r9 (BPE certification + store vacuum in
-    # the first session; the query-blocked kNN strategy + ADC rebalance
-    # in the second — knn_* and the new gate re-certify knn.py/pq.py)
-    "bpe_train_distributed_gate",
-    "bpe_train_gate",
-    "bpe_encode_gate",
-    "bpe_pair_counts",
-    "store_lifecycle_gate",
+# from an explicit list. Composition: (a) every entry exercising code
+# changed in r9/r10 — pq.py's ADC scans gained the rebalance guard in
+# r9 but its clustered recall gates missed the r9 window, and r10
+# touched knn.py again (engine-wide NULL-vector exclusion, bounded
+# auto-dispatch probe, Arrow-path collects, per-entry fp32 frontier
+# margins) so the whole knn_* family re-certifies; (b) the stale
+# cohort VERDICT r9 named — last driver-green in r8 or earlier, the
+# LLM-pipeline gates first; (c) the remaining slots to the r8-green
+# TPC-H/decision-shape rows. Rotated-out entries stay oracle-checked
+# by the per-round builder sweep (tools/oracle_sweep.py) and judge
+# re-runs; the leftover r8-stale events_* window family heads the r11
+# rotation.
+_R10_WINDOW = [
+    # (a) changed-operator entries: pq.py (r9 ADC rebalance) + knn.py (r10)
+    "pq_clustered_recall_gate",
+    "ivfpq_clustered_recall_gate",
     "knn_qblocked_parity",
-    # (b) the 16 stale rows from VERDICT r8 (last driver-green r3-r6)
-    "text_jaccard_pairs",
-    "text_jaccard_capped",
-    "text_jaccard_autocap",
-    "winnow_crossdoc_pairs",
-    "embed_docs_384",
-    "doc_repetition",
-    "ngram_contamination",
-    "bm25_topk",
-    "hybrid_rrf",
-    "simhash_exactness_gate",
-    "embedding_neardup_bucketed",
-    "stratified_sample",
-    "dedup_components",
-    "rag_pack_gate",
-    "multimodal_features",
-    "pricing_summary",
-    # (c) next-stalest driver-green rows, oldest first
-    "discounted_revenue",
-    "embedding_neardup",
-    "top_orders",
-    "approx_quantile_gate",
-    "knn_cosine_topk",
-    "embedding_stats",
-    "text_stats",
-    "lang_detect",
-    "dedup_exact",
-    "streaming_hourly_gate",
-    "minhash_precision_gate",
-    "knn_cosine_filtered",
-    "doc_winnow_fp",
-    "pii_redact",
-    "quality_classifier",
-    "ivf_recall_gate",
-    "pq_recall_gate",
-    "ivfpq_recall_gate",
-    "export_shard_plan",
-    "simhash_precision_gate",
     "knn_chunked_parity",
-    "repeated_spans",
-    "doc_perplexity",
-    "part_string_stats",
-    "part_fuzzy_pairs",
-    "events_sessionize",
-    "customers_without_orders",
-    "events_asof_purchase",
+    "knn_cosine_topk",
+    "knn_cosine_filtered",
+    "knn_euclidean_topk",
+    "knn_dot_topk",
+    "knn_scored_conversions",
+    # (b) the stale cohort VERDICT r9 named (LLM-pipeline gates)
+    "corpus_pipeline_gate",
+    "dsir_weights",
+    "dsir_gumbel_sample",
+    "semdedup_gate",
+    "dq_audit",
+    "jl_projection_gate",
+    "quality_threshold_calibration",
+    "mixture_plan",
+    "mixture_sample",
+    "streaming_knn_gate",
+    "ivf_clustered_recall_gate",
+    "lsh_recall_gate",
+    "minhash_recall_gate",
+    "minhash_dedup_clustered",
+    "vocab_coverage",
+    "curation_pipeline",
+    "packing_gate",
+    "ingest_dedup_gate",
+    "streaming_dedup_gate",
+    "salted_join_parity",
+    "tune_overfetch_gate",
+    "part_fuzzy_lsh_gate",
+    "kmeans_cluster_gate",
+    # (c) r8-green TPC-H / decision shapes, oldest-coverage first
+    "region_revenue",
+    "top_customers_per_nation",
+    "promo_revenue",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "events_hourly",
+    "events_view_purchase",
+    "sales_opportunity",
+    "nation_volume",
+    "small_qty_revenue",
+    "orders_rollup",
+    "orders_cube",
+    "orders_late_exists",
+    "priority_intersect",
+    "parts_above_avg",
+    "brand_price_median",
+    "customer_balance_tiles",
+    "lineitem_quantity_quantiles",
 ]
-assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)
 }
 
 _JACCARD_SHINGLES_BODY = """

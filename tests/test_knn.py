@@ -359,3 +359,204 @@ def test_chunked_cache_survives_derived_frame(spark, sf_small):
     release_intermediates(spark)
     assert not K._RETIRED_VECTOR_CACHES
     assert not cached.storageLevel.useMemory
+
+
+# ---------------------------------------------------------------------------
+# r10: NULL-vector parity, bounded auto probe, per-entry frontier margins
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def null_vectors(spark, vec_np):
+    """vectors table with a NULL embedding planted mid-table."""
+    rows = [
+        (i, None if i == 13 else vec_np[i].tolist()) for i in range(N)
+    ]
+    return spark.createDataFrame(rows, "id long, embedding array<float>")
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+def test_null_vector_parity_all_strategies(spark, null_vectors, queries, metric):
+    """Engine-wide NULL rule (VERDICT r9 #1): a NULL embedding row is
+    excluded in EVERY strategy — the r9 blocked paths crashed on it
+    (np.asarray inhomogeneous shape) while the expression path's NULL
+    scores sorted last for cosine but FIRST for euclidean."""
+    from mlx_vector_db_spark.operators.knn import knn_join_chunked
+
+    results = {
+        "expr": knn_join(null_vectors, queries, k=K, metric=metric),
+        "vblk": knn_join_blocked(
+            null_vectors, queries, k=K, metric=metric, block_side="vectors"
+        ),
+        "qblk": knn_join_blocked(
+            null_vectors, queries, k=K, metric=metric, block_side="queries"
+        ),
+        "chunk": knn_join_chunked(
+            null_vectors, queries, k=K, metric=metric, chunk_size=3
+        ),
+    }
+    collected = {
+        name: {(r["query_id"], r["rank"]): (r["id"], r["score"])
+               for r in df.collect()}
+        for name, df in results.items()
+    }
+    base = collected["expr"]
+    assert base, "expression path returned nothing"
+    assert all(vid != 13 for vid, _ in base.values())  # NULL row excluded
+    for name, got in collected.items():
+        assert got.keys() == base.keys(), name
+        for key in base:
+            assert got[key][0] == base[key][0], (name, key)
+            assert got[key][1] == pytest.approx(base[key][1], abs=1e-9), (name, key)
+
+
+def test_null_query_vectors_excluded(spark, vectors, queries_np):
+    """A query row with a NULL vector produces no output rows, in every
+    strategy."""
+    from mlx_vector_db_spark.operators.knn import knn_join_chunked
+
+    rows = [(i, None if i == 2 else queries_np[i].tolist()) for i in range(NQ)]
+    nullq = spark.createDataFrame(rows, "query_id long, embedding array<float>")
+    for df in (
+        knn_join(vectors, nullq, k=3),
+        knn_join_blocked(vectors, nullq, k=3, block_side="vectors"),
+        knn_join_blocked(vectors, nullq, k=3, block_side="queries"),
+        knn_join_chunked(vectors, nullq, k=3, chunk_size=3),
+    ):
+        qids = {r["query_id"] for r in df.collect()}
+        assert qids == set(range(NQ)) - {2}
+
+
+def test_vector_size_probe_is_limit_bounded(spark, vectors):
+    """The auto-dispatch vector probe must never pay a full count: with
+    a budget smaller than the table, the bounded count stops at
+    budget_rows + 1 (VERDICT r9 #2)."""
+    from mlx_vector_db_spark.operators import knn as KN
+
+    KN._SIZE_CACHE.clear()
+    # budget of exactly 10 rows of DIM fp32
+    n, dim, budget_rows = KN._vector_matrix_size(
+        vectors.select("id", "embedding"), "embedding", 10 * DIM * 4
+    )
+    assert dim == DIM
+    assert budget_rows == 10
+    assert n == budget_rows + 1  # early-exit: not the true 200-row count
+    # over budget -> auto stays vector-blocked; under budget -> exact count
+    KN._SIZE_CACHE.clear()
+    n2, _, budget2 = KN._vector_matrix_size(
+        vectors.select("id", "embedding"), "embedding", 4 * N * DIM * 4
+    )
+    assert n2 == N and n2 <= budget2
+    KN._SIZE_CACHE.clear()
+
+
+def test_frontier_mask_per_entry_margin_mixed_norms():
+    """Pure-numpy soundness + tightness of the per-entry error net
+    (VERDICT r9 #6): on a mixed-norm corpus the net must catch every
+    true top-k member while staying ~k wide — the old global-vmax
+    margin made every query pay for the single largest vector norm."""
+    from mlx_vector_db_spark.operators.knn import (
+        _F32_EPS,
+        _entry_error_bound,
+        _frontier_mask,
+    )
+
+    rng = np.random.default_rng(7)
+    n, m, d, k = 5000, 64, 32, 10
+    V = rng.standard_normal((n, d))
+    V[:100] *= 1000.0  # hundred huge-norm rows dominate vmax
+    V[100:200] *= 1e-2
+    Q = rng.standard_normal((m, d))
+    S64 = Q @ V.T
+    S32 = Q.astype(np.float32) @ np.ascontiguousarray(V.astype(np.float32).T)
+    q_norms = np.linalg.norm(Q, axis=1)
+    v_norms32 = np.linalg.norm(V, axis=1).astype(np.float32)
+    E = _entry_error_bound("dot_product", d, q_norms, v_norms32)
+    assert E.shape == (m, n)
+    mask = _frontier_mask(S32, E, k, ascending=False)
+    # soundness: every true top-k member caught
+    true_topk = np.argsort(-S64, axis=1)[:, :k]
+    for i in range(m):
+        assert mask[i, true_topk[i]].all(), i
+    # tightness: the net stays near k per query, NOT inflated to the
+    # huge-norm rows' scale (global-vmax margin caught 100x more here)
+    per_query = mask.sum(axis=1)
+    assert per_query.max() <= 4 * k, per_query.max()
+    # the old global margin for comparison: provably wider on this corpus
+    vmax = float(np.linalg.norm(V, axis=1).max())
+    bound = np.partition(S32, n - k, axis=1)[:, n - k]
+    old_margin = 4.0 * d * _F32_EPS * q_norms * vmax
+    old_net = (S32 >= (bound - old_margin)[:, None]).sum(axis=1)
+    assert per_query.sum() <= old_net.sum()
+
+
+@pytest.mark.parametrize("metric", ["dot_product", "euclidean"])
+def test_mixed_norm_parity_query_blocked(spark, metric):
+    """End-to-end parity on a mixed-norm corpus (norms spanning 1e-2 to
+    1e3) — the regime the per-entry margins were tightened for."""
+    rng = np.random.default_rng(11)
+    n, m, d, k = 600, 40, 16, 7
+    V = rng.standard_normal((n, d)).astype(np.float32)
+    V[:20] *= 1000.0
+    V[20:40] *= 0.01
+    Q = rng.standard_normal((m, d)).astype(np.float32)
+    Q[:5] *= 500.0
+    vectors = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)], "id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(i, Q[i].tolist()) for i in range(m)],
+        "query_id long, embedding array<float>",
+    ).repartition(4)
+    a = knn_join(vectors, queries, k=k, metric=metric)
+    b = knn_join_blocked(vectors, queries, k=k, metric=metric, block_side="queries")
+    pa = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in a.collect()}
+    pb = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in b.collect()}
+    assert pa.keys() == pb.keys()
+    for key in pa:
+        assert pa[key][0] == pb[key][0], key
+        assert pa[key][1] == pytest.approx(pb[key][1], rel=1e-9, abs=1e-9), key
+
+
+def test_query_blocked_non_lossless_auto_falls_back(spark, vectors):
+    """Auto dispatch budget-checks fp32 bytes; a matrix that is NOT
+    fp32-lossless would ship 2x that as float64 — auto must fall back
+    to the vector-blocked plan (ADVICE r9). Explicit block_side
+    ships fp64 as asked."""
+    from mlx_vector_db_spark.operators.knn import _knn_join_query_blocked
+
+    # 1/3 is not exactly representable in fp32 *or* fp64, but the fp64
+    # literal does not round-trip through fp32
+    rows = [(i, [1.0 / 3.0 + i, 0.1]) for i in range(8)]
+    v64 = spark.createDataFrame(rows, "id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<double>")
+    assert (
+        _knn_join_query_blocked(
+            v64, q, 3, "cosine", "embedding", "id", "embedding", "query_id",
+            max_rows=100,
+        )
+        is None
+    )
+    # explicit call still works, fp64 payload
+    out = _knn_join_query_blocked(
+        v64, q, 3, "cosine", "embedding", "id", "embedding", "query_id"
+    )
+    assert out is not None and out.count() == 3
+
+
+def test_blocked_broadcasts_are_registered_and_drained(spark, vectors, queries):
+    """Matrix broadcasts retire through the bounded registry so bench
+    reps / long sessions don't accumulate executor copies (ADVICE r9)."""
+    from mlx_vector_db_spark import release_intermediates
+    from mlx_vector_db_spark.operators import knn as KN
+
+    release_intermediates(spark)
+    assert not KN._LIVE_BROADCASTS
+    knn_join_blocked(vectors, queries, k=3, block_side="queries").count()
+    knn_join_blocked(vectors, queries, k=3, block_side="vectors").count()
+    assert len(KN._LIVE_BROADCASTS) == 2
+    for _ in range(KN._BROADCAST_MAX + 2):  # FIFO eviction keeps it bounded
+        KN._register_broadcast(spark.sparkContext.broadcast(1))
+    assert len(KN._LIVE_BROADCASTS) == KN._BROADCAST_MAX
+    release_intermediates(spark)
+    assert not KN._LIVE_BROADCASTS

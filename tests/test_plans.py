@@ -27,7 +27,12 @@ def test_knn_query_is_take_ordered_with_pushed_filter(emb):
         )
     )
     assert "TakeOrderedAndProject" in plan      # no shuffle for single-query top-k
-    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)]" in plan
+    # the engine-wide NULL-vector exclusion rides the same pushdown —
+    # the parquet reader itself skips NULL-embedding rows
+    assert (
+        "PushedFilters: [IsNotNull(label), EqualTo(label,3), IsNotNull(embedding)]"
+        in plan
+    )
     assert "Exchange" not in plan               # scan -> project -> heap, no shuffle
 
 
@@ -81,7 +86,10 @@ def test_store_query_prunes_columns(spark, tmp_path):
     st = cat.create_store("u", "m", dimension=4, promoted_keys={"category": "string"})
     st.add_vectors([[0.1, 0.2, 0.3, 0.4]] * 8, [{"category": "A"}] * 8)
     plan = explain_str(st.query([0.1, 0.2, 0.3, 0.4], k=2, filter_metadata={"category": "A"}))
-    assert "PushedFilters: [IsNotNull(category), EqualTo(category,A)]" in plan
+    assert (
+        "PushedFilters: [IsNotNull(category), EqualTo(category,A), IsNotNull(embedding)]"
+        in plan
+    )
 
 
 def test_jaccard_pairs_relational_plan_no_cross_join(spark, sf_small):
