@@ -676,6 +676,19 @@ class VectorStore:
                         os.utime(self.data_dir / rel)
         # our own commit: keep the max-id cache trusted under the new token
         self._id_token = mname
+        # Every mutation lands here, so this is the one spot where the
+        # engine's plan-fingerprint sizing memos can go stale: the
+        # manifest flip changes the file set UNDER an identical analyzed
+        # plan (same store path, same projection), which is exactly the
+        # staleness case both caches document. Dropping them costs a
+        # re-probe (two bounded jobs); serving a stale size costs a
+        # suboptimal block-side / rebalance choice for the session's
+        # remaining lifetime (ADVICE r9).
+        from mlx_vector_db_spark import rebalance as _rb
+        from mlx_vector_db_spark.operators import knn as _knn
+
+        _rb._PROBE_CACHE.clear()
+        _knn._SIZE_CACHE.clear()
 
     def _cas_commit(
         self, files_fn, max_retries: int = 64, require_files_exist: bool = False

@@ -560,3 +560,20 @@ def test_blocked_broadcasts_are_registered_and_drained(spark, vectors, queries):
     assert len(KN._LIVE_BROADCASTS) == KN._BROADCAST_MAX
     release_intermediates(spark)
     assert not KN._LIVE_BROADCASTS
+
+
+def test_store_mutation_invalidates_sizing_caches(spark, tmp_path):
+    """Every store mutation funnels through _commit_manifest, which must
+    drop the plan-fingerprint sizing memos: the file set just changed
+    under plans whose analyzed fingerprint is unchanged (ADVICE r9)."""
+    from mlx_vector_db_spark import rebalance as RB
+    from mlx_vector_db_spark.operators import knn as KN
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, tmp_path / "s")
+    st = cat.create_store("u", "m", dimension=4)
+    KN._SIZE_CACHE[("app", 1)] = (5, 4, 100)
+    RB._PROBE_CACHE[("app", 1, 32)] = True
+    st.add_vectors([[0.1, 0.2, 0.3, 0.4]] * 4, [{} for _ in range(4)])
+    assert not KN._SIZE_CACHE
+    assert not RB._PROBE_CACHE
