@@ -171,19 +171,34 @@ def _validate(df: DataFrame, k: int, **cols: str) -> None:
 
 def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """Engine-wide NULL rule for every kNN strategy: a row whose vector
-    column is NULL does not participate — on the vectors side it can
-    never be a neighbor, on the query side it produces no output rows.
+    column is NULL — or contains a NULL element — does not participate:
+    on the vectors side it can never be a neighbor, on the query side
+    it produces no output rows.
 
     Enforced identically in the expression, vector-blocked,
     query-blocked, and chunked paths so they stay result-parity on any
     legal input (found r9: the blocked collects crashed on a NULL row
     via ``np.asarray`` inhomogeneous-shape, while the expression path's
     NULL scores sorted last for cosine but FIRST for euclidean's
-    ascending order — both wrong in different ways). ``IsNotNull`` is a
-    pushable predicate, so on a parquet scan this reaches the reader
-    for free.
+    ascending order — both wrong in different ways; a NULL ELEMENT has
+    the same two failure modes, except the workers silently coerce
+    ``None`` to NaN instead of crashing). ``IsNotNull`` is a pushable
+    predicate, so on a parquet scan the whole-NULL exclusion reaches
+    the reader for free; the element test is one codegen'd ``EXISTS``
+    lambda over the array — negligible next to the scoring matmul, and
+    a scan whose schema declares ``containsNull = false`` (every
+    store-written table) lets Catalyst fold it away.
+
+    Out of contract by design: NaN/Inf element VALUES. The store
+    validates finiteness at write (reference parity — ingestion
+    rejects non-finite vectors); on arbitrary DataFrames a NaN poisons
+    any distance definition identically in all engines, so no path
+    promises an ordering for it.
     """
-    return df.where(F.col(vec_col).isNotNull())
+    return df.where(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
 
 
 def _order(metric: str, score: Column, id_col: str) -> list[Column]:

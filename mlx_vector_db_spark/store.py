@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import os
 import shutil
 import time
@@ -897,6 +898,14 @@ class VectorStore:
                     raise ValueError(
                         f"embedding dimension mismatch: store expects {dim}"
                     )
+                emb = [float(x) for x in vec]
+                if not all(math.isfinite(v) for v in emb):
+                    # same contract as the DataFrame path's finiteness
+                    # leg, in the walk that already touches every value
+                    raise ValueError(
+                        "embedding rows with null/NaN/Inf components — "
+                        "stores only accept fully populated finite vectors"
+                    )
                 md = dict(metadata[i]) if metadata is not None else {}
                 promoted = {
                     k: md.pop(k, None) for k in self.config.promoted_keys
@@ -904,7 +913,7 @@ class VectorStore:
                 rows.append(
                     {
                         "id": int(ids[i]) if ids is not None else base + i,
-                        "embedding": [float(x) for x in vec],
+                        "embedding": emb,
                         **promoted,
                         "meta": {k: str(v) for k, v in md.items()},
                     }
@@ -978,15 +987,38 @@ class VectorStore:
 
     def _count_and_validate(self, batch: DataFrame) -> int:
         """ONE aggregation job over a DataFrame batch: row count +
-        dimension check together (separate count()/filter().count()
-        passes doubled the job count on the hot ingest path)."""
+        dimension check + finiteness check together (separate
+        count()/filter().count() passes doubled the job count on the
+        hot ingest path).
+
+        The finiteness leg (NULL embedding, NULL element, NaN, ±Inf)
+        is what lets every read-side operator treat store tables as
+        clean — the kNN engine's NULL rule and the fp32 frontier
+        margins both assume vectors a store wrote are fully populated
+        finite floats (reference parity: ingestion rejects malformed
+        vectors, service/models.py:41-46). Note ``size(NULL)`` is NULL
+        in modern Spark, so a NULL embedding silently PASSES a bare
+        size-mismatch sum — it must be tested explicitly."""
         dim = self.config.dimension
+        bad_dim = F.col("embedding").isNull() | (
+            F.size("embedding") != F.lit(dim)
+        )
+        non_finite = F.exists(
+            "embedding",
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
         row = batch.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.size("embedding") != F.lit(dim)).cast("long")).alias("bad"),
+            F.sum(bad_dim.cast("long")).alias("bad"),
+            F.sum((~bad_dim & non_finite).cast("long")).alias("nonfinite"),
         ).first()
         if row["bad"]:
             raise ValueError(f"embedding dimension mismatch: store expects {dim}")
+        if row["nonfinite"]:
+            raise ValueError(
+                "embedding rows with null/NaN/Inf components — stores only "
+                "accept fully populated finite vectors"
+            )
         return int(row["n"])
 
     def _next_id(self) -> int:

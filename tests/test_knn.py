@@ -577,3 +577,65 @@ def test_store_mutation_invalidates_sizing_caches(spark, tmp_path):
     st.add_vectors([[0.1, 0.2, 0.3, 0.4]] * 4, [{} for _ in range(4)])
     assert not KN._SIZE_CACHE
     assert not RB._PROBE_CACHE
+
+
+def test_null_element_vectors_excluded_all_strategies(spark, vec_np, queries):
+    """A vector CONTAINING a NULL element follows the same exclusion
+    rule as a whole-NULL vector — the expression path would otherwise
+    rank its NULL score first under euclidean's ascending order while
+    the workers silently coerce None to NaN."""
+    from mlx_vector_db_spark.operators.knn import knn_join_chunked
+
+    rows = []
+    for i in range(N):
+        vec = vec_np[i].tolist()
+        if i == 21:
+            vec[3] = None  # planted NULL element
+        rows.append((i, vec))
+    vectors = spark.createDataFrame(rows, "id long, embedding array<float>")
+    base = None
+    for name, df in (
+        ("expr", knn_join(vectors, queries, k=K, metric="euclidean")),
+        ("vblk", knn_join_blocked(vectors, queries, k=K, metric="euclidean",
+                                  block_side="vectors")),
+        ("qblk", knn_join_blocked(vectors, queries, k=K, metric="euclidean",
+                                  block_side="queries")),
+        ("chunk", knn_join_chunked(vectors, queries, k=K, metric="euclidean",
+                                   chunk_size=3)),
+    ):
+        got = {(r["query_id"], r["rank"]): (r["id"], r["score"]) for r in df.collect()}
+        assert all(vid != 21 for vid, _ in got.values()), name
+        if base is None:
+            base = got
+            continue
+        assert got.keys() == base.keys(), name
+        for key in base:
+            assert got[key][0] == base[key][0], (name, key)
+            assert got[key][1] == pytest.approx(base[key][1], abs=1e-9), (name, key)
+
+
+def test_store_rejects_non_finite_vectors(spark, tmp_path):
+    """Both ingest paths enforce the finiteness contract the read-side
+    operators rely on: wire-format lists in the driver-side walk,
+    DataFrames in the single count+validate aggregation (where a NULL
+    embedding would otherwise slip past size(NULL) = NULL)."""
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, tmp_path / "s")
+    st = cat.create_store("u", "m", dimension=3)
+    with pytest.raises(ValueError, match="finite"):
+        st.add_vectors([[1.0, float("nan"), 0.0]], [{}])
+    with pytest.raises(ValueError, match="finite"):
+        st.add_vectors([[1.0, float("inf"), 0.0]], [{}])
+    df_nan = spark.createDataFrame(
+        [(0, [1.0, None, 0.0])], "id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="finite"):
+        st.add_vectors(df_nan)
+    df_null = spark.createDataFrame(
+        [(1, None)], "id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        st.add_vectors(df_null)
+    st.add_vectors([[1.0, 2.0, 3.0]], [{}])  # clean rows still land
+    assert st.count() == 1
