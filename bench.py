@@ -76,6 +76,24 @@ def _consume(df) -> None:
 #: alias one unlucky run into a plan-regression signal
 N_REPS = 3
 
+#: jiffies per second for /proc/stat deltas (Linux USER_HZ is 100
+#: everywhere this runs; the value only scales a diagnostic)
+_JIFFIES_HZ = 100.0
+
+
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor-steal jiffies from /proc/stat (column 9 of
+    the aggregate cpu line), 0 when unreadable (non-Linux, bare metal
+    reporting no steal). Two samples bracket the bench run; the delta
+    converts rows that look like engine regressions into attributable
+    host weather."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except Exception:
+        return 0
+
 #: noise sentinel: one fixed, plan-stable query re-timed at the start,
 #: middle, and end of the bench. Its medians move ONLY with host load
 #: (the plan never changes within a run), so the ratio max/min of the
@@ -112,6 +130,7 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     errors: dict[str, str] = {}
+    steal0 = _steal_jiffies()
 
     # steady-state measurement: warm the JVM/codegen and the page cache
     # (one pass over each input table + one tiny windowed query) before
@@ -273,6 +292,14 @@ def main() -> int:
             else -1.0
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # hypervisor steal accumulated across the whole bench run, in
+        # CPU-seconds (0.0 on bare metal / when unreadable): the r10
+        # sf1 session saw a weather window where steal alone pushed the
+        # flagship row 15x off its quiet-host band — a nonzero value
+        # here is the direct evidence that a wild row is the HOST's
+        # doing, complementing the two sentinels (which sample only
+        # three instants)
+        "steal_cpu_sec": round((_steal_jiffies() - steal0) / _JIFFIES_HZ, 1),
     }
     if errors:
         out["errors"] = errors

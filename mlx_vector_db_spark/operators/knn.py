@@ -18,7 +18,7 @@ Spark-first execution, two physical strategies:
    with two transposed physical strategies behind one ``block_side``
    switch. ``"vectors"``: collect+broadcast the query block, sweep the
    vectors table batch-wise, partial top-k per batch, final window —
-   shuffle O(num_batches * M * k); the huge-vectors shape.
+   shuffle O(tasks * M * k); the huge-vectors shape.
    ``"queries"``: collect+broadcast the (budget-checked) vector matrix
    as fp32, sweep the QUERY set — each query's top-k is exact and
    batch-local (fp32 select with a provable margin, fp64 re-score of
@@ -326,6 +326,21 @@ QBLOCK_VECTOR_BUDGET_BYTES = 256 * 1024 * 1024
 #: fp64-rescore is derived from it (see _knn_join_query_blocked).
 _F32_EPS = float(np.finfo(np.float32).eps)
 
+#: fp64 elements per (query-slice x vector-batch) score block in the
+#: vector-blocked sweep: 8M elems = 64 MB. Bounds every per-task temp
+#: (score block + its partition copy + mask) to ~150 MB regardless of
+#: how large the broadcast query matrix is — at 10k queries the
+#: unsliced sweep put every worker >3 GB and the host into direct
+#: reclaim (r10 sf100 finding; see score_blocks).
+_SWEEP_SLICE_ELEMS = 8_000_000
+
+#: fp32 elements per (query-slice x full-matrix) score block in the
+#: query-blocked path: 16M elems = 64 MB. Same bounded-temp discipline
+#: as the sweep — a budget-sized broadcast matrix (n ~ 1M rows at
+#: 64-dim) against a full 10k-row Arrow batch would otherwise build a
+#: 40 GB S32 plus an equal-size error net.
+_QBLOCK_SLICE_ELEMS = 16_000_000
+
 
 def _entry_error_bound(
     metric: str, dim: int, q_norms: np.ndarray, v_norms32: np.ndarray
@@ -452,11 +467,13 @@ def knn_join_blocked(
     ``block_side`` picks which side is partitioned:
 
     - ``"vectors"``: the query matrix is collected and broadcast once;
-      each Arrow batch of the vectors table is scored with one
-      ``V @ Q.T`` BLAS call and reduced to a per-batch top-k, so the
-      shuffle into the final per-query window carries
-      O(batches * M * k) rows, independent of N. The 100 TB-vectors
-      shape.
+      each Arrow batch of the vectors table is scored against it in
+      query slices of bounded footprint (``Q_slice @ V.T`` BLAS calls,
+      ~64 MB score blocks, row-wise partial top-k — see score_blocks
+      for why both the orientation and the slicing matter at large M)
+      and reduced to a per-batch top-k, so the shuffle into the final
+      per-query window carries O(tasks * M * k) rows, independent of
+      N. The 100 TB-vectors shape.
     - ``"queries"``: the transposed plan — the VECTOR matrix is
       collected (budget-checked) and broadcast as fp32; the query set
       stays distributed and each Arrow batch of queries sees the WHOLE
@@ -550,60 +567,121 @@ def knn_join_blocked(
         qd = bq.value
         Qm = qd["Q"]
         qids = qd["ids"]
+        n_queries = Qm.shape[0]
+        # Per-PARTITION candidate accumulators: each Arrow batch's
+        # partial top-k survives here and the task reduces them to ONE
+        # exact top-k per query before emitting, so the shuffle into
+        # the final window carries O(tasks * M * k) rows — not
+        # O(batches * M * k) (r10: 6x less candidate traffic at the
+        # 10k x 2M shape). The pool stays tiny: <= ~k rows per query
+        # per batch, reduced task-locally.
+        acc_q: list[np.ndarray] = []
+        acc_id: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
-            if met == "cosine":
-                Vn = V / np.maximum(
-                    np.linalg.norm(V, axis=1, keepdims=True), NORM_EPS
-                )
-                S = Vn @ Qm.T  # (n, M) similarity, higher better
-            elif met == "dot_product":
-                S = V @ Qm.T
-            else:  # euclidean: ||v||^2 - 2 v.q + ||q||^2
-                S = np.sqrt(
-                    np.maximum(
-                        (V * V).sum(axis=1)[:, None]
-                        - 2.0 * (V @ Qm.T)
-                        + qd["sq_norms"][None, :],
-                        0.0,
-                    )
-                )
-            n = S.shape[0]
+            n = V.shape[0]
             take = min(kk, n)
-            key = S if ascending else -S
-            # Partial top-k per query within this Arrow batch. np.partition
-            # yields the take-th-best score per query; emitting every row
-            # at-or-better-than that boundary keeps ALL score-ties at the k
-            # frontier, so the canonical global (score, id ASC) order — not
-            # argpartition's arbitrary internal order — decides which tied
-            # rows survive. Rows strictly better than the boundary number
-            # < take and are always included, so this is exact.
-            if take < n:
-                bound = np.partition(key, take - 1, axis=0)[take - 1, :]
-                mask = key <= bound[None, :]
+            if met == "cosine":
+                Vt = (
+                    V
+                    / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), NORM_EPS)
+                ).T
             else:
-                mask = np.ones(S.shape, dtype=bool)
-            rows, qcols = np.nonzero(mask)
-            out_qid = qids[qcols]
-            if met == "euclidean":
-                # The matmul expansion loses ~1e-7 absolute precision near
-                # zero distance; recompute float64 distances for the k*M
-                # emitted candidates only (cost independent of N) so the
-                # blocked path matches the expression path to fp64
-                # rounding (~1 ulp of summation-order difference).
-                scores = np.linalg.norm(V[rows] - Qm[qcols], axis=1)
-            else:
-                scores = S[rows, qcols]
-            yield pd.DataFrame(
-                {
-                    "query_id": out_qid,
-                    id_col: ids[rows],
-                    "score": scores,
-                }
-            )
+                Vt = V.T
+                if met == "euclidean":
+                    v_sq = (V * V).sum(axis=1)
+            # Scores are computed TRANSPOSED — (m_slice, n), queries as
+            # rows — and the broadcast query matrix is swept in slices
+            # whose score block stays ~64 MB. Both halves are load-
+            # bearing at scale (found r10, 10k queries x 2M vectors):
+            # the old (n, M) orientation partitioned axis-0 across a
+            # C-ordered array (strided column walks through an 800 MB
+            # block), and at M=10k the per-batch temps put 32 workers
+            # >3 GB each — the sweep went kernel-reclaim-bound (50%
+            # system time, ~20 min per 16 tasks). Row-wise partition on
+            # bounded slices keeps the allocator and cache in their
+            # happy regime at identical semantics.
+            m_step = max(256, _SWEEP_SLICE_ELEMS // max(n, 1))
+            # Slice buffers are allocated ONCE per batch and reused
+            # across all ~n_queries/m_step slices: numpy frees >128 KB
+            # blocks back to the OS, so per-slice fresh allocations
+            # made the kernel re-zero ~1.6 GB of pages per batch — the
+            # sweep alternated 50%-system-time phases with compute
+            # phases until the buffers were pinned (r10 measurement).
+            m_full = int(min(m_step, n_queries))
+            s_buf = np.empty((m_full, n), dtype=np.float64)
+            p_buf = np.empty_like(s_buf)
+            for s in range(0, n_queries, m_step):
+                Qs = Qm[s : s + m_step]
+                S = s_buf[: Qs.shape[0]]
+                np.matmul(Qs, Vt, out=S)  # (m_slice, n)
+                if met == "euclidean":
+                    # ||q||^2 - 2 q.v + ||v||^2, selection domain only
+                    S *= -2.0
+                    S += qd["sq_norms"][s : s + m_step][:, None]
+                    S += v_sq[None, :]
+                    np.maximum(S, 0.0, out=S)
+                    np.sqrt(S, out=S)
+                # Partial top-k per query within this batch slice.
+                # np.partition yields the take-th-best score per query;
+                # keeping every row at-or-better-than that boundary
+                # keeps ALL score-ties at the k frontier; the exact
+                # (score, id ASC) cut happens in the task-level reduce
+                # below. Rows strictly better than the boundary number
+                # < take and are always included, so this is exact.
+                if take < n:
+                    P = p_buf[: S.shape[0]]
+                    np.copyto(P, S)
+                    kth = take - 1 if ascending else n - take
+                    P.partition(kth, axis=1)  # in-place: no fresh pages
+                    bound = P[:, kth]
+                    mask = (
+                        S <= bound[:, None] if ascending else S >= bound[:, None]
+                    )
+                    qrow, vcol = np.nonzero(mask)
+                else:
+                    qrow = np.repeat(np.arange(S.shape[0]), n)
+                    vcol = np.tile(np.arange(n), S.shape[0])
+                if met == "euclidean":
+                    # The matmul expansion loses ~1e-7 absolute precision
+                    # near zero distance; recompute float64 distances for
+                    # the ~k*m_slice emitted candidates only (cost
+                    # independent of N) so the blocked path matches the
+                    # expression path to fp64 rounding (~1 ulp of
+                    # summation-order difference).
+                    scores = np.linalg.norm(V[vcol] - Qm[s + qrow], axis=1)
+                else:
+                    scores = S[qrow, vcol]
+                acc_q.append(s + qrow)
+                acc_id.append(ids[vcol])
+                acc_s.append(scores)
+        if not acc_q:
+            return
+        # Exact per-query top-k over the task's whole candidate pool.
+        # (score, id ASC) is a TOTAL order, so cutting at k here can
+        # never disagree with the global window's deterministic
+        # tie-break — the global top-k of a union equals the top-k of
+        # per-partition top-k's under any total order.
+        qrow = np.concatenate(acc_q)
+        idv = np.concatenate(acc_id)
+        sc = np.concatenate(acc_s)
+        order = np.lexsort((idv, sc if ascending else -sc, qrow))
+        qs = qrow[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        group_len = np.diff(np.r_[starts, len(qs)])
+        seq = np.arange(len(qs)) - np.repeat(starts, group_len)
+        sel = order[seq < kk]
+        yield pd.DataFrame(
+            {
+                "query_id": qids[qrow[sel]],
+                id_col: idv[sel],
+                "score": sc[sel],
+            }
+        )
 
     # The matmul's parallelism is the INPUT partition count, and dense
     # embeddings compress hard on disk — a table whose scan plans to a
@@ -738,57 +816,67 @@ def _knn_join_query_blocked(
             if met == "euclidean":
                 v_sq32 = (M32.astype(np.float64) ** 2).sum(axis=0).astype(np.float32)
         take = min(kk, n)
+        # Query rows are processed in slices whose fp32 score block
+        # stays bounded (~64 MB): against a budget-sized matrix
+        # (n ~ 1M rows at 64-dim) a full 10k-row Arrow batch would
+        # otherwise allocate a 40 GB S32 plus an equal E — each
+        # query's top-k is slice-local (the slice sees ALL n vectors),
+        # so slicing changes nothing semantically.
         for pdf in batches:
             if pdf.empty:
                 continue
-            Q64 = np.asarray(pdf[query_vec_col].to_list(), dtype=np.float64)
-            qids = pdf[query_id_col].to_numpy()
-            q_norms = np.linalg.norm(Q64, axis=1)
-            if met == "cosine":
-                Qn64 = Q64 / np.maximum(q_norms, NORM_EPS)[:, None]
-                S32 = Qn64.astype(np.float32) @ M32  # (m, n) similarities
-                E = _entry_error_bound(met, dd, q_norms, None)
-            elif met == "dot_product":
-                Qn64 = Q64
-                S32 = Q64.astype(np.float32) @ M32
-                E = _entry_error_bound(met, dd, q_norms, v_norms32)
-            else:  # euclidean, squared-distance domain for selection
-                Qn64 = Q64
-                S32 = (
-                    (Q64.astype(np.float32) ** 2).sum(axis=1)[:, None]
-                    - 2.0 * (Q64.astype(np.float32) @ M32)
-                    + v_sq32[None, :]
+            Q64f = np.asarray(pdf[query_vec_col].to_list(), dtype=np.float64)
+            qids_f = pdf[query_id_col].to_numpy()
+            m_step = max(64, _QBLOCK_SLICE_ELEMS // max(n, 1))
+            for beg in range(0, Q64f.shape[0], m_step):
+                Q64 = Q64f[beg : beg + m_step]
+                qids = qids_f[beg : beg + m_step]
+                q_norms = np.linalg.norm(Q64, axis=1)
+                if met == "cosine":
+                    Qn64 = Q64 / np.maximum(q_norms, NORM_EPS)[:, None]
+                    S32 = Qn64.astype(np.float32) @ M32  # (m, n) similarities
+                    E = _entry_error_bound(met, dd, q_norms, None)
+                elif met == "dot_product":
+                    Qn64 = Q64
+                    S32 = Q64.astype(np.float32) @ M32
+                    E = _entry_error_bound(met, dd, q_norms, v_norms32)
+                else:  # euclidean, squared-distance domain for selection
+                    Qn64 = Q64
+                    S32 = (
+                        (Q64.astype(np.float32) ** 2).sum(axis=1)[:, None]
+                        - 2.0 * (Q64.astype(np.float32) @ M32)
+                        + v_sq32[None, :]
+                    )
+                    E = _entry_error_bound(met, dd, q_norms, v_norms32)
+                if take < n:
+                    mask = _frontier_mask(S32, E, take, ascending)
+                    qrow, vcol = np.nonzero(mask)
+                else:
+                    qrow = np.repeat(np.arange(S32.shape[0]), n)
+                    vcol = np.tile(np.arange(n), S32.shape[0])
+                # float64 re-score of the frontier — the expression
+                # path's formula up to summation order (~1 ulp), then
+                # the shared (score, id ASC) tie-break
+                if met == "euclidean":
+                    s64 = np.linalg.norm(Q64[qrow] - vm64[vcol], axis=1)
+                else:
+                    s64 = np.einsum("ij,ij->i", Qn64[qrow], Vn64[vcol])
+                idv = ids[vcol]
+                order = np.lexsort((idv, s64 if ascending else -s64, qrow))
+                qs = qrow[order]
+                starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                group_len = np.diff(np.r_[starts, len(qs)])
+                seq = np.arange(len(qs)) - np.repeat(starts, group_len)
+                keep = seq < take
+                sel = order[keep]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qrow[sel]],
+                        id_col: ids[vcol[sel]],
+                        "score": s64[sel],
+                        "rank": (seq[keep] + 1).astype(np.int32),
+                    }
                 )
-                E = _entry_error_bound(met, dd, q_norms, v_norms32)
-            if take < n:
-                mask = _frontier_mask(S32, E, take, ascending)
-                qrow, vcol = np.nonzero(mask)
-            else:
-                qrow = np.repeat(np.arange(S32.shape[0]), n)
-                vcol = np.tile(np.arange(n), S32.shape[0])
-            # float64 re-score of the frontier — the expression path's
-            # formula up to summation order (~1 ulp), then the shared
-            # (score, id ASC) tie-break
-            if met == "euclidean":
-                s64 = np.linalg.norm(Q64[qrow] - vm64[vcol], axis=1)
-            else:
-                s64 = np.einsum("ij,ij->i", Qn64[qrow], Vn64[vcol])
-            idv = ids[vcol]
-            order = np.lexsort((idv, s64 if ascending else -s64, qrow))
-            qs = qrow[order]
-            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
-            group_len = np.diff(np.r_[starts, len(qs)])
-            seq = np.arange(len(qs)) - np.repeat(starts, group_len)
-            keep = seq < take
-            sel = order[keep]
-            yield pd.DataFrame(
-                {
-                    "query_id": qids[qrow[sel]],
-                    id_col: ids[vcol[sel]],
-                    "score": s64[sel],
-                    "rank": (seq[keep] + 1).astype(np.int32),
-                }
-            )
 
     src = rebalance_for_compute(queries.select(query_id_col, query_vec_col))
     ranked = src.mapInPandas(
@@ -827,7 +915,7 @@ def knn_join_chunked(
     inside its own chunk — results union with no cross-chunk merge.
     Cost model at scale: V is scanned ``ceil(Q / chunk_size)`` times, but
     from cache/local disk after the first sweep, and each sweep's shuffle
-    is O(batches * chunk * k), never O(N * Q). The driver loop is over
+    is O(tasks * chunk * k), never O(N * Q). The driver loop is over
     chunk COUNT (Q/chunk_size iterations), not rows — each iteration is a
     full distributed job.
 
