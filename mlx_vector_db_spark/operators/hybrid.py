@@ -65,11 +65,22 @@ def bm25_scores(
         F.count("*").cast("double").alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
     )
-    # filter to query terms BEFORE the shuffle: the aggregate's input is
-    # only the matching tokens
+    # filter to query terms BEFORE the explode, not merely before the
+    # shuffle: explode-then-filter materializes one row per CORPUS
+    # token (~30M Generate rows at sf10 for a 4-term query) and lets
+    # the filter discard >99.9% of them, while filtering the array
+    # first keeps the Generate's output to O(matching tokens). The
+    # groupBy shuffle input is identical either way; the Generate
+    # volume is the part that amplified host-memory weather into 8x
+    # wall swings on this query (r10 adjudication, SCALE.md).
     tf = (
-        base.select(id_col, "_dl", F.explode("_toks").alias("_term"))
-        .where(F.col("_term").isin(*terms))
+        base.select(
+            id_col,
+            "_dl",
+            F.explode(
+                F.filter("_toks", lambda w: w.isin(*terms))
+            ).alias("_term"),
+        )
         .groupBy(id_col, "_term")
         .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
     )
