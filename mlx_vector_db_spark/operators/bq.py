@@ -1,0 +1,303 @@
+"""Binary quantization (BQ) — 1-bit-per-dimension similarity search.
+
+The deepest storage cliff in the compression ladder: int8 cuts vector
+bytes 4x, PQ 16-64x, and BQ cuts them **32x vs float32** with ZERO
+training cost beyond one per-dimension threshold pass. Each dimension
+becomes one sign bit (``v[j] > threshold[j]``) and a D-dim vector packs
+into ``ceil(D/8)`` bytes. Hamming distance between sign patterns is a
+monotone estimator of angular distance (Charikar, "Similarity
+Estimation Techniques from Rounding Algorithms", STOC 2002 — SimHash
+applied to dense embeddings; the same public result behind
+operators/dedup.py's SimHash and ann.py's LSH hyperplanes):
+``E[hamming/D] = angle(u, v)/pi`` for mean-centered data. Production
+vector stores ship exactly this two-pass shape as "binary quantization"
+(oversampled Hamming scan + exact re-score) because the candidate scan
+becomes pure XOR+popcount over a table 32x smaller than the floats —
+at 100 TB of embeddings the first pass reads ~3 TB and does no
+floating-point work at all.
+
+Spark-first split of the work (the pq.py discipline, simplified):
+- **train**: one bounded Arrow-collected sample (the build_ivf/train_pq
+  sampling policy) yields per-dimension mean thresholds — centering is
+  what makes sign bits informative on corpora not centered at zero
+  (the reference's synthetic and real embeddings both live in [0, 1)).
+- **encode**: ``mapInArrow`` — the (n, D) batch compares against the
+  broadcast thresholds and ``np.packbits`` emits a fixed-size binary
+  column; stateless projection, streaming-safe, no rebuild on append.
+- **Hamming scan**: ``mapInPandas`` over (id, code) only — Parquet
+  column pruning keeps first-pass IO at D/8 bytes/row; XOR + a 256-entry
+  popcount LUT scores a batch against all queries with no unpacking;
+  per-batch partial top-(k*overfetch) keeps the shuffle at
+  O(batches * queries * k) rows (the knn_join_blocked discipline).
+- **exact re-rank**: semi-join on candidate ids, then the standard
+  exact batch kNN — identical to pq_search_batch's second pass, so BQ
+  error costs recall only when a true neighbor falls outside the
+  over-fetched candidate set. Hamming's 1-bit resolution is coarser
+  than ADC's, so the honest default over-fetch is HIGHER than PQ's
+  (see bq_recall_gate: overfetch 8 on the uniform corpus).
+
+Reference parity: the reference has no BQ (its compression story is
+int8 at service/optimized_vector_store.py:121-135); this operator is a
+beyond-reference addition on the same over-fetch/re-rank policy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.operators.knn import knn_join
+from mlx_vector_db_spark.operators.topk import top_k_per_group
+from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+__all__ = ["BQModel", "train_bq", "bq_search_batch"]
+
+#: popcount of every byte value — one 256-entry gather scores a code
+#: byte; kept module-level so every worker builds it once per import.
+_POPCNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint16)
+
+
+class BQModel:
+    """Per-dimension thresholds + the pack/score kernels.
+
+    ``thresholds`` is the (D,) centering vector: bit j of a code is
+    ``v[j] > thresholds[j]``. Persisted via to_dict/from_dict with the
+    same contract as ann.IVFIndex / pq.PQCodebooks.
+    """
+
+    kind = "bq"
+
+    def __init__(self, thresholds: np.ndarray, vec_col: str = "embedding"):
+        t = np.asarray(thresholds, dtype=np.float64)
+        if t.ndim != 1 or t.size == 0:
+            raise ValueError(f"thresholds must be 1-D non-empty, got {t.shape}")
+        self.thresholds = t
+        self.vec_col = vec_col
+
+    @property
+    def dim(self) -> int:
+        return int(self.thresholds.size)
+
+    @property
+    def code_bytes(self) -> int:
+        return (self.dim + 7) // 8
+
+    @property
+    def compression(self) -> float:
+        """Bytes saved vs float32 storage (e.g. 32.0 at dim % 8 == 0)."""
+        return 4.0 * self.dim / self.code_bytes
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": self.kind,
+            "vec_col": self.vec_col,
+            "thresholds": self.thresholds.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "BQModel":
+        if d.get("kind") != cls.kind:
+            raise ValueError(f"not a bq model dict: kind={d.get('kind')!r}")
+        return cls(np.asarray(d["thresholds"], np.float64), d["vec_col"])
+
+    def pack(self, X: np.ndarray) -> np.ndarray:
+        """(n, D) floats -> (n, code_bytes) uint8 sign codes."""
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim != 2 or X.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) matrix, got {X.shape}")
+        return np.packbits(X > self.thresholds[None, :], axis=1)
+
+    def encode(self, df: DataFrame, code_col: str = "bq_code") -> DataFrame:
+        """Add the packed ``binary`` code column via mapInArrow.
+
+        Zero-copy reshape of the list buffer to (n, D), one broadcast
+        compare + packbits per batch, one fixed-size-binary buffer out —
+        the PQCodebooks.encode Arrow policy (pq.py:170-197). NULL
+        vectors cannot be encoded (same rule as PQ/int8: store writes
+        validate, arbitrary frames must pre-filter).
+        """
+        vec_col = self.vec_col
+        thresholds = self.thresholds
+        dim, nb = self.dim, self.code_bytes
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        out_schema = f"{fields}, {code_col} binary"
+
+        def run(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                col = rb.column(rb.schema.get_field_index(vec_col))
+                if col.null_count:
+                    raise ValueError(f"NULL {vec_col!r} rows cannot be encoded")
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                X = flat.astype(np.float64, copy=False).reshape(rb.num_rows, -1)
+                if X.shape[1] != dim:
+                    raise ValueError(
+                        f"dim mismatch: model {dim}, batch {X.shape[1]}"
+                    )
+                codes = np.ascontiguousarray(
+                    np.packbits(X > thresholds[None, :], axis=1)
+                )
+                fsb = pa.Array.from_buffers(
+                    pa.binary(nb),
+                    rb.num_rows,
+                    [None, pa.py_buffer(codes.tobytes())],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    list(rb.columns) + [fsb.cast(pa.binary())],
+                    names=list(rb.schema.names) + [code_col],
+                )
+
+        return df.mapInArrow(run, schema=out_schema)
+
+
+def train_bq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 131_072,
+) -> BQModel:
+    """Per-dimension mean thresholds from a bounded Arrow sample.
+
+    The train_pq sampling policy (pq.py:206-259): the distributed table
+    is never collected; a binomial sample capped at ``max_train_rows``
+    feeds one vectorized column-mean. Means (not medians) so the
+    estimator composes linearly across samples; for sign-bit codes the
+    difference is one bit-flip on near-threshold dimensions, absorbed
+    by the over-fetch.
+    """
+    if max_train_rows < 1:
+        raise ValueError(f"max_train_rows must be >= 1 (got {max_train_rows})")
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot train BQ on an empty table")
+    train = df
+    if n > max_train_rows:
+        train = df.sample(min(1.0, 1.2 * max_train_rows / n), seed=seed)
+    sample_df = train.select(F.col(vec_col).alias("_v"))
+    if n > max_train_rows:
+        sample_df = sample_df.limit(int(max_train_rows))
+    tbl = sample_df.toArrow()
+    vcol = tbl.column("_v").combine_chunks()
+    flat = vcol.flatten().to_numpy(zero_copy_only=False)
+    X = flat.astype(np.float64, copy=False).reshape(len(vcol), -1)
+    return BQModel(X.mean(axis=0), vec_col=vec_col)
+
+
+def bq_search_batch(
+    coded: DataFrame,
+    queries: DataFrame,
+    bq: BQModel,
+    k: int = 10,
+    metric: str = "cosine",
+    overfetch: int = 8,
+    code_col: str = "bq_code",
+    id_col: str = "id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exact_rerank: bool = True,
+) -> DataFrame:
+    """Two-pass batch k-NN over sign-bit codes.
+
+    Pass 1 (Hamming): scan (id, code) ONLY — the float column is pruned
+    out of the Parquet read — scoring each code against every query
+    code with XOR + a 256-entry popcount gather; per-Arrow-batch partial
+    top-(k*overfetch) bounds the shuffle (ties cut on id ASC, so the
+    per-batch cut can never disagree with the global order). Pass 2:
+    exact re-rank of the candidate union via knn_join on the float
+    vectors (semi-join on id), restoring exact scores/ordering — BQ
+    error only costs recall when a true top-k neighbor falls outside
+    the over-fetched candidate set.
+
+    Hamming is a pure ANGULAR estimator: with ``metric='euclidean'`` or
+    ``'dot_product'`` the re-rank is exact for the requested metric but
+    the candidate stage still selects by angle, so recall degrades on
+    corpora where norms (not directions) decide neighbors — same caveat
+    the reference documents for its normalized int8 path.
+    """
+    if metric not in ("cosine", "euclidean", "dot_product"):
+        raise ValueError(f"unknown metric {metric!r}")
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qcodes = bq.pack(Q)  # (nq, nbytes) — the queries quantize too
+    sc = coded.sparkSession.sparkContext
+    bqc = sc.broadcast({"ids": q_ids, "codes": qcodes})
+    take = int(k) * int(overfetch)
+    nb = bq.code_bytes
+
+    def hamming(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        data = bqc.value
+        qids, qc = data["ids"], data["codes"]
+        nq = len(qids)
+        pop = _POPCNT
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col].to_list()), dtype=np.uint8
+            ).reshape(len(pdf), nb)
+            ids = pdf[id_col].to_numpy()
+            n = len(pdf)
+            # D[n, q] = popcount(codes[n] ^ qc[q]): one XOR + LUT gather
+            # per query — nq is a query batch (small), n is the Arrow
+            # batch, so the (n, nbytes) temp is reused across queries
+            D = np.empty((n, nq), dtype=np.int32)
+            for qi in range(nq):
+                D[:, qi] = pop[np.bitwise_xor(codes, qc[qi][None, :])].sum(
+                    axis=1, dtype=np.int32
+                )
+            t = min(take, n)
+            if t < n:
+                bound = np.partition(D, t - 1, axis=0)[t - 1, :]
+                mask = D <= bound[None, :]
+            else:
+                mask = np.ones(D.shape, dtype=bool)
+            rows, qcols = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qcols],
+                    id_col: ids[rows],
+                    "_hamming": D[rows, qcols],
+                }
+            )
+
+    # sign codes compress ~256x vs float parquet, so the coded table
+    # packs into very few file splits at ANY corpus size — spread the
+    # narrow (id, code) projection or the scan serializes (the r9
+    # split-collapse lesson, strongest here of all compressed scans)
+    cand = rebalance_for_compute(
+        coded.select(id_col, code_col).where(F.col(code_col).isNotNull())
+    ).mapInPandas(hamming, schema=f"query_id long, {id_col} long, _hamming int")
+    order = [F.col("_hamming").asc(), F.col(id_col).asc()]
+    cand_topk = top_k_per_group(cand, ["query_id"], order, take)
+    if not exact_rerank:
+        return cand_topk.select(
+            F.col("query_id").alias(query_id_col),
+            id_col,
+            F.col("_hamming").alias("hamming"),
+        )
+    cand_ids = cand_topk.select(id_col).distinct()
+    subset = coded.join(cand_ids, on=id_col, how="left_semi").drop(code_col)
+    return knn_join(
+        subset,
+        queries,
+        k=k,
+        metric=metric,
+        vec_col=bq.vec_col,
+        id_col=id_col,
+        query_vec_col=query_vec_col,
+        query_id_col=query_id_col,
+    )

@@ -1673,6 +1673,139 @@ def q_ivfpq_clustered_recall_gate(spark, sf_dir):
     return _recall_gate(approx, exact)
 
 
+#: build-once binary-quantization artifacts: (coded parquet path, model)
+_BQ_ARTIFACTS: dict[str, tuple[str, object]] = {}
+
+
+def _bq_artifact(spark, sf_dir):
+    """Binary-quantization twin of _pq_artifact: per-dim mean thresholds
+    trained and 8-byte sign codes materialized once per sf_dir (64-dim
+    float32 -> 8 bytes, 32x); every query is compressed-domain search.
+    The coded table keeps the float column beside the code — the
+    Hamming scan prunes it, the exact re-rank semi-joins it back."""
+    key = str(sf_dir).rstrip("/")
+    hit = _BQ_ARTIFACTS.get(key)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    from mlx_vector_db_spark.operators.bq import train_bq
+
+    emb = _t(spark, key, "embeddings").withColumnRenamed("vec_id", "id")
+    bq = train_bq(emb, seed=42)
+    path = tempfile.mkdtemp(prefix="bq-artifact-")
+    bq.encode(emb).write.mode("overwrite").parquet(path)
+    _BQ_ARTIFACTS[key] = (path, bq)
+    return path, bq
+
+
+def q_bq_knn(spark, sf_dir):
+    """Binary-quantization ANN *search* over the persisted sign-code
+    artifact (build amortized via _bq_artifact; recall gated by
+    bq_recall_gate / bq_clustered_recall_gate). The first pass is pure
+    XOR+popcount over a 32x-compressed scan — the cheapest candidate
+    pass in the engine's compression ladder (int8 4x, PQ 16-64x ADC,
+    BQ 32x bit ops)."""
+    from mlx_vector_db_spark.operators.bq import bq_search_batch
+
+    path, bq = _bq_artifact(spark, sf_dir)
+    coded = spark.read.parquet(path)
+    queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    return bq_search_batch(coded, queries, bq, k=KNN_K, overfetch=16)
+
+
+def q_bq_recall_gate(spark, sf_dir):
+    """Sign-bit Hamming candidates + exact re-rank: recall@10 >= 0.9
+    per query vs the exact scan on the UNIFORM corpus.
+
+    overfetch=16: one bit per dimension is the coarsest quantizer in
+    the ladder, and uniform-random data is its worst case (Hamming
+    estimates ONLY the angle, with sd ~ 1/sqrt(D) per pair at D=64 —
+    measured here: overfetch 4 -> 6/10 worst query, 8 -> 7/10,
+    16 -> 10/10). On clustered data the same codes reach full recall
+    at overfetch 2 (bq_clustered_recall_gate) — the over-fetch knob is
+    the accuracy/speed trade doing its job, same story as
+    ivf_recall_gate's nprobe on this corpus."""
+    from mlx_vector_db_spark.operators.bq import bq_search_batch
+
+    path, bq = _bq_artifact(spark, sf_dir)
+    coded = spark.read.parquet(path)
+    queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    approx = bq_search_batch(coded, queries, bq, k=KNN_K, overfetch=16)
+    exact = knn_join(coded.drop("bq_code"), queries, k=KNN_K)
+    return _recall_gate(approx, exact)
+
+
+def q_bq_clustered_recall_gate(spark, sf_dir):
+    """Binary quantization on the CLUSTERED mixture — recall@10 >= 0.9
+    per query at overfetch=4, the regime sign bits are FOR: cluster
+    directions dominate the mean-centered signs, so Hamming separates
+    cells almost as well as the float scan while reading 1/32nd the
+    bytes and doing no FLOPs. Same fixture and exact-ground-truth
+    policy as pq/ivfpq_clustered_recall_gate."""
+    from mlx_vector_db_spark.operators.bq import bq_search_batch, train_bq
+
+    n_q = 20
+    clustered = _clustered_fixture(spark, sf_dir)
+    bq = train_bq(clustered, seed=42)
+    coded = bq.encode(clustered).localCheckpoint(eager=False)
+    queries = coded.where(F.col("id") < n_q).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    approx = bq_search_batch(coded, queries, bq, k=KNN_K, overfetch=4)
+    exact = knn_join(clustered, queries, k=KNN_K)
+    return _recall_gate(approx, exact)
+
+
+def _decay_fixture(spark, sf_dir, dim=64, rate=0.85):
+    """Seeded decay-weighted embedding fixture for the Matryoshka gate:
+    per-dimension scale falls geometrically (dim j ~ rate**j), the
+    front-loaded-information profile an MRL-trained encoder produces.
+    Row-deterministic and partitioning-independent (per-row noise
+    seeded by the id), the _clustered_fixture contract."""
+    import numpy as np
+    import pandas as pd
+
+    decay = rate ** np.arange(dim)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            embs = []
+            for i in ids:
+                r = np.random.default_rng(int(i) + 7_000_003)
+                embs.append((r.standard_normal(dim) * decay).astype(np.float32))
+            yield pd.DataFrame({"id": ids, "embedding": embs})
+
+    ids = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    dec = ids.mapInPandas(gen, schema="id long, embedding array<float>")
+    return dec.localCheckpoint(eager=False)
+
+
+def q_mrl_recall_gate(spark, sf_dir):
+    """Matryoshka funnel (prefix-dim candidates + full-dim exact
+    re-rank): recall@10 >= 0.9 per query with d_prefix=8 of 64 — the
+    candidate stage scores 1/8th of the dimensions — at overfetch=4 on
+    the decay-weighted fixture (the front-loaded-information regime
+    MRL encoders produce; on this fixture the first 8 dims carry ~76%
+    of the variance). The funnel composes two existing exact knn_join
+    passes, so unlike PQ/BQ its candidate scores are true similarities
+    of a valid sub-embedding."""
+    from mlx_vector_db_spark.operators.mrl import mrl_search_batch
+
+    dec = _decay_fixture(spark, sf_dir)
+    queries = dec.where(F.col("id") < N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    approx = mrl_search_batch(dec, queries, d_prefix=8, k=KNN_K, overfetch=4)
+    exact = knn_join(dec, queries, k=KNN_K)
+    return _recall_gate(approx, exact)
+
+
 def q_tune_overfetch_gate(spark, sf_dir):
     """Self-calibration gate for the r7 tune_overfetch knob: on the
     seeded clustered mixture, the tuner must return a ladder rung whose
@@ -3316,6 +3449,10 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
     "ivfpq_clustered_recall_gate": q_ivfpq_clustered_recall_gate,
+    "bq_recall_gate": q_bq_recall_gate,
+    "bq_clustered_recall_gate": q_bq_clustered_recall_gate,
+    "mrl_recall_gate": q_mrl_recall_gate,
+    "bq_knn": q_bq_knn,
     "lsh_recall_gate": q_lsh_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_dedup_clustered": q_minhash_dedup_clustered,
@@ -3454,7 +3591,17 @@ QUERIES: dict[str, QueryFn] = {
 # re-runs; the leftover r8-stale events_* window family heads the r11
 # rotation.
 _R10_WINDOW = [
-    # (a) changed-operator entries: pq.py (r9 ADC rebalance) + knn.py (r10)
+    # (a) changed/NEW-operator entries: pq.py (r9 ADC rebalance) +
+    # knn.py (r10) + the two operators born this round (binary
+    # quantization, Matryoshka funnel — rule (a) outranks (c)
+    # staleness, so three of the r8-green decision shapes
+    # (brand_price_median, customer_balance_tiles,
+    # lineitem_quantity_quantiles) yield their slots and stay
+    # sweep-covered; they head the r11 rotation with the events_*
+    # family)
+    "bq_recall_gate",
+    "bq_clustered_recall_gate",
+    "mrl_recall_gate",
     "pq_clustered_recall_gate",
     "ivfpq_clustered_recall_gate",
     "knn_qblocked_parity",
@@ -3504,9 +3651,6 @@ _R10_WINDOW = [
     "orders_late_exists",
     "priority_intersect",
     "parts_above_avg",
-    "brand_price_median",
-    "customer_balance_tiles",
-    "lineitem_quantity_quantiles",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -5177,6 +5321,18 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     "pq_clustered_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed
         FROM embeddings WHERE vec_id < 20
+    """,
+    "bq_recall_gate": """
+        SELECT vec_id AS query_id, TRUE AS passed
+        FROM embeddings WHERE vec_id < 5
+    """,
+    "bq_clustered_recall_gate": """
+        SELECT vec_id AS query_id, TRUE AS passed
+        FROM embeddings WHERE vec_id < 20
+    """,
+    "mrl_recall_gate": """
+        SELECT vec_id AS query_id, TRUE AS passed
+        FROM embeddings WHERE vec_id < 5
     """,
     "ivfpq_clustered_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed

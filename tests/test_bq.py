@@ -1,0 +1,150 @@
+"""Binary quantization: threshold training, Arrow encode (packed sign
+bits), Hamming candidate scan + exact re-rank vs the exact kNN oracle,
+full-overfetch exactness, serialization roundtrip, NULL handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.operators.bq import BQModel, bq_search_batch, train_bq
+from mlx_vector_db_spark.operators.knn import knn_join
+
+N, DIM, K = 2000, 32, 10
+RNG = np.random.default_rng(41)
+
+
+@pytest.fixture(scope="module")
+def vec_np():
+    # clustered mixture (the regime where sign bits carry real signal):
+    # centers spread around the origin after mean-centering
+    centers = RNG.random((8, DIM)) * 4
+    assign = RNG.integers(0, 8, N)
+    return (centers[assign] + 0.3 * RNG.standard_normal((N, DIM))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, vec_np):
+    return spark.createDataFrame(
+        [(i, vec_np[i].tolist()) for i in range(N)],
+        "id long, embedding array<float>",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def bq(vectors):
+    return train_bq(vectors, seed=7)
+
+
+@pytest.fixture(scope="module")
+def coded(vectors, bq):
+    return bq.encode(vectors).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(coded):
+    return coded.where(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+
+
+def test_codes_shape_and_compression(coded, bq):
+    assert bq.dim == DIM
+    assert bq.code_bytes == DIM // 8
+    assert bq.compression == 32.0
+    row = coded.first()
+    assert isinstance(row["bq_code"], (bytes, bytearray))
+    assert len(row["bq_code"]) == DIM // 8
+    assert coded.count() == N
+
+
+def test_pack_matches_numpy_oracle(bq, vec_np, coded):
+    """The distributed Arrow encode must agree bit-for-bit with the
+    driver-side pack (same thresholds, same packbits order)."""
+    rows = coded.where(F.col("id") < 50).orderBy("id").collect()
+    got = np.frombuffer(
+        b"".join(r["bq_code"] for r in rows), dtype=np.uint8
+    ).reshape(50, bq.code_bytes)
+    want = bq.pack(vec_np[:50].astype(np.float64))
+    assert np.array_equal(got, want)
+
+
+def test_thresholds_are_column_means(bq, vec_np):
+    np.testing.assert_allclose(
+        bq.thresholds, vec_np.astype(np.float64).mean(axis=0), rtol=1e-6
+    )
+
+
+def test_serialization_roundtrip(bq, vec_np):
+    clone = BQModel.from_dict(bq.to_dict())
+    assert np.array_equal(clone.pack(vec_np[:20]), bq.pack(vec_np[:20]))
+    assert clone.vec_col == bq.vec_col
+    with pytest.raises(ValueError):
+        BQModel.from_dict({"kind": "ivf"})
+
+
+def test_recall_vs_exact(coded, queries, bq, vectors):
+    """Hamming candidates + exact re-rank: recall@10 >= 0.9 per query.
+
+    overfetch=32 here: this fixture has only 8 wide clusters of ~250
+    rows, so the top-10 lives INSIDE a cluster where 32-bit Hamming has
+    little resolution — the hardest regime (measured: overfetch 8 ->
+    8/10 worst query, 16 -> 8/10, 32 -> 10/10). The fine-clustered
+    64-bit gate regime reaches full recall at overfetch=2-4
+    (queries.py bq_clustered_recall_gate)."""
+    approx = bq_search_batch(coded, queries, bq, k=K, overfetch=32).collect()
+    exact = knn_join(vectors, queries, k=K).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    assert set(got) == set(want)
+    for qid in want:
+        assert len(got[qid] & want[qid]) >= 9, f"recall@10 < 0.9 for {qid}"
+
+
+def test_full_overfetch_is_exact(coded, queries, bq, vectors):
+    """With the candidate set covering the whole corpus the two-pass
+    result must EQUAL the exact kNN (same ids, same order) — the
+    re-rank stage introduces no error of its own."""
+    approx = bq_search_batch(
+        coded, queries, bq, k=K, overfetch=(N + K - 1) // K
+    )
+    exact = knn_join(vectors, queries, k=K)
+    a = [(r["query_id"], r["id"]) for r in approx.orderBy("query_id", "rank").collect()]
+    e = [(r["query_id"], r["id"]) for r in exact.orderBy("query_id", "rank").collect()]
+    assert a == e
+
+
+def test_no_rerank_returns_hamming(coded, queries, bq):
+    out = bq_search_batch(coded, queries, bq, k=K, exact_rerank=False)
+    assert set(out.columns) == {"query_id", "id", "hamming"}
+    rows = out.collect()
+    assert len(rows) == 5 * K * 8  # k * overfetch per query
+    assert all(r["hamming"] >= 0 for r in rows)
+    # each query's own code is at Hamming distance 0 of itself
+    self_rows = [r for r in rows if r["query_id"] == r["id"]]
+    assert len(self_rows) == 5 and all(r["hamming"] == 0 for r in self_rows)
+
+
+def test_encode_rejects_null_vectors(spark, bq):
+    df = spark.createDataFrame(
+        [(0, [0.5] * DIM), (1, None)], "id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        bq.encode(df).collect()
+
+
+def test_train_empty_raises(spark):
+    empty = spark.createDataFrame([], "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        train_bq(empty)
+
+
+def test_metric_validation(coded, queries, bq):
+    with pytest.raises(ValueError, match="unknown metric"):
+        bq_search_batch(coded, queries, bq, metric="manhattan")
