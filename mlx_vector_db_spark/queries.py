@@ -1806,6 +1806,27 @@ def q_mrl_recall_gate(spark, sf_dir):
     return _recall_gate(approx, exact)
 
 
+def q_mmr_rerank_topk(spark, sf_dir):
+    """MMR diversity rerank under the FULL value-hash oracle: exact
+    top-20 cosine candidates per query, then greedy maximal-marginal-
+    relevance selection of 5 at lambda=0.6 (Carbonell & Goldstein 1998).
+    The DuckDB twin replays the greedy loop as a recursive CTE (one
+    row per selection step carrying the selected-id list; the lateral
+    argmax recomputes the penalty as max cosine to the selected set) —
+    the same oracle discipline as the clustered-dedup and RAG-packing
+    entries: an ITERATIVE operator pinned value-exact, not rows-only.
+    Ties break on id ASC on both engines; scores compare at the
+    driver's 6-dp rounding."""
+    from mlx_vector_db_spark.operators.mmr import mmr_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = emb.select(F.col("vec_id").alias("id"), "embedding")
+    queries = vec.where(F.col("id") < N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    return mmr_search(vec, queries, k=5, fetch_k=20, lambda_=0.6)
+
+
 def q_tune_overfetch_gate(spark, sf_dir):
     """Self-calibration gate for the r7 tune_overfetch knob: on the
     seeded clustered mixture, the tuner must return a ladder rung whose
@@ -3453,6 +3474,7 @@ QUERIES: dict[str, QueryFn] = {
     "bq_clustered_recall_gate": q_bq_clustered_recall_gate,
     "mrl_recall_gate": q_mrl_recall_gate,
     "bq_knn": q_bq_knn,
+    "mmr_rerank_topk": q_mmr_rerank_topk,
     "lsh_recall_gate": q_lsh_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_dedup_clustered": q_minhash_dedup_clustered,
@@ -3596,12 +3618,13 @@ _R10_WINDOW = [
     # quantization, Matryoshka funnel — rule (a) outranks (c)
     # staleness, so three of the r8-green decision shapes
     # (brand_price_median, customer_balance_tiles,
-    # lineitem_quantity_quantiles) yield their slots and stay
+    # lineitem_quantity_quantiles, parts_above_avg) yield their slots and stay
     # sweep-covered; they head the r11 rotation with the events_*
     # family)
     "bq_recall_gate",
     "bq_clustered_recall_gate",
     "mrl_recall_gate",
+    "mmr_rerank_topk",
     "pq_clustered_recall_gate",
     "ivfpq_clustered_recall_gate",
     "knn_qblocked_parity",
@@ -3650,7 +3673,6 @@ _R10_WINDOW = [
     "orders_cube",
     "orders_late_exists",
     "priority_intersect",
-    "parts_above_avg",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -5333,6 +5355,54 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     "mrl_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed
         FROM embeddings WHERE vec_id < 5
+    """,
+    "mmr_rerank_topk": """
+        WITH RECURSIVE q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS rel
+          FROM embeddings e CROSS JOIN q
+        ), pool AS (
+          SELECT query_id, id, v, rel FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, id ASC) AS rn
+            FROM scored
+          ) WHERE rn <= 20
+        ), sel AS (
+          -- step 1: the empty-set penalty is 0, so the first pick is
+          -- plain argmax relevance (id ASC on ties)
+          SELECT query_id, id, rel, 0.6 * rel AS mmr_score,
+                 1 AS rank, [id] AS sel_ids
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, id ASC) AS rn
+            FROM pool
+          ) WHERE rn = 1
+          UNION ALL
+          -- step n+1: lateral argmax of 0.6*rel - 0.4*max cosine to
+          -- the already-selected set (the greedy MMR objective)
+          SELECT s.query_id, w.id, w.rel, w.mmr AS mmr_score,
+                 s.rank + 1, list_append(s.sel_ids, w.id)
+          FROM sel s, LATERAL (
+            SELECT p.id, p.rel,
+                   0.6 * p.rel - 0.4 * (
+                     SELECT max(list_cosine_similarity(p.v, p2.v))
+                     FROM pool p2
+                     WHERE p2.query_id = s.query_id
+                       AND list_contains(s.sel_ids, p2.id)
+                   ) AS mmr
+            FROM pool p
+            WHERE p.query_id = s.query_id
+              AND NOT list_contains(s.sel_ids, p.id)
+            ORDER BY mmr DESC, p.id ASC
+            LIMIT 1
+          ) w
+          WHERE s.rank < 5
+        )
+        SELECT query_id, id, rel AS relevance, mmr_score, rank
+        FROM sel
     """,
     "ivfpq_clustered_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed

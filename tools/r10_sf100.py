@@ -43,6 +43,10 @@ def _median(xs: list[float]) -> float:
     return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
 
+class _Skip(Exception):
+    """Section excluded by --only."""
+
+
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -52,8 +56,15 @@ def main() -> int:
     ap.add_argument("sf_dir")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--knn-queries", type=int, default=10_000)
+    ap.add_argument(
+        "--only",
+        default="knn,semdedup,ivfpq",
+        help="comma list of sections to run (knn, semdedup, ivfpq) — "
+        "re-measuring one weather-hit row must not pay the others",
+    )
     args = ap.parse_args()
     sf_dir = args.sf_dir.rstrip("/")
+    only = {s.strip() for s in args.only.split(",") if s.strip()}
 
     from pyspark.sql import functions as F
 
@@ -72,6 +83,8 @@ def main() -> int:
 
     # ---- batch kNN: 10k queries x 2M vectors, auto dispatch ----------
     try:
+        if "knn" not in only:
+            raise _Skip()
         from mlx_vector_db_spark.operators.knn import knn_join_blocked
 
         m = args.knn_queries
@@ -101,12 +114,16 @@ def main() -> int:
         timings["knn_batch_10k_x_2m"] = round(_median(reps), 2)
         timings["knn_batch_qps"] = round(m / _median(reps), 1)
         spreads["knn_batch_10k_x_2m"] = round(max(reps) - min(reps), 2)
+    except _Skip:
+        pass
     except Exception as exc:  # noqa: BLE001 — per-entry isolation
         errors["knn_batch"] = repr(exc)[:300]
     release_intermediates(spark)
 
     # ---- semdedup: fit once (timed), dedup reps with model reuse -----
     try:
+        if "semdedup" not in only:
+            raise _Skip()
         from mlx_vector_db_spark.operators.ann import auto_nlist
         from mlx_vector_db_spark.operators.clustering import kmeans_fit
         from mlx_vector_db_spark.operators.semdedup import semdedup
@@ -134,12 +151,16 @@ def main() -> int:
             release_intermediates(spark)
         timings["semdedup_dedup"] = round(_median(reps), 2)
         spreads["semdedup_dedup"] = round(max(reps) - min(reps), 2)
+    except _Skip:
+        pass
     except Exception as exc:  # noqa: BLE001
         errors["semdedup"] = repr(exc)[:300]
     release_intermediates(spark)
 
     # ---- IVF-PQ with auto-nlist (build once, search reps) ------------
     try:
+        if "ivfpq" not in only:
+            raise _Skip()
         from mlx_vector_db_spark.operators.ann import build_ivf
         from mlx_vector_db_spark.operators.pq import ivfpq_search_batch, train_pq
 
@@ -182,6 +203,8 @@ def main() -> int:
             release_intermediates(spark)
         timings["ivfpq_auto_search"] = round(_median(reps), 2)
         spreads["ivfpq_auto_search"] = round(max(reps) - min(reps), 2)
+    except _Skip:
+        pass
     except Exception as exc:  # noqa: BLE001
         errors["ivfpq_auto"] = repr(exc)[:300]
 
