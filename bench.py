@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "knn_cosine_filtered",
     "ivf_knn",
     "pq_knn",
+    "bq_knn",
+    "mmr_rerank_topk",
     "pricing_summary",
     "top_orders",
     "region_revenue",

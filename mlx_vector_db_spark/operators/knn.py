@@ -282,8 +282,12 @@ def knn_join(
     it is the small side by design) -> JVM score expression ->
     WindowGroupLimit top-k per query. The only shuffle is the final
     per-query window, whose input was already cut down by the group
-    limit. Set ``broadcast_queries=False`` only if the query set is too
-    big to broadcast — then prefer :func:`knn_join_blocked`.
+    limit (plus a round-robin exchange of the narrow vectors projection
+    when the scan is under-partitioned — the M x N score work is the
+    r9 split-collapse exposure times the batch size, measured 3x on a
+    one-split 20k-row table at M=100; a real wide scan passes through
+    untouched). Set ``broadcast_queries=False`` only if the query set
+    is too big to broadcast — then prefer :func:`knn_join_blocked`.
     """
     _validate(vectors, k, vec_col=vec_col, id_col=id_col)
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
@@ -302,7 +306,17 @@ def knn_join(
     )
     if broadcast_queries:
         qdf = F.broadcast(qdf)
-    joined = filtered.crossJoin(qdf)
+    # the output projects these columns only, so the rebalanced frame
+    # stays narrow; the exchange sits ABOVE the filtered scan, so the
+    # NULL/metadata predicates still push to the parquet reader
+    src = rebalance_for_compute(
+        filtered.select(
+            id_col,
+            vec_col,
+            *([norm_col] if (norm_col and metric == "cosine") else []),
+        )
+    )
+    joined = src.crossJoin(qdf)
     v_norm = F.col(norm_col) if (norm_col and metric == "cosine") else None
     q_norm = F.col("_qnorm") if metric == "cosine" else None
     raw = score_for_metric(metric, vec_col, F.col("_qvec"), a_norm=v_norm, b_norm=q_norm)

@@ -1045,6 +1045,7 @@ def prewarm(spark, sf_dir) -> None:
     _ivf_artifact(spark, sf_dir)
     _pq_artifact(spark, sf_dir)
     _ivfpq_artifact(spark, sf_dir)
+    _bq_artifact(spark, sf_dir)
 
 
 def q_ivf_knn(spark, sf_dir):
