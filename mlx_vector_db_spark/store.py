@@ -130,6 +130,11 @@ class StoreConfig:
     #: incrementally on add, and enables the 16-64x-compressed ADC
     #: first pass in query()
     pq: dict | None = None
+    #: persisted binary-quantization thresholds (operators.bq) — set by
+    #: build_bq(); adds a D/8-byte sign-code ``bq_code`` column,
+    #: maintained incrementally on add, and enables the 32x-compressed
+    #: XOR+popcount first pass in query() (tried after PQ, before int8)
+    bq: dict | None = None
 
     def __post_init__(self) -> None:
         if not (1 <= self.dimension <= MAX_DIMENSION):
@@ -435,6 +440,7 @@ class VectorStore:
         self.config = config
         self._ivf_cache = None
         self._pq_cache = None
+        self._bq_cache = None
         #: largest id known to exist (None = unknown, recompute lazily).
         #: Micro-batch ingest on one store handle then pays the max-id
         #: scan ONCE, not per batch. Deletes may leave this larger than
@@ -481,6 +487,8 @@ class VectorStore:
             )
         if self.config.pq:
             fields.append(T.StructField("pq_code", T.BinaryType(), True))
+        if self.config.bq:
+            fields.append(T.StructField("bq_code", T.BinaryType(), True))
         if self.config.index:
             fields.append(T.StructField("centroid_id", T.IntegerType(), True))
         return T.StructType(fields)
@@ -504,6 +512,16 @@ class VectorStore:
         if self._pq_cache is None:
             self._pq_cache = PQCodebooks.from_dict(self.config.pq)
         return self._pq_cache
+
+    def _bq(self):
+        """The deserialized BQ threshold model, or None."""
+        if not self.config.bq:
+            return None
+        from mlx_vector_db_spark.operators.bq import BQModel
+
+        if self._bq_cache is None:
+            self._bq_cache = BQModel.from_dict(self.config.bq)
+        return self._bq_cache
 
     def _empty(self) -> DataFrame:
         return self.catalog.spark.createDataFrame([], self.schema)
@@ -923,7 +941,7 @@ class VectorStore:
             in_fields = [
                 f
                 for f in self.schema.fields
-                if f.name not in ("norm", "centroid_id", "q8", "pq_code")
+                if f.name not in ("norm", "centroid_id", "q8", "pq_code", "bq_code")
             ]
             df = spark.createDataFrame(rows, T.StructType(in_fields))
             if ids is None:
@@ -981,6 +999,11 @@ class VectorStore:
             # mapInPandas projection over the new batch only (residual
             # codes need the centroid_id assigned just above)
             out = pqc.encode(out, centroids=self._pq_centroids())
+        bqm = self._bq()
+        if bqm is not None and "bq_code" not in out.columns:
+            # incremental BQ maintenance: sign-bit packing is a
+            # stateless mapInArrow projection over the new batch only
+            out = bqm.encode(out, code_col="bq_code")
         if isinstance(vectors, DataFrame):
             self._max_id_seen = None  # ids resolved executor-side
         return out.select(*[f.name for f in self.schema.fields]), n_known
@@ -1743,6 +1766,45 @@ class VectorStore:
         self._pq_cache = None
         self.catalog._save_config(self.config)
 
+    def build_bq(self, seed: int = 42) -> None:
+        """Train per-dimension binary-quantization thresholds (bounded
+        sample — operators.bq.train_bq) and materialize a D/8-byte
+        ``bq_code`` sign-code column: the deepest, cheapest rung of the
+        store's compression ladder (int8 4x, PQ 16-64x, BQ 32x with
+        zero training beyond one mean pass). Same build-once contract
+        as build_pq: persisted in the store config, incremental encode
+        on every later add, and a XOR+popcount first pass in query()
+        (tried after PQ — finer per byte — and before int8)."""
+        from mlx_vector_db_spark.operators.bq import train_bq
+
+        snapshot, df = self._snapshot_df()
+        if self.config.bq:
+            df = df.drop("bq_code")
+        if df.isEmpty():
+            raise ValueError("cannot train BQ on an empty store")
+        bqm = train_bq(df, seed=seed)
+        coded = bqm.encode(df, code_col="bq_code")
+        # write first, mutate the live config only after the swap lands
+        # (the build_pq/build_index discipline)
+        names = [f.name for f in self.schema.fields]
+        if "bq_code" not in names:
+            names.append("bq_code")
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        out = coded.select(names)
+        writer = out.write.mode("overwrite")
+        if self._cell_partitioned():
+            writer = writer.partitionBy("centroid_id")
+        writer.parquet(str(staging))
+        self._swap_all_files(staging, snapshot)
+        self.config.bq = bqm.to_dict()
+        self._bq_cache = bqm
+        self.catalog._save_config(self.config)
+
+    def drop_bq(self) -> None:
+        self.config.bq = None
+        self._bq_cache = None
+        self.catalog._save_config(self.config)
+
     # -- query -------------------------------------------------------------
 
     def query(
@@ -1797,6 +1859,17 @@ class VectorStore:
             # and are meaningless to the plain ADC kernel
             try:
                 return self._query_pq_first_pass(
+                    df, query_vector, k, metric, filter_metadata, overfetch
+                )
+            except Exception:  # fall back to int8 / exact below
+                pass
+        if use_quantized and self.config.bq:
+            # sign-code Hamming first pass: 32x fewer vector bytes and
+            # zero FLOPs in the scan; tried after PQ (finer per byte),
+            # before int8. Hamming's 1-bit resolution needs a deeper
+            # over-fetch — floored at 16, the bq_recall_gate curve.
+            try:
+                return self._query_bq_first_pass(
                     df, query_vector, k, metric, filter_metadata, overfetch
                 )
             except Exception:  # fall back to int8 / exact below
@@ -1891,6 +1964,28 @@ class VectorStore:
             df, query_vector, k, metric, filter_metadata, cand
         )
 
+    def _query_bq_first_pass(
+        self, df, query_vector, k, metric, filter_metadata, overfetch
+    ) -> DataFrame:
+        """BQ Hamming first pass: the scan reads only ``id``/``bq_code``
+        — 32x fewer vector bytes than the float scan, and the scoring
+        is XOR+popcount (no floating point at all). The over-fetch is
+        floored at 16: one sign bit per dimension is the coarsest
+        quantizer in the ladder (measured curve in
+        queries.q_bq_recall_gate)."""
+        from mlx_vector_db_spark.operators.bq import bq_search_batch
+        from mlx_vector_db_spark.operators.knn import apply_metadata_filter
+
+        filtered = apply_metadata_filter(df, filter_metadata)
+        cand = bq_search_batch(
+            filtered, self._single_query_df(query_vector), self._bq(),
+            k=int(k), metric=metric, overfetch=max(int(overfetch), 16),
+            code_col="bq_code", exact_rerank=False,
+        ).select("id").distinct()
+        return self._two_pass_query(
+            df, query_vector, k, metric, filter_metadata, cand
+        )
+
     def _query_ivfpq(
         self, df, query_vector, k, metric, filter_metadata, nprobe, overfetch
     ) -> DataFrame:
@@ -1969,6 +2064,26 @@ class VectorStore:
                     )
                 cand_ids = cand.select("id").distinct()
                 df = df.join(cand_ids, on="id", how="left_semi").drop("pq_code")
+            except Exception:
+                df = self.to_df()
+        elif use_quantized and self.config.bq:
+            # sign-code Hamming candidates per query, exact re-rank of
+            # the union below — the batch twin of _query_bq_first_pass
+            # (over-fetch floored at 16 for 1-bit resolution)
+            try:
+                from mlx_vector_db_spark.operators.bq import bq_search_batch
+                from mlx_vector_db_spark.operators.knn import (
+                    apply_metadata_filter,
+                )
+
+                filtered = apply_metadata_filter(df, filter_metadata)
+                cand = bq_search_batch(
+                    filtered, queries, self._bq(), k=int(k),
+                    metric=metric, overfetch=max(int(overfetch), 16),
+                    code_col="bq_code", exact_rerank=False,
+                )
+                cand_ids = cand.select("id").distinct()
+                df = df.join(cand_ids, on="id", how="left_semi").drop("bq_code")
             except Exception:
                 df = self.to_df()
         elif use_quantized and self.config.quantize:
@@ -2354,6 +2469,7 @@ class VectorStore:
             "metric": self.config.metric,
             "index_type": (self.config.index or {}).get("type", "none"),
             "pq": bool(self.config.pq),
+            "bq": bool(self.config.bq),
             "cell_partitioned": self._cell_partitioned(),
             "files": len(self._data_files()),
         }
