@@ -34,7 +34,8 @@ Spark-first split of the work (the pq.py discipline, simplified):
   error costs recall only when a true neighbor falls outside the
   over-fetched candidate set. Hamming's 1-bit resolution is coarser
   than ADC's, so the honest default over-fetch is HIGHER than PQ's
-  (see bq_recall_gate: overfetch 8 on the uniform corpus).
+  (see bq_recall_gate: overfetch 16 on the uniform corpus; fine-
+  clustered data saturates at 2-4 — tune_overfetch_bq finds the knee).
 
 Reference parity: the reference has no BQ (its compression story is
 int8 at service/optimized_vector_store.py:121-135); this operator is a
@@ -54,7 +55,7 @@ from mlx_vector_db_spark.operators.knn import knn_join
 from mlx_vector_db_spark.operators.topk import top_k_per_group
 from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
-__all__ = ["BQModel", "train_bq", "bq_search_batch"]
+__all__ = ["BQModel", "train_bq", "bq_search_batch", "tune_overfetch_bq"]
 
 #: popcount of every byte value — one 256-entry gather scores a code
 #: byte; kept module-level so every worker builds it once per import.
@@ -301,3 +302,70 @@ def bq_search_batch(
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
     )
+
+
+def tune_overfetch_bq(
+    coded: DataFrame,
+    queries: DataFrame,
+    bq: BQModel,
+    k: int = 10,
+    target_recall: float = 0.9,
+    metric: str = "cosine",
+    candidates: "list[int] | None" = None,
+    code_col: str = "bq_code",
+    id_col: str = "id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> tuple[int, dict[int, float]]:
+    """Pick the smallest ``overfetch`` whose measured recall@k on a
+    sampled query set meets ``target_recall`` — the BQ twin of
+    pq.tune_overfetch / ann.tune_nprobe, completing the self-calibration
+    surface for the compression ladder. The ladder default starts at 2
+    and reaches 64: one sign bit per dimension is the coarsest quantizer
+    the engine has, so its knee sits higher than PQ's (measured curves:
+    uniform 64-dim needs 16, fine-clustered data saturates at 2-4).
+
+    Cost: one exact batch kNN over the sampled queries (checkpointed —
+    amortized across every ladder rung) plus one Hamming search per
+    tried rung, stopping at the first that clears the target; if none
+    does, the largest tried is returned with the full curve so the
+    caller sees the saturation.
+    """
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    ladder = (
+        sorted({max(1, int(c)) for c in candidates})
+        if candidates is not None
+        else [2, 4, 8, 16, 32, 64]
+    )
+    exact = (
+        knn_join(
+            coded.drop(code_col),
+            queries,
+            k=k,
+            metric=metric,
+            id_col=id_col,
+            query_vec_col=query_vec_col,
+            query_id_col=query_id_col,
+        )
+        .select(F.col(query_id_col).alias("query_id"), F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    n_truth = exact.count()
+    if n_truth == 0:
+        raise ValueError("empty query sample — nothing to tune on")
+    curve: dict[int, float] = {}
+    chosen = ladder[-1]
+    for c in ladder:
+        approx = bq_search_batch(
+            coded, queries, bq, k=k, metric=metric, overfetch=c,
+            code_col=code_col, id_col=id_col,
+            query_vec_col=query_vec_col, query_id_col=query_id_col,
+        ).select(F.col(query_id_col).alias("query_id"), F.col(id_col))
+        hits = approx.join(exact, on=["query_id", id_col]).count()
+        recall = hits / n_truth
+        curve[c] = recall
+        if recall >= target_recall:
+            chosen = c
+            break
+    return chosen, curve

@@ -1854,6 +1854,33 @@ def q_tune_overfetch_gate(spark, sf_dir):
     )
 
 
+def q_bq_tune_gate(spark, sf_dir):
+    """Self-calibration gate for the BQ over-fetch knob — the
+    tune_overfetch_gate discipline applied to the sign-code tier: on
+    the seeded clustered mixture, tune_overfetch_bq must return a
+    ladder rung whose measured recall@10 meets the 0.9 target AND be
+    minimal over the tried rungs (every smaller rung measurably
+    failed). Deterministic (seeded fixture, mean thresholds, exact
+    Hamming), so the 1-row pass is a stable oracle value."""
+    from mlx_vector_db_spark.operators.bq import train_bq, tune_overfetch_bq
+
+    clustered = _clustered_fixture(spark, sf_dir)
+    bq = train_bq(clustered, seed=42)
+    coded = bq.encode(clustered).localCheckpoint(eager=False)
+    queries = coded.where(F.col("id") < 16).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    chosen, curve = tune_overfetch_bq(
+        coded, queries, bq, k=KNN_K, target_recall=0.9
+    )
+    passed = curve[chosen] >= 0.9 and all(
+        v < 0.9 for c, v in curve.items() if c < chosen
+    )
+    return spark.createDataFrame([(bool(passed),)], "passed boolean").where(
+        "passed"
+    )
+
+
 def q_embedding_neardup_bucketed(spark, sf_dir):
     """The 100 TB near-dup path under the same value oracle as the exact
     variant: B independent LSH bucketings (different seeds), candidates =
@@ -3476,6 +3503,7 @@ QUERIES: dict[str, QueryFn] = {
     "mrl_recall_gate": q_mrl_recall_gate,
     "bq_knn": q_bq_knn,
     "mmr_rerank_topk": q_mmr_rerank_topk,
+    "bq_tune_gate": q_bq_tune_gate,
     "lsh_recall_gate": q_lsh_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_dedup_clustered": q_minhash_dedup_clustered,
@@ -3626,6 +3654,7 @@ _R10_WINDOW = [
     "bq_clustered_recall_gate",
     "mrl_recall_gate",
     "mmr_rerank_topk",
+    "bq_tune_gate",
     "pq_clustered_recall_gate",
     "ivfpq_clustered_recall_gate",
     "knn_qblocked_parity",
@@ -3673,7 +3702,6 @@ _R10_WINDOW = [
     "orders_rollup",
     "orders_cube",
     "orders_late_exists",
-    "priority_intersect",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -5356,6 +5384,9 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     "mrl_recall_gate": """
         SELECT vec_id AS query_id, TRUE AS passed
         FROM embeddings WHERE vec_id < 5
+    """,
+    "bq_tune_gate": """
+        SELECT TRUE AS passed
     """,
     "mmr_rerank_topk": """
         WITH RECURSIVE q AS (

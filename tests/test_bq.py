@@ -148,3 +148,29 @@ def test_train_empty_raises(spark):
 def test_metric_validation(coded, queries, bq):
     with pytest.raises(ValueError, match="unknown metric"):
         bq_search_batch(coded, queries, bq, metric="manhattan")
+
+
+def test_tune_overfetch_bq(coded, queries, bq):
+    """The tuner returns the smallest tried rung clearing the target,
+    with the measured curve; on this hard wide-cluster fixture the
+    knee sits at 32 (the recall test's measured curve)."""
+    from mlx_vector_db_spark.operators.bq import tune_overfetch_bq
+
+    chosen, curve = tune_overfetch_bq(
+        coded, queries, bq, k=K, target_recall=0.9
+    )
+    assert curve[chosen] >= 0.9
+    assert all(v < 0.9 for c, v in curve.items() if c < chosen)
+    # the curve is monotone-ish towards the knee: the chosen rung beats
+    # the smallest tried rung
+    assert curve[chosen] >= curve[min(curve)]
+
+
+def test_tune_overfetch_bq_validation(coded, queries, bq):
+    from mlx_vector_db_spark.operators.bq import tune_overfetch_bq
+
+    with pytest.raises(ValueError, match="target_recall"):
+        tune_overfetch_bq(coded, queries, bq, target_recall=0.0)
+    empty_q = queries.where("query_id < 0")
+    with pytest.raises(ValueError, match="empty query"):
+        tune_overfetch_bq(coded, empty_q, bq)
