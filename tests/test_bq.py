@@ -174,3 +174,40 @@ def test_tune_overfetch_bq_validation(coded, queries, bq):
     empty_q = queries.where("query_id < 0")
     with pytest.raises(ValueError, match="empty query"):
         tune_overfetch_bq(coded, empty_q, bq)
+
+
+def test_bq_composes_with_ivf_cells(spark, vectors, vec_np):
+    """IVF-BQ by composition: cell-prune to the query's probe set, then
+    the Hamming scan + exact re-rank run on the pruned frame — the
+    operator takes any DataFrame, so the ladder composes with cell
+    pruning with no dedicated kernel (the IVF-PQ story at zero
+    training). Recall vs the exact scan holds on the pruned cells'
+    candidate pool with the probe set covering every cell."""
+    from mlx_vector_db_spark.operators.ann import build_ivf
+
+    indexed, ivf = build_ivf(vectors, nlist=4, seed=3, max_iter=6)
+    bq = train_bq(indexed, seed=3)
+    coded = bq.encode(indexed).cache()
+    queries = coded.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    # full probe set == no pruning: composition must equal plain BQ
+    probes_all = list(range(4))
+    pruned = coded.where(F.col("centroid_id").isin(probes_all))
+    via_cells = bq_search_batch(
+        pruned.drop("centroid_id"), queries, bq, k=K, overfetch=32
+    )
+    plain = bq_search_batch(
+        coded.drop("centroid_id"), queries, bq, k=K, overfetch=32
+    )
+    a = [(r["query_id"], r["id"]) for r in via_cells.orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["id"]) for r in plain.orderBy("query_id", "rank").collect()]
+    assert a == b
+    # real pruning: each query's own cell retains its self-match at rank 1
+    q0 = vec_np[0].astype(np.float64)
+    probe = ivf.probes_for(q0, 1)
+    one_cell = coded.where(F.col("centroid_id").isin(probe)).drop("centroid_id")
+    hit = bq_search_batch(
+        one_cell, queries.where(F.col("query_id") == 0), bq, k=1, overfetch=8
+    ).first()
+    assert hit["id"] == 0 and hit["rank"] == 1
