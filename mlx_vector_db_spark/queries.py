@@ -1854,6 +1854,28 @@ def q_tune_overfetch_gate(spark, sf_dir):
     )
 
 
+def q_rerank_topk(spark, sf_dir):
+    """Cross-encoder rerank stage under the FULL value-hash oracle:
+    every (query, candidate) pair scored by the deterministic
+    token-overlap scorer (the pluggable cross-encoder's reproducible
+    stand-in — ASCII-whitespace tokens, integer-ratio scores, so the
+    float64 values are bit-identical cross-engine), top-5 per query
+    with id-ASC ties. The embed_docs_384 discipline applied to the
+    rerank stage: the model is a stub, the distributed plumbing
+    (pair fan-out, Arrow batching, per-query cut) is the thing under
+    oracle."""
+    from mlx_vector_db_spark.operators.rerank import cross_encoder_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    pool = docs.where(F.col("doc_id") < 120).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return cross_encoder_rerank(queries.crossJoin(pool), k=5)
+
+
 def q_bq_tune_gate(spark, sf_dir):
     """Self-calibration gate for the BQ over-fetch knob — the
     tune_overfetch_gate discipline applied to the sign-code tier: on
@@ -3504,6 +3526,7 @@ QUERIES: dict[str, QueryFn] = {
     "bq_knn": q_bq_knn,
     "mmr_rerank_topk": q_mmr_rerank_topk,
     "bq_tune_gate": q_bq_tune_gate,
+    "rerank_topk": q_rerank_topk,
     "lsh_recall_gate": q_lsh_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
     "minhash_dedup_clustered": q_minhash_dedup_clustered,
@@ -3655,6 +3678,7 @@ _R10_WINDOW = [
     "mrl_recall_gate",
     "mmr_rerank_topk",
     "bq_tune_gate",
+    "rerank_topk",
     "pq_clustered_recall_gate",
     "ivfpq_clustered_recall_gate",
     "knn_qblocked_parity",
@@ -3701,7 +3725,6 @@ _R10_WINDOW = [
     "small_qty_revenue",
     "orders_rollup",
     "orders_cube",
-    "orders_late_exists",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -5387,6 +5410,32 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     """,
     "bq_tune_gate": """
         SELECT TRUE AS passed
+    """,
+    "rerank_topk": """
+        WITH q AS (
+          SELECT doc_id AS query_id,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+                   t -> t <> '')) AS qt
+          FROM documents WHERE doc_id < 3
+        ), d AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+                   t -> t <> '')) AS dt
+          FROM documents WHERE doc_id < 120
+        ), scored AS (
+          SELECT q.query_id, d.id,
+                 CASE WHEN len(list_distinct(qt || dt)) = 0 THEN 0.0
+                      ELSE len(list_intersect(qt, dt))::DOUBLE
+                           / len(list_distinct(qt || dt)) END AS rerank_score
+          FROM q CROSS JOIN d
+        )
+        SELECT query_id, id, rerank_score, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rerank_score DESC, id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
     """,
     "mmr_rerank_topk": """
         WITH RECURSIVE q AS (
