@@ -3666,13 +3666,15 @@ QUERIES: dict[str, QueryFn] = {
 # rotation.
 _R10_WINDOW = [
     # (a) changed/NEW-operator entries: pq.py (r9 ADC rebalance) +
-    # knn.py (r10) + the two operators born this round (binary
-    # quantization, Matryoshka funnel — rule (a) outranks (c)
-    # staleness, so three of the r8-green decision shapes
+    # knn.py (r10: NULL rule, bounded probe, per-entry margins, and the
+    # late-session expression-path rebalance guard) + the operators born
+    # this round (binary quantization + its tuner, Matryoshka funnel,
+    # MMR, cross-encoder rerank — all under full or gate oracles). Rule
+    # (a) outranks (c) staleness, so six r8-green decision shapes
     # (brand_price_median, customer_balance_tiles,
-    # lineitem_quantity_quantiles, parts_above_avg) yield their slots and stay
-    # sweep-covered; they head the r11 rotation with the events_*
-    # family)
+    # lineitem_quantity_quantiles, parts_above_avg, priority_intersect,
+    # orders_late_exists) yield their slots and stay sweep-covered;
+    # they head the r11 rotation with the events_* family)
     "bq_recall_gate",
     "bq_clustered_recall_gate",
     "mrl_recall_gate",
