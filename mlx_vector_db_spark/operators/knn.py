@@ -259,6 +259,42 @@ def knn_query(
     return bounded_global_rank(ordered, _order(metric, F.col("score"), id_col))
 
 
+#: expression -> blocked delegation threshold for knn_join: past this
+#: many queries the M x N score-expression work loses to one Arrow BLAS
+#: sweep (measured at 100 queries x 200k rows: 15.9s expression vs 2.3s
+#: vector-blocked — the expression path's per-row codegen aggregate is
+#: ~7x slower than a GEMM at medium batch sizes). Below it the
+#: expression plan keeps its pushdown-composed, collect-free shape.
+EXPR_MAX_QUERIES = 64
+
+#: (applicationId, analyzed-plan semanticHash) -> bounded query count.
+#: Same bounded-cache + staleness contract as _SIZE_CACHE: a stale hit
+#: can only pick a suboptimal physical path, never change results.
+_QCOUNT_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _bounded_query_count(queries: DataFrame, bound: int) -> int:
+    """``queries.limit(bound + 1).count()`` memoized on the analyzed
+    plan — the delegation gate needs only "more than bound?", so the
+    scan early-exits and a huge query table never pays a full count."""
+    try:
+        key = (
+            queries.sparkSession.sparkContext.applicationId,
+            queries._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        hit = _QCOUNT_CACHE.get(key)
+        if hit is not None:
+            return hit
+    except Exception:  # pragma: no cover — connect / internal-API drift
+        key = None
+    n = queries.limit(bound + 1).count()
+    if key is not None:
+        if len(_QCOUNT_CACHE) >= _SIZE_CACHE_MAX:
+            _QCOUNT_CACHE.clear()
+        _QCOUNT_CACHE[key] = n
+    return n
+
+
 def knn_join(
     vectors: DataFrame,
     queries: DataFrame,
@@ -271,6 +307,7 @@ def knn_join(
     query_id_col: str = "query_id",
     norm_col: str | None = None,
     broadcast_queries: bool = True,
+    allow_blocked: bool = True,
 ) -> DataFrame:
     """Batch exact k-NN: every query row against every vector row
     (reference J2 batch similarity join + A1 per-query top-k).
@@ -291,6 +328,28 @@ def knn_join(
     """
     _validate(vectors, k, vec_col=vec_col, id_col=id_col)
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
+    if allow_blocked and broadcast_queries:
+        # medium/large batches delegate to the Arrow BLAS path (one
+        # bounded early-exit probe, memoized; results identical — the
+        # blocked strategies are parity-gated against this path).
+        # broadcast_queries=False is an explicit "queries don't fit the
+        # driver" signal, and the blocked path collects them, so it
+        # keeps the expression plan.
+        m = _bounded_query_count(
+            _drop_null_vectors(queries, query_vec_col), EXPR_MAX_QUERIES
+        )
+        if m > EXPR_MAX_QUERIES:
+            return knn_join_blocked(
+                vectors,
+                queries,
+                k=k,
+                metric=metric,
+                filter_metadata=filter_metadata,
+                vec_col=vec_col,
+                id_col=id_col,
+                query_vec_col=query_vec_col,
+                query_id_col=query_id_col,
+            )
     filtered = _drop_null_vectors(
         apply_metadata_filter(vectors, filter_metadata), vec_col
     )

@@ -639,3 +639,33 @@ def test_store_rejects_non_finite_vectors(spark, tmp_path):
         st.add_vectors(df_null)
     st.add_vectors([[1.0, 2.0, 3.0]], [{}])  # clean rows still land
     assert st.count() == 1
+
+
+def test_expr_delegates_medium_batches_to_blocked(spark, vectors):
+    """knn_join is the expression path below EXPR_MAX_QUERIES and the
+    Arrow BLAS path above it (measured 7x at 100 x 200k); results are
+    identical either way (the blocked strategies are parity-gated)."""
+    from mlx_vector_db_spark.operators.knn import EXPR_MAX_QUERIES, knn_join
+
+    small_q = vectors.limit(8).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    big_q = vectors.limit(EXPR_MAX_QUERIES + 16).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    small_plan = knn_join(vectors, small_q, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in small_plan
+    big = knn_join(vectors, big_q, k=3)
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in big_plan
+    # identical results through the delegated path
+    expr = knn_join(vectors, big_q, k=3, allow_blocked=False)
+    a = [(r["query_id"], r["id"]) for r in big.orderBy("query_id", "rank").collect()]
+    e = [(r["query_id"], r["id"]) for r in expr.orderBy("query_id", "rank").collect()]
+    assert a == e
+    # broadcast_queries=False is an explicit opt-out (queries don't fit
+    # the driver) and must keep the expression plan
+    opt_out = knn_join(vectors, big_q, k=3, broadcast_queries=False)
+    assert "mapInPandas" not in opt_out._jdf.queryExecution(
+    ).executedPlan().toString().replace("MapInPandas", "mapInPandas")
