@@ -267,6 +267,14 @@ def knn_query(
 #: expression plan keeps its pushdown-composed, collect-free shape.
 EXPR_MAX_QUERIES = 64
 
+#: ...and the vectors side must be big enough to amortize the blocked
+#: path's fixed costs (query collect, Python worker spin-up, candidate
+#: exchange): at 100 queries x 20k rows the expression plan wins 1.7s
+#: vs 2.7s, by 200k rows the sweep wins 4x. The probe is the same
+#: bounded early-exit scan — a 100 TB table answers "big" after 32k
+#: rows.
+EXPR_MIN_VECTOR_ROWS_FOR_BLOCKED = 32_768
+
 #: (applicationId, analyzed-plan semanticHash) -> bounded query count.
 #: Same bounded-cache + staleness contract as _SIZE_CACHE: a stale hit
 #: can only pick a suboptimal physical path, never change results.
@@ -338,7 +346,15 @@ def knn_join(
         m = _bounded_query_count(
             _drop_null_vectors(queries, query_vec_col), EXPR_MAX_QUERIES
         )
-        if m > EXPR_MAX_QUERIES:
+        if m > EXPR_MAX_QUERIES and (
+            _bounded_query_count(
+                _drop_null_vectors(
+                    apply_metadata_filter(vectors, filter_metadata), vec_col
+                ).select(vec_col),
+                EXPR_MIN_VECTOR_ROWS_FOR_BLOCKED,
+            )
+            > EXPR_MIN_VECTOR_ROWS_FOR_BLOCKED
+        ):
             return knn_join_blocked(
                 vectors,
                 queries,

@@ -642,30 +642,49 @@ def test_store_rejects_non_finite_vectors(spark, tmp_path):
 
 
 def test_expr_delegates_medium_batches_to_blocked(spark, vectors):
-    """knn_join is the expression path below EXPR_MAX_QUERIES and the
-    Arrow BLAS path above it (measured 7x at 100 x 200k); results are
-    identical either way (the blocked strategies are parity-gated)."""
-    from mlx_vector_db_spark.operators.knn import EXPR_MAX_QUERIES, knn_join
+    """knn_join is the expression path below EXPR_MAX_QUERIES (or on a
+    vectors table below the amortization floor) and the Arrow BLAS path
+    above both (measured 7x at 100 x 200k); results are identical
+    either way (the blocked strategies are parity-gated)."""
+    from mlx_vector_db_spark.operators.knn import (
+        EXPR_MAX_QUERIES,
+        EXPR_MIN_VECTOR_ROWS_FOR_BLOCKED,
+        knn_join,
+    )
 
-    small_q = vectors.limit(8).select(
+    # deterministic JVM-generated table above the vectors-side floor
+    big_vec = spark.range(EXPR_MIN_VECTOR_ROWS_FOR_BLOCKED + 8_000).select(
+        "id",
+        F.expr(
+            "transform(sequence(1, 8),"
+            " j -> cast(pmod(id * j, 97) / 97.0 as float))"
+        ).alias("embedding"),
+    )
+    small_q = big_vec.limit(8).select(F.col("id").alias("query_id"), "embedding")
+    big_q = big_vec.limit(EXPR_MAX_QUERIES + 16).select(
         F.col("id").alias("query_id"), "embedding"
     )
-    big_q = vectors.limit(EXPR_MAX_QUERIES + 16).select(
-        F.col("id").alias("query_id"), "embedding"
-    )
-    small_plan = knn_join(vectors, small_q, k=3)._jdf.queryExecution(
+    small_plan = knn_join(big_vec, small_q, k=3)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in small_plan
-    big = knn_join(vectors, big_q, k=3)
+    big = knn_join(big_vec, big_q, k=3)
     big_plan = big._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in big_plan
     # identical results through the delegated path
-    expr = knn_join(vectors, big_q, k=3, allow_blocked=False)
+    expr = knn_join(big_vec, big_q, k=3, allow_blocked=False)
     a = [(r["query_id"], r["id"]) for r in big.orderBy("query_id", "rank").collect()]
     e = [(r["query_id"], r["id"]) for r in expr.orderBy("query_id", "rank").collect()]
     assert a == e
+    # a SMALL vectors table keeps the expression plan even past the
+    # query threshold (the blocked fixed costs don't amortize)
+    small_vec_q = vectors.limit(EXPR_MAX_QUERIES + 16).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    small_vec_plan = knn_join(vectors, small_vec_q, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in small_vec_plan
     # broadcast_queries=False is an explicit opt-out (queries don't fit
     # the driver) and must keep the expression plan
-    opt_out = knn_join(vectors, big_q, k=3, broadcast_queries=False)
+    opt_out = knn_join(big_vec, big_q, k=3, broadcast_queries=False)
     assert "mapInPandas" not in opt_out._jdf.queryExecution(
     ).executedPlan().toString().replace("MapInPandas", "mapInPandas")
