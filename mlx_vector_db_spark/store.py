@@ -2031,10 +2031,16 @@ class VectorStore:
         """
         metric = metric or self.config.metric
         df = self.to_df()
+        # quantized tiers are tried SEQUENTIALLY, best-compression
+        # first, and a tier's failure falls through to the next — the
+        # same try-each-tier fallback chain query() keeps (ADVICE r10:
+        # the old if/elif skipped BQ entirely when a built PQ artifact
+        # failed, silently running the full exact scan)
+        pruned = False
         if use_quantized and self.config.pq:
-            # any PQ-artifact trouble falls back to the uncompressed
-            # paths below — same silent-exact-fallback contract query()
-            # keeps (reference :142-145)
+            # any PQ-artifact trouble falls back to the tiers below —
+            # same silent-exact-fallback contract query() keeps
+            # (reference :142-145)
             try:
                 from mlx_vector_db_spark.operators.knn import (
                     apply_metadata_filter,
@@ -2064,9 +2070,10 @@ class VectorStore:
                     )
                 cand_ids = cand.select("id").distinct()
                 df = df.join(cand_ids, on="id", how="left_semi").drop("pq_code")
+                pruned = True
             except Exception:
                 df = self.to_df()
-        elif use_quantized and self.config.bq:
+        if use_quantized and not pruned and self.config.bq:
             # sign-code Hamming candidates per query, exact re-rank of
             # the union below — the batch twin of _query_bq_first_pass
             # (over-fetch floored at 16 for 1-bit resolution)
@@ -2084,9 +2091,10 @@ class VectorStore:
                 )
                 cand_ids = cand.select("id").distinct()
                 df = df.join(cand_ids, on="id", how="left_semi").drop("bq_code")
+                pruned = True
             except Exception:
                 df = self.to_df()
-        elif use_quantized and self.config.quantize:
+        if use_quantized and not pruned and self.config.quantize:
             from mlx_vector_db_spark.functions.vector import dequantize_int8
 
             first = knn_join(

@@ -211,3 +211,127 @@ def test_bq_composes_with_ivf_cells(spark, vectors, vec_np):
         one_cell, queries.where(F.col("query_id") == 0), bq, k=1, overfetch=8
     ).first()
     assert hit["id"] == 0 and hit["rank"] == 1
+
+
+# ---------------------------------------------------------------------------
+# r11: NULL-query parity, SWAR popcount exactness, sliced-kernel parity
+# ---------------------------------------------------------------------------
+
+
+def test_popcount64_matches_lut():
+    """The SWAR sideways-addition popcount is bit-exact against the
+    256-entry LUT on random words (including all-ones / zero edges)."""
+    from mlx_vector_db_spark.operators.bq import _POPCNT, _popcount64
+
+    rng = np.random.default_rng(11)
+    words = rng.integers(0, 2**64, size=4096, dtype=np.uint64)
+    words[:2] = [0, 0xFFFFFFFFFFFFFFFF]
+    want = _POPCNT[words.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+    got = _popcount64(words)
+    assert np.array_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_hamming_pass_exact_vs_numpy(spark):
+    """Hamming is integer math — the sliced/per-task-reduced kernel must
+    be EXACTLY the brute-force distance, on a dim that does NOT divide
+    by 8 (exercises the zero-pad word packing) and with take >= n (the
+    keep-all branch)."""
+    dim, n = 20, 300
+    rng = np.random.default_rng(5)
+    X = rng.random((n, dim)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "id long, embedding array<double>",
+    )
+    model = train_bq(df, max_train_rows=n)
+    assert model.code_bytes == 3  # 20 bits -> 3 bytes: pad path live
+    coded_df = model.encode(df)
+    qs = df.where(F.col("id") < 4).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    out = bq_search_batch(
+        coded_df, qs, model, k=n, overfetch=1, exact_rerank=False
+    ).collect()
+    codes = np.unpackbits(model.pack(X), axis=1)[:, :dim]
+    for r in out:
+        want = int(np.sum(codes[r["query_id"]] != codes[r["id"]]))
+        assert r["hamming"] == want, (r["query_id"], r["id"])
+    assert len(out) == 4 * n  # every pair emitted under take >= n
+
+
+def test_hamming_small_take_matches_global_topk(spark, coded, queries, bq, vectors):
+    """With take << n the per-batch boundary-tie keep + per-task exact
+    cut must equal a single global (hamming, id ASC) sort — verified
+    against the driver-side numpy oracle."""
+    take = 2 * K  # k * overfetch
+    out = bq_search_batch(
+        coded, queries, bq, k=K, overfetch=2, exact_rerank=False
+    ).collect()
+    rows = vectors.orderBy("id").collect()
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.asarray([r["id"] for r in rows])
+    bits = np.unpackbits(bq.pack(X), axis=1)[:, :DIM]
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["hamming"], r["id"]))
+    for qid, pairs in got.items():
+        d = (bits != bits[list(ids).index(qid)]).sum(axis=1)
+        order = np.lexsort((ids, d))[:take]
+        want = sorted((int(d[i]), int(ids[i])) for i in order)
+        assert sorted(pairs) == want, qid
+
+
+def test_bq_null_query_parity(spark, coded, bq, vec_np):
+    """VERDICT r10 #1: a NULL query vector (or NULL element) is excluded
+    by bq_search_batch exactly as every kNN strategy excludes it — no
+    crash, no rows for the NULL query, other queries unaffected."""
+    rows = [
+        (0, vec_np[0].tolist()),
+        (1, None),
+        (2, vec_np[2].tolist()),
+        (3, [None if j == 5 else float(vec_np[3][j]) for j in range(DIM)]),
+    ]
+    nullq = spark.createDataFrame(rows, "query_id long, embedding array<float>")
+    out = bq_search_batch(coded, nullq, bq, k=K, overfetch=32)
+    qids = {r["query_id"] for r in out.collect()}
+    assert qids == {0, 2}
+    ref = knn_join(coded.drop("bq_code"), nullq, k=K)
+    assert {r["query_id"] for r in ref.collect()} == qids
+    # the no-rerank surface obeys the same rule
+    ham = bq_search_batch(coded, nullq, bq, k=K, exact_rerank=False)
+    assert {r["query_id"] for r in ham.collect()} == {0, 2}
+    # all-NULL query set -> the explicit empty-set error, not a crash
+    allnull = spark.createDataFrame(
+        [(0, None)], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty query"):
+        bq_search_batch(coded, allnull, bq, k=K)
+
+
+def test_tune_overfetch_bq_null_queries(coded, queries, bq, spark):
+    """tune_overfetch_bq inherits the NULL rule instead of the crash."""
+    from mlx_vector_db_spark.operators.bq import tune_overfetch_bq
+
+    nullq = queries.union(
+        spark.createDataFrame(
+            [(99, None)], "query_id long, embedding array<float>"
+        )
+    )
+    chosen, curve = tune_overfetch_bq(
+        coded, nullq, bq, k=K, target_recall=0.5, candidates=[32]
+    )
+    assert chosen == 32 and 0.0 <= curve[32] <= 1.0
+
+
+def test_train_bq_ignores_null_vectors(spark, vec_np):
+    """ADVICE r10: Arrow flatten() silently skips null lists — train_bq
+    must filter NULL vectors (whole or element) before the reshape."""
+    rows = [(i, vec_np[i].tolist()) for i in range(200)]
+    rows += [(900, None), (901, [None] + [0.5] * (DIM - 1))]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    model = train_bq(df, max_train_rows=1000)
+    clean = train_bq(
+        spark.createDataFrame(rows[:200], "id long, embedding array<float>"),
+        max_train_rows=1000,
+    )
+    np.testing.assert_allclose(model.thresholds, clean.thresholds, rtol=1e-12)

