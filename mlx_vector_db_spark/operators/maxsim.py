@@ -1,0 +1,413 @@
+"""Late-interaction (MaxSim) multi-vector retrieval.
+
+ColBERT-style scoring over token-level embeddings: a document and a
+query are each a SET of vectors, and
+
+    score(q, d) = sum over query tokens t of  max over doc tokens u of
+                  sim(t, u)
+
+The reference engine is single-vector-per-row throughout
+(service/vector_store.py — one ``vector`` per id; its batch query,
+performance/mlx_optimized.py:59-88, is one (M, N) matmul), so this
+operator is a beyond-reference capability: the retrieval quality of
+token-level matching with the same engine contracts as the kNN family
+(deterministic (score, id ASC) total order, engine-wide NULL-vector
+rule, bounded worker memory, O(tasks * M * k) candidate exchange).
+
+Spark-first execution, two physical strategies behind ``strategy``:
+
+1. ``"expression"`` — token x token scores as pure column expressions:
+   broadcast-join the (small) query token set against the doc token
+   table, ``max`` per (query token, doc), ``sum`` per (query, doc),
+   window top-k. Zero Python in the data path; the doc-token scan keeps
+   pushdown/pruning. Token-level fan-out is O(doc_tokens *
+   query_tokens) rows into the first partial aggregate — fine for
+   small query batches, the map-side combine collapses it before the
+   only shuffle.
+
+2. ``"blocked"`` — the scale path. Doc tokens are packed per doc (ONE
+   shuffle, bounded rows per doc), the query token matrix is collected
+   via Arrow and broadcast, and each Arrow batch of packed docs runs
+   one BLAS sweep: flatten the batch's tokens, GEMM against the query
+   token matrix in bounded slices, segment-max per doc
+   (``np.maximum.reduceat`` over the doc boundaries), segment-sum per
+   query (``np.add.reduceat`` over the query boundaries), then the
+   task-level exact top-k reduce from the kNN sweep — the shuffle into
+   the final window carries O(tasks * M * k) rows, independent of
+   corpus size. At 100 TB the doc-token table is the big side; it is
+   swept map-only after the one packing shuffle (or zero shuffles if
+   the caller stores tokens pre-packed, which ``doc_tokens_packed=True``
+   accepts).
+
+``"auto"`` (default) picks ``"expression"`` for small query-token sets
+(bounded early-exit count, same memo discipline as knn_join's
+delegation probe) and ``"blocked"`` past it.
+
+Metrics: ``cosine`` and ``dot_product``. (Euclidean has no natural
+max-pooling semantics — "closest token" would be a MIN — and no
+published late-interaction system uses it; reject it explicitly.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.functions.vector import (
+    NORM_EPS,
+    score_for_metric,
+)
+from mlx_vector_db_spark.operators.knn import (
+    _bounded_query_count,
+    _drop_null_vectors,
+    _register_broadcast,
+    _validate,
+)
+from mlx_vector_db_spark.operators.topk import top_k_per_group
+from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+__all__ = ["maxsim_join", "pack_doc_tokens"]
+
+#: expression -> blocked delegation threshold on the TOTAL query token
+#: count (not query count: the expression fan-out and the broadcast
+#: size are both token-proportional). 256 tokens ~= 32 queries x 8
+#: tokens; past that the per-token codegen aggregates lose to one GEMM
+#: for the same reason knn_join delegates past EXPR_MAX_QUERIES.
+EXPR_MAX_QUERY_TOKENS = 256
+
+#: Score-block element budget for the blocked sweep — the same ~64 MB
+#: fp64 discipline as knn's _SWEEP_SLICE_ELEMS: the (q_token_slice x
+#: batch_tokens) GEMM output and the (q_token_slice x batch_docs)
+#: segment-max block both stay under it.
+_MAXSIM_SLICE_ELEMS = 8_000_000
+
+
+def pack_doc_tokens(
+    doc_tokens: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pack token-level rows ``(doc_id, embedding)`` into one row per
+    doc ``(doc_id, token_vecs array<array>)`` — the storage layout the
+    blocked sweep wants (whole docs per Arrow batch by construction, no
+    cross-batch doc stitching). NULL tokens are dropped under the
+    engine NULL rule first; a doc whose every token is NULL packs to no
+    row at all (it can never be retrieved)."""
+    clean = _drop_null_vectors(doc_tokens, vec_col)
+    return clean.groupBy(doc_id_col).agg(
+        F.collect_list(F.col(vec_col)).alias("token_vecs")
+    )
+
+
+def maxsim_join(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    strategy: str = "auto",
+    doc_tokens_packed: bool = False,
+) -> DataFrame:
+    """Late-interaction top-k: for each query (a set of token vectors),
+    the ``k`` docs maximizing sum-of-max token similarity.
+
+    Parameters mirror ``knn_join``; both inputs are TOKEN-level rows
+    (many rows per id) unless ``doc_tokens_packed`` says the doc side
+    is already ``(doc_id, token_vecs)`` from :func:`pack_doc_tokens`.
+
+    Returns ``(query_id, doc_id, score, rank)`` — (score best-first,
+    doc_id ASC) order, exactly k rows per query (fewer only when the
+    corpus is smaller than k). Determinism is to fp64 rounding: a
+    multi-token score is a float SUM, and the expression path's
+    unordered aggregate does not fix the accumulation order, so two
+    docs whose true scores are equal can differ in the last ulp and
+    tie-break on that noise rather than on doc_id (the blocked path
+    sums in a fixed order and tie-breaks exactly). Real corpora have
+    score gaps many orders above 1 ulp, so ranks are stable in
+    practice — the same contract as every float-aggregating SQL
+    engine.
+
+    NULL rule (engine-wide, see knn._drop_null_vectors): a NULL token
+    vector — or one containing a NULL element — does not participate on
+    either side; a query ALL of whose tokens are NULL produces no
+    output rows, matching every kNN strategy's exclusion.
+    """
+    if metric not in ("cosine", "dot_product"):
+        raise ValueError(
+            f"maxsim supports cosine/dot_product, got {metric!r} "
+            "(euclidean has no max-pooling semantics)"
+        )
+    if strategy not in ("auto", "expression", "blocked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if doc_tokens_packed:
+        _validate(doc_tokens, k, doc_id_col=doc_id_col, token_vecs="token_vecs")
+        if strategy == "expression":
+            doc_tokens = doc_tokens.select(
+                doc_id_col, F.explode("token_vecs").alias(vec_col)
+            )
+    else:
+        _validate(doc_tokens, k, doc_id_col=doc_id_col, vec_col=vec_col)
+    _validate(
+        query_tokens, k, query_id_col=query_id_col, query_vec_col=query_vec_col
+    )
+    queries = _drop_null_vectors(query_tokens, query_vec_col)
+
+    if strategy == "auto":
+        # The blocked path emits long ids (mapInPandas fixed schema), the
+        # expression path preserves the caller's id types — so, exactly
+        # like knn_join's delegation gate (ADVICE r10), auto only
+        # delegates when BOTH id columns are already LongType; otherwise
+        # output dtypes would depend on the query-token count.
+        from pyspark.sql.types import LongType
+
+        ids_long = isinstance(
+            doc_tokens.schema[doc_id_col].dataType, LongType
+        ) and isinstance(query_tokens.schema[query_id_col].dataType, LongType)
+        n_qtok = (
+            _bounded_query_count(queries, EXPR_MAX_QUERY_TOKENS)
+            if ids_long
+            else 0
+        )
+        strategy = (
+            "expression" if n_qtok <= EXPR_MAX_QUERY_TOKENS else "blocked"
+        )
+        if strategy == "expression" and doc_tokens_packed:
+            doc_tokens = doc_tokens.select(
+                doc_id_col, F.explode("token_vecs").alias(vec_col)
+            )
+
+    if strategy == "expression":
+        return _maxsim_expression(
+            doc_tokens, queries, k, metric,
+            doc_id_col, vec_col, query_id_col, query_vec_col,
+        )
+    return _maxsim_blocked(
+        doc_tokens, queries, k, metric,
+        doc_id_col, vec_col, query_id_col, query_vec_col,
+        doc_tokens_packed,
+    )
+
+
+def _maxsim_expression(
+    doc_tokens: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    doc_id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Declarative plan: scan -> broadcast token join -> two partial
+    aggregates -> WindowGroupLimit. The doc-token scan's pushed filters
+    (IsNotNull(vec) from the NULL rule) and column pruning survive; the
+    per-(query token, doc) max and per-(query, doc) sum both run with
+    map-side combine, so the only full-width shuffle carries one row
+    per (query, doc) pair that shares a task — not the token fan-out."""
+    docs = _drop_null_vectors(doc_tokens, vec_col).select(
+        F.col(doc_id_col).alias("__msim_doc"),
+        F.col(vec_col).alias("__msim_dv"),
+    )
+    # A unique per-token key makes the per-token max well-defined even
+    # when one query repeats an identical token vector (both copies
+    # must contribute to the sum). The id is assigned in a projection
+    # ABOVE the query scan and below the join, so it is stable within
+    # the plan; its values are arbitrary — it is only a grouping key.
+    qt = queries.select(
+        F.col(query_id_col).alias("__msim_q"),
+        F.col(query_vec_col).alias("__msim_qv"),
+    ).withColumn("__msim_tok", F.monotonically_increasing_id())
+    sim = score_for_metric(metric, "__msim_dv", F.col("__msim_qv"))
+    per_token = (
+        docs.join(F.broadcast(qt))
+        .select(
+            "__msim_q", "__msim_tok", "__msim_doc", sim.alias("__msim_s")
+        )
+        .groupBy("__msim_q", "__msim_tok", "__msim_doc")
+        .agg(F.max("__msim_s").alias("__msim_mx"))
+    )
+    scores = (
+        per_token.groupBy("__msim_q", "__msim_doc")
+        .agg(F.sum("__msim_mx").alias("score"))
+        .select(
+            F.col("__msim_q").alias(query_id_col),
+            F.col("__msim_doc").alias(doc_id_col),
+            "score",
+        )
+    )
+    return top_k_per_group(
+        scores,
+        [query_id_col],
+        [F.col("score").desc(), F.col(doc_id_col).asc()],
+        int(k),
+    ).select(query_id_col, doc_id_col, "score", "rank")
+
+
+def _maxsim_blocked(
+    doc_tokens: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    doc_id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    doc_tokens_packed: bool,
+) -> DataFrame:
+    """BLAS sweep over packed docs. Per Arrow batch the work is one
+    GEMM per bounded query-token slice plus two segment reduces — all
+    temps under the slice budget, buffers reused across slices, and the
+    candidate exchange reduced to O(tasks * M * k) by the same
+    task-level exact top-k cut as knn_join_blocked (valid for the same
+    reason: (score DESC, doc_id ASC) is a total order)."""
+    # Arrow-path collect; sort by query id so each query's tokens are a
+    # contiguous segment for the add.reduceat.
+    qpdf = (
+        queries.select(query_id_col, query_vec_col)
+        .orderBy(query_id_col)
+        .toPandas()
+    )
+    if qpdf.empty:
+        raise ValueError("empty query token set")
+    q_owner_ids = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    Q = np.asarray(qpdf[query_vec_col].to_list(), dtype=np.float64)
+    del qpdf
+    if metric == "cosine":
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), NORM_EPS)
+    # query segment boundaries: q_starts[i]..q_starts[i+1] rows of Q
+    # belong to query q_ids[i]
+    change = np.flatnonzero(np.r_[True, q_owner_ids[1:] != q_owner_ids[:-1]])
+    q_ids = q_owner_ids[change]
+    q_starts = change
+    n_queries = len(q_ids)
+
+    sc = doc_tokens.sparkSession.sparkContext
+    bq = sc.broadcast({"Q": Q, "q_ids": q_ids, "q_starts": q_starts})
+    _register_broadcast(bq)
+    kk = int(k)
+    met = metric
+
+    if doc_tokens_packed:
+        packed = doc_tokens.select(
+            F.col(doc_id_col).alias("__msim_doc"), F.col("token_vecs")
+        )
+    else:
+        packed = pack_doc_tokens(doc_tokens, doc_id_col, vec_col).select(
+            F.col(doc_id_col).alias("__msim_doc"), "token_vecs"
+        )
+
+    def score_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qd = bq.value
+        Qm = qd["Q"]
+        qids = qd["q_ids"]
+        qstarts = qd["q_starts"]
+        m = Qm.shape[0]
+        nq = len(qids)
+        acc_q: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = pdf["token_vecs"].to_list()
+            doc_ids_all = pdf["__msim_doc"].to_numpy()
+            # Sub-chunk the doc axis so the (m_slice x tokens) GEMM
+            # block AND the (nq x docs) score matrix both respect the
+            # element budget regardless of batch size.
+            docs_per_chunk = max(64, _MAXSIM_SLICE_ELEMS // max(nq, 1))
+            for c0 in range(0, len(toks), docs_per_chunk):
+                chunk = toks[c0 : c0 + docs_per_chunk]
+                doc_ids = doc_ids_all[c0 : c0 + docs_per_chunk]
+                lens = np.fromiter(
+                    (len(t) for t in chunk), dtype=np.int64, count=len(chunk)
+                )
+                keep = lens > 0
+                if not keep.all():
+                    chunk = [t for t, ok in zip(chunk, keep) if ok]
+                    doc_ids = doc_ids[keep]
+                    lens = lens[keep]
+                if not len(chunk):
+                    continue
+                T = np.asarray(
+                    [tok for doc in chunk for tok in doc], dtype=np.float64
+                )
+                if met == "cosine":
+                    T /= np.maximum(
+                        np.linalg.norm(T, axis=1, keepdims=True), NORM_EPS
+                    )
+                Tt = T.T
+                nt = T.shape[0]
+                nd = len(chunk)
+                d_starts = np.r_[0, np.cumsum(lens)[:-1]]
+                scores = np.zeros((nq, nd), dtype=np.float64)
+                m_step = max(64, _MAXSIM_SLICE_ELEMS // max(nt, 1))
+                m_full = int(min(m_step, m))
+                s_buf = np.empty((m_full, nt), dtype=np.float64)
+                for s in range(0, m, m_step):
+                    Qs = Qm[s : s + m_step]
+                    S = s_buf[: Qs.shape[0]]
+                    np.matmul(Qs, Tt, out=S)  # (m_slice, batch_tokens)
+                    # per-doc max for every query token in the slice
+                    mx = np.maximum.reduceat(S, d_starts, axis=1)
+                    # per-query sum of those maxes: the query segments
+                    # intersected with this slice
+                    lo = np.searchsorted(qstarts, s, side="right") - 1
+                    hi = np.searchsorted(qstarts, s + Qs.shape[0], side="left")
+                    seg = np.clip(qstarts[lo:hi] - s, 0, None)
+                    part = np.add.reduceat(mx, seg, axis=0)
+                    scores[lo:hi] += part
+                take = min(kk, nd)
+                if take < nd:
+                    p = np.partition(scores, nd - take, axis=1)
+                    bound = p[:, nd - take]
+                    qrow, dcol = np.nonzero(scores >= bound[:, None])
+                else:
+                    qrow = np.repeat(np.arange(nq), nd)
+                    dcol = np.tile(np.arange(nd), nq)
+                acc_q.append(qrow)
+                acc_d.append(doc_ids[dcol])
+                acc_s.append(scores[qrow, dcol])
+        if not acc_q:
+            return
+        qrow = np.concatenate(acc_q)
+        dv = np.concatenate(acc_d)
+        sv = np.concatenate(acc_s)
+        # exact per-query top-k over the task pool on the (score DESC,
+        # doc_id ASC) total order — same argument as knn's score_blocks
+        order = np.lexsort((dv, -sv, qrow))
+        qs = qrow[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        group_len = np.diff(np.r_[starts, len(qs)])
+        seq = np.arange(len(qs)) - np.repeat(starts, group_len)
+        sel = order[seq < kk]
+        yield pd.DataFrame(
+            {
+                "query_id": bq.value["q_ids"][qrow[sel]],
+                "doc_id": dv[sel],
+                "score": sv[sel],
+            }
+        )
+
+    src = rebalance_for_compute(packed)
+    candidates = src.mapInPandas(
+        score_docs, schema="query_id long, doc_id long, score double"
+    )
+    out = top_k_per_group(
+        candidates,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        kk,
+    ).select(
+        F.col("query_id").alias(query_id_col),
+        F.col("doc_id").alias(doc_id_col),
+        "score",
+        "rank",
+    )
+    return out

@@ -129,6 +129,28 @@ _COSINE_SQL = (
     "    * greatest(sqrt(list_inner_product(q.qv, q.qv)), 1e-8))"
 )
 
+_MAXSIM_ORACLE = """
+WITH v AS (
+  SELECT (vec_id // 4)::BIGINT AS doc_id, embedding::DOUBLE[] AS ev
+  FROM embeddings
+), q AS (
+  SELECT (vec_id // 4)::BIGINT AS query_id, vec_id AS tok,
+         embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 16
+), mx AS (
+  SELECT q.query_id, q.tok, v.doc_id, max({cos}) AS m
+  FROM q CROSS JOIN v GROUP BY 1, 2, 3
+), sc AS (
+  SELECT query_id, doc_id, sum(m) AS s FROM mx GROUP BY 1, 2
+), rk AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+  FROM sc
+)
+SELECT query_id, doc_id, rnk::INTEGER AS rank, round(s, 6) AS score
+FROM rk WHERE rnk <= 5
+""".replace("{cos}", _COSINE_SQL)
+
 
 def q_knn_cosine(spark, sf_dir):
     """Batch cosine top-k (reference J2+A1+F1)."""
@@ -148,6 +170,46 @@ def q_knn_dot(spark, sf_dir):
 def q_knn_cosine_filtered(spark, sf_dir):
     """Pre-filter semantics: top-k of the label=3 subset (reference P1)."""
     return _knn(spark, sf_dir, "cosine", label=3)
+
+
+def _maxsim(spark, sf_dir, strategy):
+    """Late-interaction (MaxSim) top-k over token-level embeddings
+    (operators/maxsim.py — beyond-reference: the reference engine is
+    single-vector-per-row throughout). Both strategies are pinned to
+    the SAME full DuckDB oracle: docs = the embeddings table packed 4
+    consecutive vec_ids per doc, queries = the first 16 vec_ids as 4
+    queries x 4 tokens; score = sum over query tokens of max over doc
+    tokens of clamped cosine."""
+    from mlx_vector_db_spark.operators.maxsim import maxsim_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("doc_id"),
+        "embedding",
+    )
+    qtok = emb.where(F.col("vec_id") < 16).select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("query_id"),
+        "embedding",
+    )
+    out = maxsim_join(docs, qtok, k=5, metric="cosine", strategy=strategy)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_maxsim_topk(spark, sf_dir):
+    """MaxSim via the declarative expression plan (broadcast token
+    join -> two combiner aggs -> WindowGroupLimit)."""
+    return _maxsim(spark, sf_dir, "expression")
+
+
+def q_maxsim_blocked_parity(spark, sf_dir):
+    """The blocked BLAS sweep (packed docs, segment reduces, task-level
+    top-k cut) against the same ground truth."""
+    return _maxsim(spark, sf_dir, "blocked")
 
 
 def q_knn_chunked_parity(spark, sf_dir):
@@ -3581,6 +3643,8 @@ QUERIES: dict[str, QueryFn] = {
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
     "knn_chunked_parity": q_knn_chunked_parity,
     "knn_qblocked_parity": q_knn_qblocked_parity,
+    "maxsim_topk": q_maxsim_topk,
+    "maxsim_blocked_parity": q_maxsim_blocked_parity,
     "ivf_recall_gate": q_ivf_recall_gate,
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
@@ -4165,6 +4229,12 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     "knn_qblocked_parity": _KNN_ORACLE.format(
         nq=30, k=5, where="", score="list_distance(v.ev, q.qv)", dir="ASC"
     ),
+    # late-interaction (MaxSim): sum over query tokens of max over doc
+    # tokens of clamped cosine — BOTH physical strategies pinned to this
+    # one ground truth (the blocked entry re-derives it through the
+    # packed-doc BLAS sweep + task-level top-k reduce)
+    "maxsim_topk": _MAXSIM_ORACLE,
+    "maxsim_blocked_parity": _MAXSIM_ORACLE,
     # greedy skip-packing: recursive CTE walks rank order per lang and
     # accumulates ONLY kept lengths (overflowing rows are skipped, not a
     # break — reference integrations/mlx_lm_pipeline.py:741-752)

@@ -1,0 +1,297 @@
+"""Late-interaction (MaxSim) retrieval: hand oracle, strategy parity,
+NULL rule, determinism, packed input, auto-dispatch dtype gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlx_vector_db_spark.operators.maxsim import (
+    EXPR_MAX_QUERY_TOKENS,
+    maxsim_join,
+    pack_doc_tokens,
+)
+
+K = 3
+N_DOCS = 40
+TOKENS_PER_DOC = 5
+N_QUERIES = 6
+TOKENS_PER_QUERY = 4
+DIM = 16
+
+
+def _numpy_maxsim(doc_toks, query_toks, k, metric="cosine"):
+    """Brute-force oracle: doc_toks/query_toks are {id: [vec, ...]}."""
+
+    def norm(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / max(np.linalg.norm(v), 1e-8)
+
+    out = {}
+    for qid, qts in query_toks.items():
+        scores = []
+        for did, dts in doc_toks.items():
+            s = 0.0
+            for qt in qts:
+                if metric == "cosine":
+                    best = max(float(np.dot(norm(qt), norm(dt))) for dt in dts)
+                else:
+                    best = max(
+                        float(
+                            np.dot(
+                                np.asarray(qt, np.float64),
+                                np.asarray(dt, np.float64),
+                            )
+                        )
+                        for dt in dts
+                    )
+                s += best
+            scores.append((did, s))
+        scores.sort(key=lambda t: (-t[1], t[0]))
+        out[qid] = scores[:k]
+    return out
+
+
+@pytest.fixture(scope="module")
+def token_data():
+    rng = np.random.default_rng(711 * 31)
+    doc_toks = {
+        d: rng.normal(size=(TOKENS_PER_DOC, DIM)).astype(np.float32).tolist()
+        for d in range(N_DOCS)
+    }
+    query_toks = {
+        q: rng.normal(size=(TOKENS_PER_QUERY, DIM)).astype(np.float32).tolist()
+        for q in range(N_QUERIES)
+    }
+    return doc_toks, query_toks
+
+
+@pytest.fixture(scope="module")
+def token_dfs(spark, token_data):
+    doc_toks, query_toks = token_data
+    drows = [
+        (int(d), [float(x) for x in t])
+        for d, ts in doc_toks.items()
+        for t in ts
+    ]
+    qrows = [
+        (int(q), [float(x) for x in t])
+        for q, ts in query_toks.items()
+        for t in ts
+    ]
+    docs = spark.createDataFrame(drows, "doc_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    )
+    return docs, queries
+
+
+def _collect(df):
+    return {
+        qid: [(r["doc_id"], r["score"]) for r in rows]
+        for qid, rows in _group(df.orderBy("query_id", "rank").collect())
+    }
+
+
+def _group(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(r)
+    return out.items()
+
+
+@pytest.mark.parametrize("strategy", ["expression", "blocked"])
+@pytest.mark.parametrize("metric", ["cosine", "dot_product"])
+def test_matches_numpy_oracle(token_dfs, token_data, strategy, metric):
+    docs, queries = token_dfs
+    doc_toks, query_toks = token_data
+    expect = _numpy_maxsim(doc_toks, query_toks, K, metric)
+    got = _collect(
+        maxsim_join(docs, queries, k=K, metric=metric, strategy=strategy)
+    )
+    assert set(got) == set(expect)
+    for qid in expect:
+        assert [d for d, _ in got[qid]] == [d for d, _ in expect[qid]]
+        for (_, gs), (_, es) in zip(got[qid], expect[qid]):
+            assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_rank_column_and_row_count(token_dfs):
+    docs, queries = token_dfs
+    out = maxsim_join(docs, queries, k=K).collect()
+    assert len(out) == N_QUERIES * K
+    by_q = dict(_group(out))
+    for rows in by_q.values():
+        assert [r["rank"] for r in rows] == list(range(1, K + 1))
+
+
+def test_strategy_parity(token_dfs):
+    docs, queries = token_dfs
+    a = maxsim_join(docs, queries, k=K, strategy="expression")
+    b = maxsim_join(docs, queries, k=K, strategy="blocked")
+    ra = [(r["query_id"], r["doc_id"], r["rank"]) for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r["query_id"], r["doc_id"], r["rank"]) for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb
+
+
+def test_packed_input_parity(token_dfs):
+    docs, queries = token_dfs
+    packed = pack_doc_tokens(docs)
+    for strategy in ("expression", "blocked"):
+        a = maxsim_join(docs, queries, k=K, strategy=strategy)
+        b = maxsim_join(
+            packed, queries, k=K, strategy=strategy, doc_tokens_packed=True
+        )
+        ra = a.orderBy("query_id", "rank").collect()
+        rb = b.orderBy("query_id", "rank").collect()
+        # scores to fp64 rounding only: the packed plan sums the same
+        # maxes in a different order (explode vs collect_list)
+        assert [(r["query_id"], r["doc_id"], r["rank"]) for r in ra] == [
+            (r["query_id"], r["doc_id"], r["rank"]) for r in rb
+        ]
+        for x, y in zip(ra, rb):
+            assert x["score"] == pytest.approx(y["score"], abs=1e-9)
+
+
+def test_null_token_parity(spark, token_dfs):
+    """NULL token vectors (whole or element) are excluded on both sides;
+    an all-NULL query yields no rows — knn_join's engine-wide rule."""
+    docs, queries = token_dfs
+    null_docs = docs.union(
+        spark.createDataFrame(
+            [(0, None), (1, [None] * DIM)],
+            "doc_id long, embedding array<float>",
+        )
+    )
+    null_queries = queries.union(
+        spark.createDataFrame(
+            [(0, None), (99, None), (99, [None] * DIM)],
+            "query_id long, embedding array<float>",
+        )
+    )
+    for strategy in ("expression", "blocked"):
+        clean = maxsim_join(docs, queries, k=K, strategy=strategy)
+        dirty = maxsim_join(null_docs, null_queries, k=K, strategy=strategy)
+        rc = [tuple(r) for r in clean.orderBy("query_id", "rank").collect()]
+        rd = [tuple(r) for r in dirty.orderBy("query_id", "rank").collect()]
+        assert rc == rd
+        assert not [r for r in rd if r[0] == 99]
+
+
+def test_tie_break_is_doc_id_asc(spark):
+    """Identical docs score identically -> lower doc_id ranks first.
+
+    The query has ONE token: multi-token scores are float SUMS, whose
+    accumulation order Spark's unordered aggregate does not fix, so
+    "identical" docs can differ in the last ulp on the expression path
+    (documented contract: determinism to fp64 rounding). A one-token
+    score is a single expression — bitwise equal — so the doc_id ASC
+    tie-break is observable on both strategies."""
+    tok = [1.0] + [0.0] * (DIM - 1)
+    dup = spark.createDataFrame(
+        [(7, tok), (3, tok), (5, tok)], "doc_id long, embedding array<float>"
+    )
+    q1 = spark.createDataFrame(
+        [(0, [0.5] * DIM)], "query_id long, embedding array<float>"
+    )
+    for strategy in ("expression", "blocked"):
+        out = (
+            maxsim_join(dup, q1, k=3, strategy=strategy)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r["doc_id"] for r in out] == [3, 5, 7], strategy
+
+
+def test_tie_break_blocked_multi_token(spark, token_dfs):
+    """The blocked path sums token maxes in a FIXED order, so identical
+    docs tie bitwise even on multi-token queries and rank by doc_id."""
+    _, queries = token_dfs
+    tok = [1.0] + [0.0] * (DIM - 1)
+    dup = spark.createDataFrame(
+        [(7, tok), (3, tok), (5, tok)], "doc_id long, embedding array<float>"
+    )
+    out = (
+        maxsim_join(dup, queries.where(F.col("query_id") == 0), k=3,
+                    strategy="blocked")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["doc_id"] for r in out] == [3, 5, 7]
+
+
+def test_repeated_query_token_counts_twice(spark):
+    """A query that repeats a token vector gets that token's max twice —
+    the per-token key must keep identical vectors distinct."""
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "doc_id long, embedding array<float>",
+    )
+    q1 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [1.0, 0.0])],
+        "query_id long, embedding array<float>",
+    )
+    q2 = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    for strategy in ("expression", "blocked"):
+        s2 = maxsim_join(docs, q1, k=1, strategy=strategy).collect()[0]["score"]
+        s1 = maxsim_join(docs, q2, k=1, strategy=strategy).collect()[0]["score"]
+        assert s2 == pytest.approx(2 * s1, abs=1e-9)
+
+
+def test_auto_keeps_expression_for_small_batches(token_dfs):
+    docs, queries = token_dfs
+    out = maxsim_join(docs, queries, k=K, strategy="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the expression plan has no Python worker stage
+    assert "mapInPandas" not in plan.lower().replace("_", "")
+    assert N_QUERIES * TOKENS_PER_QUERY <= EXPR_MAX_QUERY_TOKENS
+
+
+def test_auto_non_long_ids_stay_expression(spark, token_dfs):
+    """The delegation dtype gate: int ids never flip to the blocked
+    path's long schema, regardless of query-token count."""
+    docs, queries = token_dfs
+    docs_i = docs.withColumn("doc_id", F.col("doc_id").cast("int"))
+    out = maxsim_join(docs_i, queries, k=K, strategy="auto")
+    assert dict(out.dtypes)["doc_id"] == "int"
+
+
+def test_errors(token_dfs):
+    docs, queries = token_dfs
+    with pytest.raises(ValueError, match="euclidean|cosine"):
+        maxsim_join(docs, queries, k=K, metric="euclidean")
+    with pytest.raises(ValueError, match="strategy"):
+        maxsim_join(docs, queries, k=K, strategy="nope")
+    with pytest.raises(ValueError, match="k must be"):
+        maxsim_join(docs, queries, k=0)
+    with pytest.raises(ValueError, match="doc_id"):
+        maxsim_join(docs.withColumnRenamed("doc_id", "x"), queries, k=K)
+
+
+def test_blocked_doc_chunking_boundary(spark, token_data):
+    """Docs split across artificial small Arrow batches still score
+    whole (packing guarantees doc-local tokens per row)."""
+    doc_toks, query_toks = token_data
+    drows = [
+        (int(d), [float(x) for x in t])
+        for d, ts in doc_toks.items()
+        for t in ts
+    ]
+    docs = spark.createDataFrame(
+        drows, "doc_id long, embedding array<float>"
+    ).repartition(7)
+    qrows = [
+        (int(q), [float(x) for x in t])
+        for q, ts in query_toks.items()
+        for t in ts
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    )
+    expect = _numpy_maxsim(doc_toks, query_toks, K)
+    got = _collect(maxsim_join(docs, queries, k=K, strategy="blocked"))
+    for qid in expect:
+        assert [d for d, _ in got[qid]] == [d for d, _ in expect[qid]]
