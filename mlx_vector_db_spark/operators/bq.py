@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.operators.knn import (
     EXPR_MAX_QUERIES,
+    _bounded_query_count,
     _drop_null_vectors,
     knn_join,
 )
@@ -258,6 +259,7 @@ def bq_search_batch(
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exact_rerank: bool = True,
+    delegate_saturation: float | None = 0.25,
 ) -> DataFrame:
     """Two-pass batch k-NN over sign-bit codes.
 
@@ -283,6 +285,25 @@ def bq_search_batch(
     candidates, and the exact re-rank's knn_join re-applies the rule to
     the float column. A query set that is empty AFTER the NULL
     exclusion raises ValueError, same as the blocked kNN collects.
+
+    Candidate-saturation delegation (``delegate_saturation``, default
+    0.25): with M queries over-fetching ``take = k*overfetch`` each,
+    the expected distinct-candidate fraction is ``1 - e^(-M*take/N)``
+    — once ``M*take >= delegate_saturation * N`` the semi-joined pass
+    2 re-reads a large share of the float table ANYWAY (>= 22% at the
+    default), pass 1's candidate exchange carries O(tasks*M*take) rows
+    (``overfetch``× the exact sweep's O(tasks*M*k)), and the two-pass
+    plan is strictly worse than one exact sweep at any storage scale —
+    measured at 10k queries × 2M rows: two-pass 404.5s vs the exact
+    vector-blocked sweep ~34-76s (SCALE.md r11). So past the threshold
+    the call delegates to ``knn_join`` outright: exact results (recall
+    1.0 — a strict upgrade), identical output schema. The corpus size
+    probe is LIMIT-bounded (O(M*take/saturation) rows of the narrow id
+    scan, memoized per plan fingerprint). ``delegate_saturation=None``
+    pins the two-pass Hamming plan unconditionally — recall gates and
+    the overfetch tuner do this, since THEY measure the quantized tier
+    itself. ``exact_rerank=False`` (Hamming distances as output) never
+    delegates: no exact plan produces that schema.
     """
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -294,11 +315,29 @@ def bq_search_batch(
         raise ValueError("empty query set")
     q_ids = qpdf[query_id_col].to_numpy(dtype=np.int64)
     Q = np.asarray(list(qpdf[query_vec_col]), dtype=np.float64)
+    take = int(k) * int(overfetch)
+    if exact_rerank and delegate_saturation is not None:
+        m = len(qpdf)
+        sat_bound = int(m * take / float(delegate_saturation))
+        n_coded = _bounded_query_count(coded.select(id_col), sat_bound)
+        if n_coded <= sat_bound:
+            # saturated: one exact sweep beats code-scan + candidate
+            # exchange + semi-join + float re-read (see docstring)
+            return knn_join(
+                coded.drop(code_col),
+                queries,
+                k=k,
+                metric=metric,
+                vec_col=bq.vec_col,
+                id_col=id_col,
+                query_vec_col=query_vec_col,
+                query_id_col=query_id_col,
+                allow_blocked=m > EXPR_MAX_QUERIES,
+            )
     nb = bq.code_bytes
     q64 = _codes_to_words(bq.pack(Q), nb)  # the queries quantize too
     sc = coded.sparkSession.sparkContext
     bqc = sc.broadcast({"ids": q_ids, "words": q64})
-    take = int(k) * int(overfetch)
 
     def hamming(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         data = bqc.value
@@ -466,6 +505,9 @@ def tune_overfetch_bq(
             coded, queries, bq, k=k, metric=metric, overfetch=c,
             code_col=code_col, id_col=id_col,
             query_vec_col=query_vec_col, query_id_col=query_id_col,
+            # the tuner measures the HAMMING tier's recall curve: the
+            # saturation delegation would flatten it to 1.0 everywhere
+            delegate_saturation=None,
         ).select(F.col(query_id_col).alias("query_id"), F.col(id_col))
         hits = approx.join(exact, on=["query_id", id_col]).count()
         recall = hits / n_truth

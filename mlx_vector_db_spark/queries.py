@@ -1776,7 +1776,11 @@ def q_bq_knn(spark, sf_dir):
     queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
         F.col("id").alias("query_id"), "embedding"
     )
-    return bq_search_batch(coded, queries, bq, k=KNN_K, overfetch=16)
+    # the scale twin measures the QUANTIZED tier: pin the Hamming plan
+    # (the production default would saturation-delegate at bench sizes)
+    return bq_search_batch(
+        coded, queries, bq, k=KNN_K, overfetch=16, delegate_saturation=None
+    )
 
 
 def q_bq_recall_gate(spark, sf_dir):
@@ -1798,7 +1802,9 @@ def q_bq_recall_gate(spark, sf_dir):
     queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
         F.col("id").alias("query_id"), "embedding"
     )
-    approx = bq_search_batch(coded, queries, bq, k=KNN_K, overfetch=16)
+    approx = bq_search_batch(
+        coded, queries, bq, k=KNN_K, overfetch=16, delegate_saturation=None
+    )
     exact = knn_join(coded.drop("bq_code"), queries, k=KNN_K)
     return _recall_gate(approx, exact)
 
@@ -1819,7 +1825,9 @@ def q_bq_clustered_recall_gate(spark, sf_dir):
     queries = coded.where(F.col("id") < n_q).select(
         F.col("id").alias("query_id"), "embedding"
     )
-    approx = bq_search_batch(coded, queries, bq, k=KNN_K, overfetch=4)
+    approx = bq_search_batch(
+        coded, queries, bq, k=KNN_K, overfetch=4, delegate_saturation=None
+    )
     exact = knn_join(clustered, queries, k=KNN_K)
     return _recall_gate(approx, exact)
 

@@ -94,7 +94,9 @@ def test_recall_vs_exact(coded, queries, bq, vectors):
     8/10 worst query, 16 -> 8/10, 32 -> 10/10). The fine-clustered
     64-bit gate regime reaches full recall at overfetch=2-4
     (queries.py bq_clustered_recall_gate)."""
-    approx = bq_search_batch(coded, queries, bq, k=K, overfetch=32).collect()
+    approx = bq_search_batch(
+        coded, queries, bq, k=K, overfetch=32, delegate_saturation=None
+    ).collect()
     exact = knn_join(vectors, queries, k=K).collect()
     want = {}
     for r in exact:
@@ -112,7 +114,8 @@ def test_full_overfetch_is_exact(coded, queries, bq, vectors):
     result must EQUAL the exact kNN (same ids, same order) — the
     re-rank stage introduces no error of its own."""
     approx = bq_search_batch(
-        coded, queries, bq, k=K, overfetch=(N + K - 1) // K
+        coded, queries, bq, k=K, overfetch=(N + K - 1) // K,
+        delegate_saturation=None,
     )
     exact = knn_join(vectors, queries, k=K)
     a = [(r["query_id"], r["id"]) for r in approx.orderBy("query_id", "rank").collect()]
@@ -195,10 +198,12 @@ def test_bq_composes_with_ivf_cells(spark, vectors, vec_np):
     probes_all = list(range(4))
     pruned = coded.where(F.col("centroid_id").isin(probes_all))
     via_cells = bq_search_batch(
-        pruned.drop("centroid_id"), queries, bq, k=K, overfetch=32
+        pruned.drop("centroid_id"), queries, bq, k=K, overfetch=32,
+        delegate_saturation=None,
     )
     plain = bq_search_batch(
-        coded.drop("centroid_id"), queries, bq, k=K, overfetch=32
+        coded.drop("centroid_id"), queries, bq, k=K, overfetch=32,
+        delegate_saturation=None,
     )
     a = [(r["query_id"], r["id"]) for r in via_cells.orderBy("query_id", "rank").collect()]
     b = [(r["query_id"], r["id"]) for r in plain.orderBy("query_id", "rank").collect()]
@@ -292,7 +297,9 @@ def test_bq_null_query_parity(spark, coded, bq, vec_np):
         (3, [None if j == 5 else float(vec_np[3][j]) for j in range(DIM)]),
     ]
     nullq = spark.createDataFrame(rows, "query_id long, embedding array<float>")
-    out = bq_search_batch(coded, nullq, bq, k=K, overfetch=32)
+    out = bq_search_batch(
+        coded, nullq, bq, k=K, overfetch=32, delegate_saturation=None
+    )
     qids = {r["query_id"] for r in out.collect()}
     assert qids == {0, 2}
     ref = knn_join(coded.drop("bq_code"), nullq, k=K)
@@ -335,3 +342,51 @@ def test_train_bq_ignores_null_vectors(spark, vec_np):
         max_train_rows=1000,
     )
     np.testing.assert_allclose(model.thresholds, clean.thresholds, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r11: candidate-saturation delegation (measured: two-pass loses 12x to
+# the exact sweep at 10k queries x 2M rows — SCALE.md r11)
+# ---------------------------------------------------------------------------
+
+
+def test_saturation_delegates_to_exact(coded, queries, bq, vectors):
+    """M*take >= saturation*N: the call IS knn_join — no semi-join, no
+    Hamming stage in the plan, results bit-identical to the exact scan."""
+    out = bq_search_batch(coded, queries, bq, k=K, overfetch=32)  # default sat
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    exact = knn_join(coded.drop("bq_code"), queries, k=K)
+    a = [tuple(r) for r in out.orderBy("query_id", "rank").collect()]
+    e = [tuple(r) for r in exact.orderBy("query_id", "rank").collect()]
+    assert a == e
+
+
+def test_unsaturated_keeps_two_pass(coded, bq):
+    """One query at small take: N >> take/saturation, the two-pass plan
+    (semi-join re-rank) stays."""
+    one = queries_one = coded.where(F.col("id") == 0).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    out = bq_search_batch(coded, one, bq, k=K, overfetch=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert out.count() == K
+
+
+def test_saturation_pin_none_keeps_two_pass(coded, queries, bq):
+    """delegate_saturation=None pins the Hamming plan even when
+    saturated — the recall gates' and tuner's contract."""
+    out = bq_search_batch(
+        coded, queries, bq, k=K, overfetch=32, delegate_saturation=None
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_no_rerank_never_delegates(coded, queries, bq):
+    """exact_rerank=False outputs Hamming distances — no exact plan has
+    that schema, so saturation must not reroute it."""
+    out = bq_search_batch(coded, queries, bq, k=K, overfetch=32,
+                          exact_rerank=False)
+    assert set(out.columns) == {"query_id", "id", "hamming"}

@@ -63,6 +63,9 @@ def main() -> int:
     from mlx_vector_db_spark.queries import QUERIES
     from mlx_vector_db_spark.session import get_spark, release_intermediates
 
+    from bench import _JIFFIES_HZ, _steal_jiffies
+
+    steal0 = _steal_jiffies()
     spark = get_spark("bench-subset")
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -101,6 +104,7 @@ def main() -> int:
             "by design - see SCALE.md"
         ),
         "queries": timings,
+        "steal_cpu_sec": round((_steal_jiffies() - steal0) / _JIFFIES_HZ, 1),
     }
     if errors:
         out["errors"] = errors

@@ -40,6 +40,13 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--overfetch", type=int, default=16)
+    ap.add_argument(
+        "--pin-bq",
+        action="store_true",
+        help="delegate_saturation=None: measure the Hamming two-pass tier "
+        "itself even where the production default would saturation-"
+        "delegate to the exact sweep",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -47,6 +54,9 @@ def main() -> int:
     from mlx_vector_db_spark.operators.bq import bq_search_batch, train_bq
     from mlx_vector_db_spark.session import get_spark, release_intermediates
 
+    from bench import _JIFFIES_HZ, _steal_jiffies
+
+    steal0 = _steal_jiffies()
     spark = get_spark("bq-scale")
     emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("id"), "embedding"
@@ -67,7 +77,8 @@ def main() -> int:
     def search():
         _noop(
             bq_search_batch(
-                coded, queries, bq, k=10, overfetch=args.overfetch
+                coded, queries, bq, k=10, overfetch=args.overfetch,
+                delegate_saturation=None if args.pin_bq else 0.25,
             )
         )
 
@@ -92,8 +103,12 @@ def main() -> int:
                     "bq_search": round(_median(reps), 2),
                     "bq_overfetch": args.overfetch,
                     "bq_n_queries": args.queries,
+                    "bq_pinned": bool(args.pin_bq),
                 },
                 "spread": {"bq_search": round(max(reps) - min(reps), 2)},
+                "steal_cpu_sec": round(
+                    (_steal_jiffies() - steal0) / _JIFFIES_HZ, 1
+                ),
             }
         )
     )
