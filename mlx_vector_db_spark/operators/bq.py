@@ -442,6 +442,9 @@ def bq_search_batch(
         # the query count is already known driver-side: small batches
         # skip the delegation probe jobs outright
         allow_blocked=big_batch,
+        # bounded candidate subset: the expression path's rebalance is
+        # stage overhead (see pq_search_batch pass 2)
+        rebalance_vectors=False,
     )
 
 

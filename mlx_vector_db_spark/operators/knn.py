@@ -321,6 +321,7 @@ def knn_join(
     norm_col: str | None = None,
     broadcast_queries: bool = True,
     allow_blocked: bool = True,
+    rebalance_vectors: bool = True,
 ) -> DataFrame:
     """Batch exact k-NN: every query row against every vector row
     (reference J2 batch similarity join + A1 per-query top-k).
@@ -356,6 +357,15 @@ def knn_join(
       set), either pass ``allow_blocked=False`` or
       ``localCheckpoint(eager=False)`` the candidate plan first so the
       probe's execution is reused — see bq/pq_search_batch pass 2.
+
+    ``rebalance_vectors=False`` skips the expression path's
+    split-collapse exchange. The guard exists for M x N score work over
+    a compact scan (r10: 11.56s -> 2.87s at M=100 x 20k rows); when the
+    vectors side is a DRIVER-KNOWN-tiny computed frame — a two-pass
+    re-rank's candidate subset of <= M*take rows at small M — the
+    repartition is pure stage overhead (~0.2s per call measured at the
+    pq_knn shape, r11) and the caller should turn it off. Leave it on
+    for any table whose size the caller cannot bound.
     """
     _validate(vectors, k, vec_col=vec_col, id_col=id_col)
     _validate(queries, k, query_vec_col=query_vec_col, query_id_col=query_id_col)
@@ -414,13 +424,13 @@ def knn_join(
     # the output projects these columns only, so the rebalanced frame
     # stays narrow; the exchange sits ABOVE the filtered scan, so the
     # NULL/metadata predicates still push to the parquet reader
-    src = rebalance_for_compute(
-        filtered.select(
-            id_col,
-            vec_col,
-            *([norm_col] if (norm_col and metric == "cosine") else []),
-        )
+    src = filtered.select(
+        id_col,
+        vec_col,
+        *([norm_col] if (norm_col and metric == "cosine") else []),
     )
+    if rebalance_vectors:
+        src = rebalance_for_compute(src)
     joined = src.crossJoin(qdf)
     v_norm = F.col(norm_col) if (norm_col and metric == "cosine") else None
     q_norm = F.col("_qnorm") if metric == "cosine" else None

@@ -126,4 +126,7 @@ def mrl_search_batch(
         id_col=id_col,
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
+        # bounded candidate subset: skip the expression path's
+        # split-collapse exchange (see pq_search_batch pass 2)
+        rebalance_vectors=False,
     )

@@ -401,6 +401,12 @@ def pq_search_batch(
         query_id_col=query_id_col,
         norm_col=norm_col,
         allow_blocked=big_batch,
+        # the candidate subset is driver-bounded (<= M*take rows) and
+        # inherits the semi-join's wide partitioning — the expression
+        # path's split-collapse exchange is pure stage overhead here
+        # (~0.2s/call measured at the pq_knn shape, r11); a delegated
+        # big batch still rebalances inside knn_join_blocked
+        rebalance_vectors=False,
     )
 
 
@@ -558,6 +564,7 @@ def ivfpq_search_batch(
         query_vec_col=query_vec_col,
         query_id_col=query_id_col,
         allow_blocked=big_batch,
+        rebalance_vectors=False,  # bounded candidate subset (see above)
     )
 
 
