@@ -70,7 +70,12 @@ from mlx_vector_db_spark.operators.knn import (
 from mlx_vector_db_spark.operators.topk import top_k_per_group
 from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
-__all__ = ["maxsim_join", "pack_doc_tokens"]
+__all__ = [
+    "maxsim_join",
+    "pack_doc_tokens",
+    "pack_doc_token_codes",
+    "maxsim_funnel",
+]
 
 #: expression -> blocked delegation threshold on the TOTAL query token
 #: count (not query count: the expression fan-out and the broadcast
@@ -411,3 +416,223 @@ def _maxsim_blocked(
         "rank",
     )
     return out
+
+
+def pack_doc_token_codes(
+    doc_tokens: DataFrame,
+    bq,
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pack token-level rows into one row per doc of SIGN-BIT token
+    codes: ``(doc_id, token_codes array<binary>)`` — the storage layout
+    :func:`maxsim_funnel`'s first pass scans. ``bq`` is a
+    ``bq.BQModel`` (per-dimension thresholds); each token costs
+    ``ceil(D/8)`` bytes, a 32x cut vs float32, so at 100 TB of token
+    embeddings the funnel's candidate pass reads ~3 TB and does no
+    floating-point work. Built once, appended incrementally (the encode
+    is a stateless projection), swept many times.
+
+    NULL tokens are dropped under the engine rule; an all-NULL doc
+    packs to no row.
+    """
+    from mlx_vector_db_spark.operators.bq import BQModel
+
+    if not isinstance(bq, BQModel):
+        raise ValueError(f"bq must be a BQModel, got {type(bq).__name__}")
+    coded = bq.encode(
+        _drop_null_vectors(doc_tokens, vec_col).select(
+            doc_id_col, F.col(vec_col).alias(bq.vec_col)
+        ),
+        code_col="__msim_code",
+    )
+    return coded.groupBy(doc_id_col).agg(
+        F.collect_list("__msim_code").alias("token_codes")
+    )
+
+
+def maxsim_funnel(
+    doc_token_codes: DataFrame,
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    bq,
+    k: int = 10,
+    overfetch: int = 4,
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-pass late interaction (the PLAID-shaped funnel): a sign-bit
+    Hamming MaxSim candidate pass over :func:`pack_doc_token_codes`
+    output selects ``k * overfetch`` docs per query, then the exact
+    :func:`maxsim_join` re-ranks the semi-joined float tokens.
+
+    Pass 1 scores ``sum over query tokens of max over doc tokens of
+    (1 - 2 * hamming/D)`` — the Charikar estimator of cosine on
+    mean-centered sign bits (see operators/bq.py), evaluated with
+    XOR + SWAR popcount on a scan that reads 1/32nd the bytes of the
+    float token table and no floats at all. Funnel error costs recall
+    only when a true top-k doc falls outside the over-fetched candidate
+    set; with ``k * overfetch >= n_docs`` the output EQUALS the exact
+    operator (tested).
+
+    Contracts shared with the rest of the engine: deterministic
+    (approx score DESC, doc_id ASC) candidate cut on a total order,
+    engine-wide NULL rule on every input, O(tasks * M * take) candidate
+    exchange, all temps under the slice budget.
+    """
+    from mlx_vector_db_spark.operators.bq import (
+        BQModel,
+        _codes_to_words,
+        _popcount64,
+    )
+
+    if not isinstance(bq, BQModel):
+        raise ValueError(f"bq must be a BQModel, got {type(bq).__name__}")
+    if overfetch < 1:
+        raise ValueError(f"overfetch must be >= 1, got {overfetch}")
+    _validate(doc_token_codes, k, doc_id_col=doc_id_col, token_codes="token_codes")
+    _validate(
+        query_tokens, k, query_id_col=query_id_col, query_vec_col=query_vec_col
+    )
+    queries = _drop_null_vectors(query_tokens, query_vec_col)
+    qpdf = (
+        queries.select(query_id_col, query_vec_col)
+        .orderBy(query_id_col)
+        .toPandas()
+    )
+    if qpdf.empty:
+        raise ValueError("empty query token set")
+    q_owner = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    Qf = np.asarray(qpdf[query_vec_col].to_list(), dtype=np.float64)
+    del qpdf
+    nb = bq.code_bytes
+    dim = bq.dim
+    qw = _codes_to_words(bq.pack(Qf), nb)  # queries quantize too
+    change = np.flatnonzero(np.r_[True, q_owner[1:] != q_owner[:-1]])
+    q_ids = q_owner[change]
+    q_starts = change
+
+    sc = doc_token_codes.sparkSession.sparkContext
+    bqc = sc.broadcast({"qw": qw, "q_ids": q_ids, "q_starts": q_starts})
+    _register_broadcast(bqc)
+    take = int(k) * int(overfetch)
+
+    def hamming_maxsim(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        data = bqc.value
+        Qw, qids, qstarts = data["qw"], data["q_ids"], data["q_starts"]
+        m = Qw.shape[0]
+        nq = len(qids)
+        acc_q: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = pdf["token_codes"].to_list()
+            doc_ids_all = pdf["__msim_doc"].to_numpy()
+            docs_per_chunk = max(64, _MAXSIM_SLICE_ELEMS // max(nq, 1))
+            for c0 in range(0, len(toks), docs_per_chunk):
+                chunk = toks[c0 : c0 + docs_per_chunk]
+                doc_ids = doc_ids_all[c0 : c0 + docs_per_chunk]
+                lens = np.fromiter(
+                    (len(t) for t in chunk), dtype=np.int64, count=len(chunk)
+                )
+                keep = lens > 0
+                if not keep.all():
+                    chunk = [t for t, ok in zip(chunk, keep) if ok]
+                    doc_ids = doc_ids[keep]
+                    lens = lens[keep]
+                if not len(chunk):
+                    continue
+                codes = np.frombuffer(
+                    b"".join(c for doc in chunk for c in doc), dtype=np.uint8
+                ).reshape(-1, nb)
+                Tw = _codes_to_words(codes, nb)
+                nt = Tw.shape[0]
+                nd = len(chunk)
+                d_starts = np.r_[0, np.cumsum(lens)[:-1]]
+                scores = np.zeros((nq, nd), dtype=np.float64)
+                # slice the query-token axis so the (m_slice, nt) XOR
+                # block and popcount temps respect the element budget
+                m_step = max(
+                    1, _MAXSIM_SLICE_ELEMS // max(nt * Tw.shape[1], 1)
+                )
+                for s in range(0, m, m_step):
+                    Qs = Qw[s : s + m_step]
+                    X = Qs[:, None, :] ^ Tw[None, :, :]
+                    pc = _popcount64(X)
+                    H = (
+                        pc[:, :, 0]
+                        if Tw.shape[1] == 1
+                        else pc.sum(axis=2)
+                    ).astype(np.float64)
+                    # Charikar estimator of cosine from sign agreement
+                    H *= -2.0 / dim
+                    H += 1.0
+                    mx = np.maximum.reduceat(H, d_starts, axis=1)
+                    lo = np.searchsorted(qstarts, s, side="right") - 1
+                    hi = np.searchsorted(qstarts, s + Qs.shape[0], side="left")
+                    seg = np.clip(qstarts[lo:hi] - s, 0, None)
+                    scores[lo:hi] += np.add.reduceat(mx, seg, axis=0)
+                t = min(take, nd)
+                if t < nd:
+                    p = np.partition(scores, nd - t, axis=1)
+                    bound = p[:, nd - t]
+                    qrow, dcol = np.nonzero(scores >= bound[:, None])
+                else:
+                    qrow = np.repeat(np.arange(nq), nd)
+                    dcol = np.tile(np.arange(nd), nq)
+                acc_q.append(qrow)
+                acc_d.append(doc_ids[dcol])
+                acc_s.append(scores[qrow, dcol])
+        if not acc_q:
+            return
+        qrow = np.concatenate(acc_q)
+        dv = np.concatenate(acc_d)
+        sv = np.concatenate(acc_s)
+        # exact per-task top-take on the (approx score DESC, doc ASC)
+        # total order — same cut-validity argument as the exact sweep
+        order = np.lexsort((dv, -sv, qrow))
+        qs = qrow[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        group_len = np.diff(np.r_[starts, len(qs)])
+        seq = np.arange(len(qs)) - np.repeat(starts, group_len)
+        sel = order[seq < take]
+        yield pd.DataFrame(
+            {
+                "query_id": bqc.value["q_ids"][qrow[sel]],
+                "doc_id": dv[sel],
+                "_approx": sv[sel],
+            }
+        )
+
+    packed = doc_token_codes.select(
+        F.col(doc_id_col).alias("__msim_doc"), "token_codes"
+    )
+    cand = rebalance_for_compute(packed).mapInPandas(
+        hamming_maxsim, schema="query_id long, doc_id long, _approx double"
+    )
+    cand_topk = top_k_per_group(
+        cand,
+        ["query_id"],
+        [F.col("_approx").desc(), F.col("doc_id").asc()],
+        take,
+    )
+    cand_ids = cand_topk.select("doc_id").distinct().withColumnRenamed(
+        "doc_id", doc_id_col
+    )
+    subset = doc_tokens.join(cand_ids, on=doc_id_col, how="left_semi")
+    return maxsim_join(
+        subset,
+        queries,
+        k=k,
+        metric="cosine",
+        doc_id_col=doc_id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )

@@ -212,6 +212,45 @@ def q_maxsim_blocked_parity(spark, sf_dir):
     return _maxsim(spark, sf_dir, "blocked")
 
 
+def q_maxsim_funnel_recall_gate(spark, sf_dir):
+    """PLAID-shaped late-interaction funnel: sign-bit Hamming MaxSim
+    candidate pass over packed token CODES (1/32nd the bytes, zero
+    FLOPs) + exact MaxSim re-rank — recall@10 >= 0.9 per query vs the
+    exact operator. overfetch=8 on the uniform corpus (one sign bit per
+    dim is the coarsest estimator in the ladder; measured: overfetch 4
+    -> 8/10 worst query, 8 -> 10/10 on both small tiers — the same
+    coarseness story as bq_recall_gate's 16)."""
+    from mlx_vector_db_spark.operators.bq import train_bq
+    from mlx_vector_db_spark.operators.maxsim import (
+        maxsim_funnel,
+        maxsim_join,
+        pack_doc_token_codes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("doc_id"),
+        "embedding",
+    )
+    qtok = emb.where(F.col("vec_id") < 16).select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("query_id"),
+        "embedding",
+    )
+    bq = train_bq(docs, seed=42)
+    codes = pack_doc_token_codes(docs, bq)
+    approx = maxsim_funnel(codes, docs, qtok, bq, k=KNN_K, overfetch=8)
+    exact = maxsim_join(docs, qtok, k=KNN_K)
+    hits = approx.select("query_id", "doc_id").join(
+        exact.select("query_id", "doc_id"), on=["query_id", "doc_id"]
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") >= F.lit(MIN_RECALL_HITS))
+        .select("query_id", F.lit(True).alias("passed"))
+    )
+
+
 def q_knn_chunked_parity(spark, sf_dir):
     """Huge-Q chunked k-NN (operators/knn.py knn_join_chunked), value-
     gated directly against the DuckDB brute-force oracle: 30 queries
@@ -3653,6 +3692,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_qblocked_parity": q_knn_qblocked_parity,
     "maxsim_topk": q_maxsim_topk,
     "maxsim_blocked_parity": q_maxsim_blocked_parity,
+    "maxsim_funnel_recall_gate": q_maxsim_funnel_recall_gate,
     "ivf_recall_gate": q_ivf_recall_gate,
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
@@ -3795,8 +3835,12 @@ _R11_WINDOW = [
     "text_jaccard_autocap",
     "simhash_exactness_gate",
     "dedup_exact",
-    "events_asof_purchase",
-    "part_price_bands",
+    # (a') two slots reassigned mid-round from the (c) filler cohort
+    # (events_asof_purchase, part_price_bands — both judge-green in r10
+    # and covered by the sweep) to the round's NEW operator: both MaxSim
+    # physical strategies under their full value-hash oracle
+    "maxsim_topk",
+    "maxsim_blocked_parity",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -4243,6 +4287,12 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     # packed-doc BLAS sweep + task-level top-k reduce)
     "maxsim_topk": _MAXSIM_ORACLE,
     "maxsim_blocked_parity": _MAXSIM_ORACLE,
+    # the funnel gate asserts every query's recall bar cleared — same
+    # all-pass contract as the bq/ivf/pq recall-gate oracles
+    "maxsim_funnel_recall_gate": """
+        SELECT DISTINCT (vec_id // 4)::BIGINT AS query_id, TRUE AS passed
+        FROM embeddings WHERE vec_id < 16 ORDER BY query_id
+    """,
     # greedy skip-packing: recursive CTE walks rank order per lang and
     # accumulates ONLY kept lengths (overflowing rows are skipped, not a
     # break — reference integrations/mlx_lm_pipeline.py:741-752)

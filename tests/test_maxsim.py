@@ -295,3 +295,103 @@ def test_blocked_doc_chunking_boundary(spark, token_data):
     got = _collect(maxsim_join(docs, queries, k=K, strategy="blocked"))
     for qid in expect:
         assert [d for d, _ in got[qid]] == [d for d, _ in expect[qid]]
+
+
+# ---------------------------------------------------------------------------
+# r11 second half: the BQ-coded Hamming funnel (PLAID-shaped)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def funnel_parts(spark, token_dfs):
+    from mlx_vector_db_spark.operators.bq import train_bq
+    from mlx_vector_db_spark.operators.maxsim import pack_doc_token_codes
+
+    docs, queries = token_dfs
+    bq = train_bq(docs, seed=3)
+    codes = pack_doc_token_codes(docs, bq).cache()
+    return docs, queries, bq, codes
+
+
+def test_funnel_full_overfetch_equals_exact(funnel_parts):
+    """take >= n_docs: the funnel's candidate set is every doc, so the
+    output must EQUAL maxsim_join exactly (the re-rank adds no error)."""
+    from mlx_vector_db_spark.operators.maxsim import maxsim_funnel
+
+    docs, queries, bq, codes = funnel_parts
+    out = maxsim_funnel(codes, docs, queries, bq, k=K,
+                        overfetch=(N_DOCS + K - 1) // K)
+    exact = maxsim_join(docs, queries, k=K)
+    a = [(r["query_id"], r["doc_id"], r["rank"])
+         for r in out.orderBy("query_id", "rank").collect()]
+    e = [(r["query_id"], r["doc_id"], r["rank"])
+         for r in exact.orderBy("query_id", "rank").collect()]
+    assert a == e
+
+
+def test_funnel_shape_and_recall(funnel_parts):
+    """Moderate overfetch: k rows per query, recall vs exact >= 0.8 on
+    the random fixture (sign bits on 16-dim uniform data are the
+    worst case; the gate entry measures the honest 64-dim corpus)."""
+    from mlx_vector_db_spark.operators.maxsim import maxsim_funnel
+
+    docs, queries, bq, codes = funnel_parts
+    out = maxsim_funnel(codes, docs, queries, bq, k=K, overfetch=8)
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    exact = maxsim_join(docs, queries, k=K).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert set(got) == set(want)
+    total_hits = sum(len(got[q] & want[q]) for q in want)
+    assert total_hits >= 0.8 * N_QUERIES * K, total_hits
+    for q, s in got.items():
+        assert len(s) == K
+
+
+def test_funnel_null_queries_excluded(spark, funnel_parts):
+    from mlx_vector_db_spark.operators.maxsim import maxsim_funnel
+
+    docs, queries, bq, codes = funnel_parts
+    nullq = queries.union(
+        spark.createDataFrame(
+            [(99, None)], "query_id long, embedding array<float>"
+        )
+    )
+    out = maxsim_funnel(codes, docs, nullq, bq, k=K, overfetch=8)
+    assert not [r for r in out.collect() if r["query_id"] == 99]
+
+
+def test_funnel_validation(funnel_parts):
+    from mlx_vector_db_spark.operators.maxsim import (
+        maxsim_funnel,
+        pack_doc_token_codes,
+    )
+
+    docs, queries, bq, codes = funnel_parts
+    with pytest.raises(ValueError, match="BQModel"):
+        maxsim_funnel(codes, docs, queries, bq="nope", k=K)
+    with pytest.raises(ValueError, match="overfetch"):
+        maxsim_funnel(codes, docs, queries, bq, k=K, overfetch=0)
+    with pytest.raises(ValueError, match="token_codes"):
+        maxsim_funnel(docs, docs, queries, bq, k=K)
+    with pytest.raises(ValueError, match="BQModel"):
+        pack_doc_token_codes(docs, bq="nope")
+
+
+def test_pack_doc_token_codes_matches_driver_pack(funnel_parts, token_data):
+    """The distributed encode+pack agrees byte-for-byte with the
+    driver-side BQModel.pack on each doc's token set."""
+    docs, _, bq, codes = funnel_parts
+    doc_toks, _ = token_data
+    rows = codes.where(F.col("doc_id") < 3).collect()
+    for r in rows:
+        want = bq.pack(np.asarray(doc_toks[r["doc_id"]], dtype=np.float64))
+        got = np.frombuffer(b"".join(r["token_codes"]), dtype=np.uint8).reshape(
+            len(r["token_codes"]), -1
+        )
+        # collect_list order is not guaranteed: compare as multisets
+        assert sorted(map(bytes, got)) == sorted(map(bytes, want))
