@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "pq_knn",
     "bq_knn",
     "mmr_rerank_topk",
+    # r11: the late-interaction flagship (expression strategy at the
+    # catalog shape; the blocked sweep's decade rows live in
+    # BENCH_r11_maxsim_decades.json)
+    "maxsim_topk",
     "pricing_summary",
     "top_orders",
     "region_revenue",

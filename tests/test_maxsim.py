@@ -395,3 +395,47 @@ def test_pack_doc_token_codes_matches_driver_pack(funnel_parts, token_data):
         )
         # collect_list order is not guaranteed: compare as multisets
         assert sorted(map(bytes, got)) == sorted(map(bytes, want))
+
+
+def test_mmr_composes_over_maxsim_pool(spark, token_dfs):
+    """Composability: a MaxSim pool diversity-reranked by MMR — the doc
+    representative for the diversity term is the mean token vector
+    (posexplode-free: F.aggregate elementwise sum / count), relevance is
+    the MaxSim score. Checks the composition runs distributed and
+    returns k diverse docs per query with rank 1..k."""
+    from mlx_vector_db_spark.operators.mmr import mmr_rerank
+
+    docs, queries = token_dfs
+    pool = maxsim_join(docs, queries, k=8)
+    centroid = (
+        docs.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("embedding"),
+                F.array_repeat(F.lit(0.0), DIM),
+                lambda acc, v: F.zip_with(
+                    acc, v, lambda a, b: a + b.cast("double")
+                ),
+            ).alias("sum_vec"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "sum_vec", lambda x: x / F.col("n_tok")
+            ).alias("embedding"),
+        )
+    )
+    cand = pool.join(centroid, on="doc_id").select(
+        "query_id", F.col("doc_id").alias("id"), "embedding",
+        F.col("score").alias("similarity"),
+    )
+    out = mmr_rerank(cand, k=K, lambda_=0.5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, K + 1))
+        assert len({r["id"] for r in rs}) == K

@@ -45,6 +45,12 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--expression", action="store_true")
+    ap.add_argument(
+        "--funnel",
+        action="store_true",
+        help="also build sign-bit token codes and time the PLAID-shaped "
+        "Hamming funnel (build + search split)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -105,6 +111,40 @@ def main() -> int:
             release_intermediates(spark)
         timings[label] = round(_median(reps), 2)
         spreads[label] = round(max(reps) - min(reps), 2)
+
+    if args.funnel:
+        from mlx_vector_db_spark.operators.bq import train_bq
+        from mlx_vector_db_spark.operators.maxsim import (
+            maxsim_funnel,
+            pack_doc_token_codes,
+        )
+
+        t0 = time.monotonic()
+        bqm = train_bq(docs, seed=42)
+        codes_path = tempfile.mkdtemp(prefix="maxsim-codes-")
+        pack_doc_token_codes(docs, bqm).write.mode("overwrite").parquet(
+            codes_path
+        )
+        timings["maxsim_funnel_build"] = round(time.monotonic() - t0, 2)
+        codes = spark.read.parquet(codes_path)
+
+        def run_funnel():
+            _noop(
+                maxsim_funnel(
+                    codes, docs, qtok, bqm, k=args.k, overfetch=8
+                )
+            )
+
+        run_funnel()
+        release_intermediates(spark)
+        reps = []
+        for _ in range(args.reps):
+            t0 = time.monotonic()
+            run_funnel()
+            reps.append(time.monotonic() - t0)
+            release_intermediates(spark)
+        timings["maxsim_funnel"] = round(_median(reps), 2)
+        spreads["maxsim_funnel"] = round(max(reps) - min(reps), 2)
 
     print(
         json.dumps(
