@@ -90,6 +90,12 @@ EXPR_MAX_QUERY_TOKENS = 256
 #: segment-max block both stay under it.
 _MAXSIM_SLICE_ELEMS = 8_000_000
 
+#: The FUNNEL's bit-kernel budget is 4x tighter (16 MB temps): XOR +
+#: SWAR popcount materialize ~5 elementwise temps per slice with no
+#: ``out=`` reuse, and 64 MB blocks measured 10x slower than 16 MB
+#: (allocator/cache churn) — bq.py's _BQ_SLICE_ELEMS discipline.
+_FUNNEL_SLICE_WORDS = 2_000_000
+
 
 def pack_doc_tokens(
     doc_tokens: DataFrame,
@@ -556,10 +562,16 @@ def maxsim_funnel(
                 nd = len(chunk)
                 d_starts = np.r_[0, np.cumsum(lens)[:-1]]
                 scores = np.zeros((nq, nd), dtype=np.float64)
-                # slice the query-token axis so the (m_slice, nt) XOR
-                # block and popcount temps respect the element budget
+                # Slice the query-token axis under the BIT-KERNEL budget
+                # (2M uint64 words = 16 MB per temp — bq.py's
+                # _BQ_SLICE_ELEMS discipline), NOT the float-GEMM budget:
+                # the XOR + SWAR popcount materialize ~5 elementwise
+                # temps per slice with no out= reuse, so a 64 MB block
+                # size measured 10x slower than 16 MB (allocator/cache
+                # churn — the r10 page-zeroing pathology; numpy profile
+                # in SCALE.md r11).
                 m_step = max(
-                    1, _MAXSIM_SLICE_ELEMS // max(nt * Tw.shape[1], 1)
+                    1, _FUNNEL_SLICE_WORDS // max(nt * Tw.shape[1], 1)
                 )
                 for s in range(0, m, m_step):
                     Qs = Qw[s : s + m_step]
