@@ -169,12 +169,22 @@ class _CellIndex:
         query re-ranks. The shuffle key is the centroid, so candidate
         generation is a standard hash join, never a cross join."""
         spark = indexed.sparkSession
-        qrows = queries.select(query_id_col, query_vec_col).collect()
+        # engine-wide NULL rule (knn._drop_null_vectors): a NULL query
+        # vector must produce no output rows, not a probes_for crash —
+        # and the joined query side below applies the same filter so
+        # both sides stay consistent. Arrow-path collect (ADVICE r9).
+        from mlx_vector_db_spark.operators.knn import _drop_null_vectors
+
+        queries = _drop_null_vectors(queries, query_vec_col)
+        qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+        if len(qpdf) == 0:
+            raise ValueError("empty query set")
         probe_rows = [
-            (int(r[0]), int(c))
-            for r in qrows
-            for c in self.probes_for(r[1], nprobe)
+            (int(qid), int(c))
+            for qid, qv in zip(qpdf[query_id_col], qpdf[query_vec_col])
+            for c in self.probes_for(qv, nprobe)
         ]
+        del qpdf
         probes_df = spark.createDataFrame(
             probe_rows, f"{query_id_col} long, centroid_id int"
         )

@@ -52,7 +52,12 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.vector import metric_ascending
 from mlx_vector_db_spark.operators.ann import _kmeans_numpy
-from mlx_vector_db_spark.operators.knn import EXPR_MAX_QUERIES, knn_join
+from mlx_vector_db_spark.operators.knn import (
+    EXPR_MAX_QUERIES,
+    _bounded_query_count,
+    _drop_null_vectors,
+    knn_join,
+)
 from mlx_vector_db_spark.operators.topk import top_k_per_group
 from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
@@ -272,6 +277,7 @@ def pq_search_batch(
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exact_rerank: bool = True,
+    delegate_saturation: float | None = 0.25,
 ) -> DataFrame:
     """Two-pass batch k-NN over PQ codes.
 
@@ -290,11 +296,46 @@ def pq_search_batch(
     """
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
+    # engine-wide NULL rule (knn._drop_null_vectors): a NULL query
+    # vector (or NULL element) produces no output rows instead of an
+    # inhomogeneous-shape crash in the collect below (the r9/r10 defect
+    # class, probed here in r11); Arrow-path collect (ADVICE r9).
+    queries = _drop_null_vectors(queries, query_vec_col)
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if len(qpdf) == 0:
         raise ValueError("empty query set")
-    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    q_ids = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    Q = np.asarray(qpdf[query_vec_col].to_list(), dtype=np.float64)
+    n_queries_driver = len(qpdf)
+    del qpdf
+    take = int(k) * int(overfetch)
+    if exact_rerank and delegate_saturation is not None:
+        # candidate-saturation delegation — the bq_search_batch rule
+        # (operators/bq.py, measured there at 10k x 2M: two-pass loses
+        # 8.3x once M*take >= 0.25*N): when the over-fetched candidate
+        # union approaches the corpus, pass 2 re-reads most floats
+        # anyway and pass 1's O(tasks*M*take) exchange is overfetch x
+        # the exact sweep's, so one exact knn_join is strictly better.
+        # None pins the two-pass ADC plan (gates, tuner, scale twins).
+        # IVF-PQ is deliberately EXEMPT: its first pass prunes to the
+        # probed cells, so its saturated limit is "exact over probed
+        # cells" (IVFIndex.search_batch), not the full exact sweep —
+        # the caller picks that operator directly.
+        sat_bound = int(n_queries_driver * take / float(delegate_saturation))
+        n_coded = _bounded_query_count(coded.select(id_col), sat_bound)
+        if n_coded <= sat_bound:
+            return knn_join(
+                coded.drop(code_col),
+                queries,
+                k=k,
+                metric=metric,
+                vec_col=pq.vec_col,
+                id_col=id_col,
+                query_vec_col=query_vec_col,
+                query_id_col=query_id_col,
+                norm_col=norm_col,
+                allow_blocked=n_queries_driver > EXPR_MAX_QUERIES,
+            )
     ascending = metric_ascending(metric)
     luts = pq.dot_luts(Q)  # (nq, m, ksub) partial dot products
     lut2 = (pq.books * pq.books).sum(axis=2)  # (m, ksub) centroid sq-norms
@@ -316,7 +357,6 @@ def pq_search_batch(
             "lut2": lut2 if metric == "cosine" else None,
         }
     )
-    take = int(k) * int(overfetch)
     mm = pq.m
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -382,7 +422,7 @@ def pq_search_batch(
     # exact re-rank: float vectors for candidate ids only (semi-join),
     # then the standard exact batch kNN re-scores and cuts to k
     cand_ids = cand_topk.select(id_col).distinct()
-    big_batch = len(qrows) > EXPR_MAX_QUERIES
+    big_batch = n_queries_driver > EXPR_MAX_QUERIES
     if big_batch:
         # knn_join's delegation gate probes the vectors side eagerly —
         # checkpoint the candidate plan so the ADC scan runs once (at
@@ -446,11 +486,15 @@ def ivfpq_search_batch(
     if metric not in ("cosine", "euclidean", "dot_product"):
         raise ValueError(f"unknown metric {metric!r}")
     C = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
+    # engine-wide NULL rule + Arrow collect — see pq_search_batch
+    queries = _drop_null_vectors(queries, query_vec_col)
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if len(qpdf) == 0:
         raise ValueError("empty query set")
-    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    q_ids = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    Q = np.asarray(qpdf[query_vec_col].to_list(), dtype=np.float64)
+    n_queries_driver = len(qpdf)
+    del qpdf
     nlist = len(C)
     nprobe = max(1, min(int(nprobe), nlist))
     ascending = metric_ascending(metric)
@@ -549,7 +593,7 @@ def ivfpq_search_batch(
             F.col("_approx").alias("score"),
         )
     cand_ids = cand_topk.select(id_col).distinct()
-    big_batch = len(qrows) > EXPR_MAX_QUERIES
+    big_batch = n_queries_driver > EXPR_MAX_QUERIES
     if big_batch:
         # same eager-probe discipline as pq_search_batch above
         cand_ids = cand_ids.localCheckpoint(eager=False)
@@ -645,6 +689,9 @@ def tune_overfetch(
                 coded, queries, pq, k=k, metric=metric, overfetch=c,
                 id_col=id_col, code_col=code_col,
                 query_vec_col=query_vec_col, query_id_col=query_id_col,
+                # the tuner measures the ADC tier's recall curve: the
+                # saturation delegation would flatten it to 1.0
+                delegate_saturation=None,
             )
         hits = approx.select("query_id", id_col).join(
             exact, on=["query_id", id_col]

@@ -1637,7 +1637,10 @@ def q_pq_knn(spark, sf_dir):
     queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
         F.col("id").alias("query_id"), "embedding"
     )
-    return pq_search_batch(coded, queries, pq, k=KNN_K, overfetch=4)
+    # the scale twin measures the QUANTIZED tier: pin the ADC plan
+    return pq_search_batch(
+        coded, queries, pq, k=KNN_K, overfetch=4, delegate_saturation=None
+    )
 
 
 def q_pq_recall_gate(spark, sf_dir):
@@ -1653,7 +1656,9 @@ def q_pq_recall_gate(spark, sf_dir):
     queries = coded.where(F.col("id") < N_KNN_QUERIES).select(
         F.col("id").alias("query_id"), "embedding"
     )
-    approx = pq_search_batch(coded, queries, pq, k=KNN_K, overfetch=4)
+    approx = pq_search_batch(
+        coded, queries, pq, k=KNN_K, overfetch=4, delegate_saturation=None
+    )
     exact = knn_join(coded.drop("pq_code"), queries, k=KNN_K)
     return _recall_gate(approx, exact)
 
@@ -1739,7 +1744,9 @@ def q_pq_clustered_recall_gate(spark, sf_dir):
     queries = coded.where(F.col("id") < n_q).select(
         F.col("id").alias("query_id"), "embedding"
     )
-    approx = pq_search_batch(coded, queries, pq, k=KNN_K, overfetch=4)
+    approx = pq_search_batch(
+        coded, queries, pq, k=KNN_K, overfetch=4, delegate_saturation=None
+    )
     exact = knn_join(clustered, queries, k=KNN_K)
     return _recall_gate(approx, exact)
 

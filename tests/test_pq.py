@@ -280,7 +280,7 @@ def test_tune_overfetch_picks_smallest_sufficient(spark, vectors, coded, pq):
     # direct search at the chosen overfetch reproduces the recall
     exact = knn_join(vectors, queries, k=K).select("query_id", "id")
     approx = pq_search_batch(
-        coded, queries, pq, k=K, overfetch=chosen
+        coded, queries, pq, k=K, overfetch=chosen, delegate_saturation=None
     ).select("query_id", "id")
     n = exact.count()
     got = approx.join(exact, on=["query_id", "id"]).count() / n
@@ -323,3 +323,88 @@ def test_tune_overfetch_rejects_bad_params(spark, vectors, coded, pq):
         tune_overfetch(
             coded, queries.where(F.col("query_id") < 0), pq
         )
+
+
+def test_pq_null_query_parity(spark, coded, pq, vec_np):
+    """r11 engine-wide NULL-rule probe: pq_search_batch excludes a NULL
+    query vector (or NULL element) exactly as every kNN strategy does —
+    the r9/r10 inhomogeneous-shape crash class, found on this operator
+    by the same probe that found bq's."""
+    from mlx_vector_db_spark.operators.pq import pq_search_batch
+
+    rows = [
+        (0, vec_np[0].tolist()),
+        (1, None),
+        (2, vec_np[2].tolist()),
+        (3, [None if j == 3 else float(vec_np[3][j])
+             for j in range(vec_np.shape[1])]),
+    ]
+    nullq = spark.createDataFrame(rows, "query_id long, embedding array<float>")
+    out = pq_search_batch(coded, nullq, pq, k=5, overfetch=4)
+    assert {r["query_id"] for r in out.collect()} == {0, 2}
+    allnull = spark.createDataFrame(
+        [(0, None)], "query_id long, embedding array<float>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty query"):
+        pq_search_batch(coded, allnull, pq, k=5)
+
+
+def test_ivfpq_null_query_parity(spark, vectors, vec_np):
+    """Same probe for the fused IVF-PQ kernel and IVFIndex.search_batch."""
+    from mlx_vector_db_spark.operators.ann import build_ivf
+    from mlx_vector_db_spark.operators.pq import ivfpq_search_batch, train_pq
+
+    indexed, ivf = build_ivf(vectors, nlist=4, seed=3, max_iter=5)
+    pq2 = train_pq(indexed, m=4, nbits=4, seed=1, centroids=ivf.centroids)
+    coded2 = pq2.encode(indexed)
+    nullq = spark.createDataFrame(
+        [(0, vec_np[0].tolist()), (1, None), (2, vec_np[2].tolist())],
+        "query_id long, embedding array<float>",
+    )
+    out = ivfpq_search_batch(
+        coded2, nullq, pq2, ivf.centroids, k=5, nprobe=4, overfetch=4
+    )
+    assert {r["query_id"] for r in out.collect()} == {0, 2}
+    ivf_out = ivf.search_batch(indexed, nullq, k=5, nprobe=4)
+    assert {r["query_id"] for r in ivf_out.collect()} == {0, 2}
+    import pytest as _pt
+
+    allnull = spark.createDataFrame(
+        [(0, None)], "query_id long, embedding array<float>"
+    )
+    with _pt.raises(ValueError, match="empty query"):
+        ivf.search_batch(indexed, allnull, k=5)
+
+
+def test_pq_saturation_delegates_to_exact(spark, coded, pq, vec_np, vectors):
+    """M*take >= 0.25*N: pq_search_batch IS knn_join — no semi-join in
+    the plan, results bit-identical to the exact scan (the bq guard,
+    applied symmetrically in r11)."""
+    from mlx_vector_db_spark.operators.pq import pq_search_batch as psb
+
+    queries = spark.createDataFrame(
+        [(i, vec_np[i].tolist()) for i in range(20)],
+        "query_id long, embedding array<float>",
+    )
+    out = psb(coded, queries, pq, k=K, overfetch=32)  # 20*320*4 >= 2000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    exact = knn_join(vectors, queries, k=K)
+    a = [(r["query_id"], r["id"], r["rank"])
+         for r in out.orderBy("query_id", "rank").collect()]
+    e = [(r["query_id"], r["id"], r["rank"])
+         for r in exact.orderBy("query_id", "rank").collect()]
+    assert a == e
+
+
+def test_pq_unsaturated_keeps_two_pass(spark, coded, pq, vec_np):
+    from mlx_vector_db_spark.operators.pq import pq_search_batch as psb
+
+    one = spark.createDataFrame(
+        [(0, vec_np[0].tolist())], "query_id long, embedding array<float>"
+    )
+    out = psb(coded, one, pq, k=K, overfetch=2)  # 1*20*4 << 2000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
