@@ -2037,6 +2037,26 @@ class VectorStore:
         # the old if/elif skipped BQ entirely when a built PQ artifact
         # failed, silently running the full exact scan)
         pruned = False
+        if use_quantized:
+            # candidate-saturation guard (r11, the bq/pq_search_batch
+            # rule): when M * k * overfetch over-fetches a large share
+            # of the store, the "pruning" semi-join keeps most rows,
+            # the candidate exchange costs overfetch x the exact
+            # sweep's, and every quantized first pass is pure overhead
+            # — measured 8.3x at 10k queries x 2M rows. Both probes are
+            # LIMIT-bounded (early-exit) and memoized.
+            from mlx_vector_db_spark.operators.knn import (
+                _bounded_query_count,
+            )
+
+            take = int(k) * max(int(overfetch), 16)
+            # the query count probe is bounded at 64k: past it the
+            # saturation bound below UNDERestimates (a conservative
+            # miss keeps the quantized pass; never wrong results)
+            m_probe = _bounded_query_count(queries, 65_536)
+            sat_bound = 4 * m_probe * take
+            if _bounded_query_count(df.select("id"), sat_bound) <= sat_bound:
+                use_quantized = False
         if use_quantized and self.config.pq:
             # any PQ-artifact trouble falls back to the tiers below —
             # same silent-exact-fallback contract query() keeps

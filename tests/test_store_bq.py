@@ -125,3 +125,26 @@ def test_rebuild_bq_replaces_codes(store):
     second = store.config.bq["thresholds"]
     assert first != second
     assert store.to_df().where(F.col("bq_code").isNull()).count() == 0
+
+
+def test_batch_query_saturation_guard(store):
+    """r11: batch_query skips the quantized first pass when
+    M*k*overfetch over-fetches most of the store (the bq/pq operator
+    rule) — the plan loses its pruning semi-join but values are the
+    exact top-k either way; an UNsaturated call keeps the pruned plan."""
+    store.build_bq()
+    spark = store.catalog.spark
+    one = spark.createDataFrame(
+        [(0, store._test_vecs[0].tolist())],
+        "query_id long, embedding array<float>",
+    )
+    # saturated: 1 query * k=10 * floor(16) * 4 = 640 >= 300 rows
+    sat = store.batch_query(one, k=10, use_quantized=True, overfetch=4)
+    assert "LeftSemi" not in sat._jdf.queryExecution().executedPlan().toString()
+    # unsaturated: 1 * k=1 * floor(16) * 4 = 64 < 300 rows
+    unsat = store.batch_query(one, k=1, use_quantized=True, overfetch=1)
+    assert "LeftSemi" in unsat._jdf.queryExecution().executedPlan().toString()
+    exact = store.batch_query(one, k=10, use_quantized=False)
+    a = [(r["query_id"], r["id"]) for r in sat.orderBy("rank").collect()]
+    e = [(r["query_id"], r["id"]) for r in exact.orderBy("rank").collect()]
+    assert a == e
