@@ -212,6 +212,55 @@ def q_maxsim_blocked_parity(spark, sf_dir):
     return _maxsim(spark, sf_dir, "blocked")
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label vector centroid + count + centroid norm (the vector
+    AGGREGATION gap: every other vector entry searches or compresses;
+    a 100 TB curation pipeline also needs per-group mean vectors for
+    cluster summaries, drift monitors, and cheap class prototypes).
+
+    Spark-first shape: posexplode -> groupBy(label, pos) avg —
+    the (label, pos) partial aggregate is map-side combinable, so the
+    one shuffle carries labels x dim rows (hundreds), NOT the exploded
+    token stream; the array is reassembled with sort_array(collect_list)
+    over those few rows. Oracle: DuckDB unnest + generate_subscripts.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.first("n").alias("n_vectors"),
+            F.sort_array(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pairs"),
+        )
+        .select(
+            "label",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.transform("pairs", lambda p: F.round(p["m"], 6)).alias(
+                "centroid"
+            ),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        "pairs",
+                        F.lit(0.0),
+                        lambda acc, p: acc + p["m"] * p["m"],
+                    )
+                ),
+                6,
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_maxsim_funnel_recall_gate(spark, sf_dir):
     """PLAID-shaped late-interaction funnel: sign-bit Hamming MaxSim
     candidate pass over packed token CODES (1/32nd the bytes, zero
@@ -3700,6 +3749,7 @@ QUERIES: dict[str, QueryFn] = {
     "maxsim_topk": q_maxsim_topk,
     "maxsim_blocked_parity": q_maxsim_blocked_parity,
     "maxsim_funnel_recall_gate": q_maxsim_funnel_recall_gate,
+    "label_centroids": q_label_centroids,
     "ivf_recall_gate": q_ivf_recall_gate,
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
@@ -4299,6 +4349,20 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     "maxsim_funnel_recall_gate": """
         SELECT DISTINCT (vec_id // 4)::BIGINT AS query_id, TRUE AS passed
         FROM embeddings WHERE vec_id < 16 ORDER BY query_id
+    """,
+    "label_centroids": """
+        WITH t AS (
+          SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding::DOUBLE[]) AS val
+          FROM embeddings
+        ), d AS (
+          SELECT label, pos, avg(val) AS m, count(*)::BIGINT AS n
+          FROM t GROUP BY label, pos
+        )
+        SELECT label, first(n) AS n_vectors,
+               list(round(m, 6) ORDER BY pos) AS centroid,
+               round(sqrt(sum(m * m)), 6) AS centroid_norm
+        FROM d GROUP BY label ORDER BY label
     """,
     # greedy skip-packing: recursive CTE walks rank order per lang and
     # accumulates ONLY kept lengths (overflowing rows are skipped, not a

@@ -86,3 +86,26 @@ def test_rows_only_queries_run(spark, sf_medium, name):
     if name in {"minhash_neardup_pairs", "simhash_neardup_pairs",
                 "chunk_documents", "ivf_knn", "rag_pipeline"}:
         assert n > 0, f"{name} expected non-empty output at sf0.01"
+
+
+def test_label_centroids_numpy_oracle(spark, sf_small):
+    """Per-label centroid entry vs a driver-side numpy mean."""
+    import numpy as np
+
+    from mlx_vector_db_spark.queries import QUERIES
+
+    out = {r["label"]: r for r in QUERIES["label_centroids"](spark, sf_small).collect()}
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    assert set(out) == set(by_label)
+    for lab, vecs in by_label.items():
+        X = np.asarray(vecs, dtype=np.float64)
+        want = X.mean(axis=0)
+        got = np.asarray(out[lab]["centroid"])
+        assert out[lab]["n_vectors"] == len(vecs)
+        np.testing.assert_allclose(got, np.round(want, 6), atol=1.1e-6)
+        assert out[lab]["centroid_norm"] == pytest.approx(
+            float(np.linalg.norm(want)), abs=2e-6
+        )
