@@ -212,6 +212,46 @@ def q_maxsim_blocked_parity(spark, sf_dir):
     return _maxsim(spark, sf_dir, "blocked")
 
 
+def q_knn_grouped(spark, sf_dir):
+    """Grouped kNN: top-3 neighbors per (query, label) — the
+    "retrieve within each category" serving shape (faceted search,
+    per-class nearest prototypes). Pure composition of the engine's
+    pieces: pushdown-friendly scan, broadcast query block, JVM cosine,
+    and ONE WindowGroupLimit whose partition key is (query_id, label)
+    — the per-group limit cuts each shuffle partition to k rows per
+    (query, label) before the sort, so the plan scales exactly like
+    knn_join with a wider window key."""
+    from mlx_vector_db_spark.functions.vector import score_for_metric
+    from mlx_vector_db_spark.operators.topk import top_k_per_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = F.broadcast(
+        emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("_qvec"),
+        )
+    )
+    scored = emb.crossJoin(qdf).select(
+        "query_id",
+        "label",
+        "vec_id",
+        score_for_metric("cosine", "embedding", F.col("_qvec")).alias("s"),
+    )
+    out = top_k_per_group(
+        scored,
+        ["query_id", "label"],
+        [F.col("s").desc(), F.col("vec_id").asc()],
+        3,
+    )
+    return out.select(
+        "query_id",
+        "label",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("s", 6).alias("score"),
+    ).orderBy("query_id", "label", "rank")
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label vector centroid + count + centroid norm (the vector
     AGGREGATION gap: every other vector entry searches or compresses;
@@ -3750,6 +3790,7 @@ QUERIES: dict[str, QueryFn] = {
     "maxsim_blocked_parity": q_maxsim_blocked_parity,
     "maxsim_funnel_recall_gate": q_maxsim_funnel_recall_gate,
     "label_centroids": q_label_centroids,
+    "knn_grouped_topk": q_knn_grouped,
     "ivf_recall_gate": q_ivf_recall_gate,
     "pq_recall_gate": q_pq_recall_gate,
     "ivfpq_recall_gate": q_ivfpq_recall_gate,
@@ -4364,6 +4405,26 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
                round(sqrt(sum(m * m)), 6) AS centroid_norm
         FROM d GROUP BY label ORDER BY label
     """,
+    "knn_grouped_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3
+        ), v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+        ), scored AS (
+          SELECT q.query_id, v.label, v.vec_id, {cos} AS s
+          FROM q CROSS JOIN v
+        ), ranked AS (
+          SELECT query_id, label, vec_id, s,
+                 row_number() OVER (
+                   PARTITION BY query_id, label ORDER BY s DESC, vec_id
+                 ) AS rnk
+          FROM scored
+        )
+        SELECT query_id, label, vec_id, rnk::INTEGER AS rank,
+               round(s, 6) AS score
+        FROM ranked WHERE rnk <= 3 ORDER BY query_id, label, rank
+    """.replace("{cos}", _COSINE_SQL.replace("q.qv", "q.qv")),
     # greedy skip-packing: recursive CTE walks rank order per lang and
     # accumulates ONLY kept lengths (overflowing rows are skipped, not a
     # break — reference integrations/mlx_lm_pipeline.py:741-752)
