@@ -231,7 +231,10 @@ def q_knn_grouped(spark, sf_dir):
             F.col("embedding").cast("array<double>").alias("_qvec"),
         )
     )
-    scored = emb.crossJoin(qdf).select(
+    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+
+    src = rebalance_for_compute(emb.select("vec_id", "label", "embedding"))
+    scored = src.crossJoin(qdf).select(
         "query_id",
         "label",
         "vec_id",
