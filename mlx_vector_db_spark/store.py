@@ -2039,25 +2039,40 @@ class VectorStore:
         pruned = False
         if use_quantized:
             # candidate-saturation guard (r11, the bq/pq_search_batch
-            # rule): when M * k * overfetch over-fetches a large share
-            # of the store, the "pruning" semi-join keeps most rows,
-            # the candidate exchange costs overfetch x the exact
-            # sweep's, and every quantized first pass is pure overhead
-            # — measured 8.3x at 10k queries x 2M rows. Both probes are
+            # rule): when M * take over-fetches a large share of the
+            # store, the "pruning" semi-join keeps most rows, the
+            # candidate exchange costs overfetch x the exact sweep's,
+            # and every quantized first pass is pure overhead —
+            # measured 8.3x at 10k queries x 2M rows. Both probes are
             # LIMIT-bounded (early-exit) and memoized.
             from mlx_vector_db_spark.operators.knn import (
                 _bounded_query_count,
             )
 
-            take = int(k) * max(int(overfetch), 16)
             # the query count probe is bounded at 64k: past it the
             # saturation bound below UNDERestimates (a conservative
             # miss keeps the quantized pass; never wrong results)
             m_probe = _bounded_query_count(queries, 65_536)
-            sat_bound = 4 * m_probe * take
-            if _bounded_query_count(df.select("id"), sat_bound) <= sat_bound:
-                use_quantized = False
-        if use_quantized and self.config.pq:
+
+            def _tier_saturated(take: int) -> bool:
+                # ADVICE r11: the guard uses the take of the tier
+                # ACTUALLY attempted — PQ/int8 over-fetch k*overfetch,
+                # BQ floors at 16 for 1-bit resolution — so a PQ-only
+                # store keeps its compressed scan up to the same 0.25
+                # saturation rule the operators apply internally,
+                # instead of forfeiting it 4x early under BQ's floor.
+                bound = 4 * m_probe * take
+                return (
+                    _bounded_query_count(df.select("id"), bound) <= bound
+                )
+
+        take_raw = int(k) * int(overfetch)
+        take_bq = int(k) * max(int(overfetch), 16)
+        if (
+            use_quantized
+            and self.config.pq
+            and not _tier_saturated(take_raw)
+        ):
             # any PQ-artifact trouble falls back to the tiers below —
             # same silent-exact-fallback contract query() keeps
             # (reference :142-145)
@@ -2093,7 +2108,12 @@ class VectorStore:
                 pruned = True
             except Exception:
                 df = self.to_df()
-        if use_quantized and not pruned and self.config.bq:
+        if (
+            use_quantized
+            and not pruned
+            and self.config.bq
+            and not _tier_saturated(take_bq)
+        ):
             # sign-code Hamming candidates per query, exact re-rank of
             # the union below — the batch twin of _query_bq_first_pass
             # (over-fetch floored at 16 for 1-bit resolution)
@@ -2114,7 +2134,12 @@ class VectorStore:
                 pruned = True
             except Exception:
                 df = self.to_df()
-        if use_quantized and not pruned and self.config.quantize:
+        if (
+            use_quantized
+            and not pruned
+            and self.config.quantize
+            and not _tier_saturated(take_raw)
+        ):
             from mlx_vector_db_spark.functions.vector import dequantize_int8
 
             first = knn_join(

@@ -191,3 +191,27 @@ def test_store_tune_overfetch(store):
     )
     assert chosen in curve and curve[chosen] >= 0.9
     assert all(curve[c] < 0.9 for c in curve if c < chosen)
+
+
+def test_pq_tier_saturation_take_is_raw_overfetch(store, spark):
+    """ADVICE r11: the batch_query saturation guard uses the take of the
+    tier actually attempted. A PQ-only store over-fetches k*overfetch
+    (no BQ floor-16), so at 1 query * k=10 * overfetch=4 * 4 = 160 <
+    300 rows the compressed first pass must STAY (pruned LeftSemi in
+    the plan) — the old guard's BQ-floored take (640 >= 300) disabled
+    it 4x early. Values equal exact either way."""
+    store.build_pq(m=4, nbits=8)
+    one = spark.createDataFrame(
+        [(0, store._test_vecs[3].tolist())],
+        "query_id long, embedding array<float>",
+    )
+    pruned = store.batch_query(one, k=10, use_quantized=True, overfetch=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # and the raw take saturates too when big enough: 1*10*32*4 >= 300
+    sat = store.batch_query(one, k=10, use_quantized=True, overfetch=32)
+    assert "LeftSemi" not in sat._jdf.queryExecution().executedPlan().toString()
+    exact = store.batch_query(one, k=10, use_quantized=False)
+    a = [(r["query_id"], r["id"]) for r in pruned.orderBy("rank").collect()]
+    e = [(r["query_id"], r["id"]) for r in exact.orderBy("rank").collect()]
+    assert a == e
