@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     # catalog shape; the blocked sweep's decade rows live in
     # BENCH_r11_maxsim_decades.json)
     "maxsim_topk",
+    # r12: the PLAID-shaped funnel over persisted artifacts — search
+    # only (build amortized in prewarm), giving the sf100 finding a
+    # tracked sf0.1 band
+    "maxsim_funnel_topk",
     "pricing_summary",
     "top_orders",
     "region_revenue",

@@ -572,6 +572,7 @@ def maxsim_funnel(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     filter_metadata: Mapping[str, Any] | None = None,
+    doc_tokens_packed: bool = False,
 ) -> DataFrame:
     """Two-pass late interaction (the PLAID-shaped funnel): a sign-bit
     Hamming MaxSim candidate pass over :func:`pack_doc_token_codes`
@@ -766,6 +767,9 @@ def maxsim_funnel(
     cand_ids = cand_topk.select("doc_id").distinct().withColumnRenamed(
         "doc_id", doc_id_col
     )
+    # the semi-join prunes the float token scan to candidates only;
+    # doc_tokens_packed lets a store-materialized (doc_id, token_vecs)
+    # table feed the re-rank without an explode/re-pack round trip
     subset = doc_tokens.join(cand_ids, on=doc_id_col, how="left_semi")
     return maxsim_join(
         subset,
@@ -776,4 +780,5 @@ def maxsim_funnel(
         vec_col=vec_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
+        doc_tokens_packed=doc_tokens_packed,
     )

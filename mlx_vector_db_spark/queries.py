@@ -343,6 +343,71 @@ def q_maxsim_funnel_recall_gate(spark, sf_dir):
     )
 
 
+_MAXSIM_FUNNEL_ARTIFACTS: dict[str, tuple[str, str, object]] = {}
+
+
+def _maxsim_funnel_artifact(spark, sf_dir):
+    """Build-once artifacts for the late-interaction funnel bench row
+    (the _bq_artifact discipline): the packed float token table and its
+    sign-bit code table materialized to parquet once per sf_dir, so the
+    timed q_maxsim_funnel_topk measures funnel SEARCH — bit-kernel
+    candidate pass + semi-joined exact re-rank — not BQ training or
+    packing (one-time persisted build work, store.build_token_codes)."""
+    key = str(sf_dir).rstrip("/")
+    hit = _MAXSIM_FUNNEL_ARTIFACTS.get(key)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    from mlx_vector_db_spark.operators.bq import train_bq
+    from mlx_vector_db_spark.operators.maxsim import (
+        pack_doc_token_codes,
+        pack_doc_tokens,
+    )
+
+    emb = _t(spark, key, "embeddings")
+    docs = emb.select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("doc_id"),
+        "embedding",
+    )
+    bq = train_bq(docs, seed=42)
+    tok_path = tempfile.mkdtemp(prefix="maxsim-tokens-")
+    pack_doc_tokens(docs).write.mode("overwrite").parquet(tok_path)
+    code_path = tempfile.mkdtemp(prefix="maxsim-codes-")
+    pack_doc_token_codes(docs, bq).write.mode("overwrite").parquet(code_path)
+    _MAXSIM_FUNNEL_ARTIFACTS[key] = (tok_path, code_path, bq)
+    return tok_path, code_path, bq
+
+
+def q_maxsim_funnel_topk(spark, sf_dir):
+    """Rows-only bench/scale twin of maxsim_funnel_recall_gate: the
+    PLAID-shaped funnel alone over persisted packed-token + sign-code
+    artifacts at the catalog shape (4 queries x 4 tokens, overfetch 8).
+    Approximate by nature — the in-window recall gate pins its quality;
+    this row gives the sf100 finding (13.83s at 2M tokens,
+    BENCH_r11_maxsim_funnel_sf100.json) a tracked per-round sf0.1
+    band."""
+    from mlx_vector_db_spark.operators.maxsim import maxsim_funnel
+
+    tok_path, code_path, bq = _maxsim_funnel_artifact(spark, sf_dir)
+    packed = spark.read.parquet(tok_path)
+    codes = spark.read.parquet(code_path)
+    emb = _t(spark, sf_dir, "embeddings")
+    qtok = emb.where(F.col("vec_id") < 16).select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("query_id"),
+        "embedding",
+    )
+    out = maxsim_funnel(
+        codes, packed, qtok, bq, k=5, overfetch=8, doc_tokens_packed=True
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_knn_chunked_parity(spark, sf_dir):
     """Huge-Q chunked k-NN (operators/knn.py knn_join_chunked), value-
     gated directly against the DuckDB brute-force oracle: 30 queries
@@ -1239,6 +1304,7 @@ def prewarm(spark, sf_dir) -> None:
     _pq_artifact(spark, sf_dir)
     _ivfpq_artifact(spark, sf_dir)
     _bq_artifact(spark, sf_dir)
+    _maxsim_funnel_artifact(spark, sf_dir)
 
 
 def q_ivf_knn(spark, sf_dir):
@@ -2996,6 +3062,58 @@ def q_store_lifecycle_gate(spark, sf_dir):
     )
 
 
+def q_store_maxsim_gate(spark, sf_dir):
+    """The store's multi-vector (token) tier end-to-end under the FULL
+    value gate (r12: late interaction as a first-class store
+    capability, store.py add_token_vectors/build_token_codes/
+    maxsim_query — beyond-reference: the reference engine is
+    single-vector-per-row throughout, service/vector_store.py).
+
+    Lifecycle exercised in one entry: create -> add_token_vectors
+    (integral-id contract, packing, NULL rule, write validation) ->
+    build_token_codes (sign-bit funnel artifact persisted in config) ->
+    maxsim_query(funnel=True) at SATURATING overfetch — the funnel's
+    candidate set is then every doc, so the output must EQUAL the exact
+    late-interaction operator and therefore the same DuckDB MaxSim
+    oracle that pins maxsim_topk/maxsim_blocked_parity, value hash and
+    all."""
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"vdb-maxsim-gate-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    cat = VectorStoreCatalog(spark, root)
+    st = cat.create_store("gate", "tok", dimension=64)
+    emb = _t(spark, sf_dir, "embeddings")
+    st.add_token_vectors(
+        emb.select(
+            F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("doc_id"),
+            "embedding",
+        )
+    )
+    st.build_token_codes()
+    qtok = emb.where(F.col("vec_id") < 16).select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("query_id"),
+        "embedding",
+    )
+    n_docs = st.token_df().count()
+    out = st.maxsim_query(
+        qtok, k=5, funnel=True, overfetch=(n_docs + 4) // 5
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ingest_dedup_gate(spark, sf_dir):
     """Dedup-on-write under the value gate: a store seeded with
     embeddings [0, 50) screens a batch of [25, 75) at cosine >= 0.999 —
@@ -3753,6 +3871,7 @@ QUERIES: dict[str, QueryFn] = {
     "ingest_dedup_gate": q_ingest_dedup_gate,
     "streaming_dedup_gate": q_streaming_dedup_gate,
     "store_lifecycle_gate": q_store_lifecycle_gate,
+    "store_maxsim_gate": q_store_maxsim_gate,
     "returned_item_revenue": q_returned_item_revenue,
     "product_profit": q_product_profit,
     "supplier_top_parts": q_supplier_top_parts,
@@ -3861,91 +3980,89 @@ QUERIES: dict[str, QueryFn] = {
     # semdedup_gate respectively
     "ivfpq_knn": q_ivfpq_knn,
     "semdedup_embeddings": q_semdedup_embeddings,
+    # rows-only bench twin (r12): approximate funnel ranking by nature;
+    # exactness gated by maxsim_funnel_recall_gate
+    "maxsim_funnel_topk": q_maxsim_funnel_topk,
 }
 
-# r11 window rotation (VERDICT r10 #4): the driver oracle-checks the
+# r12 window rotation (VERDICT r11 #4): the driver oracle-checks the
 # FIRST 50 registry entries each round, so the order is rebuilt here
 # from an explicit list. Composition: (a) every entry exercising code
-# changed in r11 — bq.py was substantially rewritten (NULL-query
-# parity, SWAR-vectorized sliced Hamming pass with per-task top-k
-# reduce, Arrow query collect), knn.py gained the LongType delegation
-# gate and the bound-keyed probe cache, pq.py/mrl.py pass 2 gained the
-# checkpointed-candidate eager-probe discipline, and store.py's
-# batch_query tier chain now falls through PQ->BQ->int8; (b) the
-# cohort VERDICT r10 named as displaced — the events_* window family
-# and the six decision shapes; (c) the remaining slots to the oldest
-# r9-window rows (fuzzy/pipeline/dedup cohort). Rotated-out entries
-# stay oracle-checked by the per-round builder sweep
-# (tools/oracle_sweep.py, SWEEP_r11.txt records ALL entries) and judge
-# re-runs.
-_R11_WINDOW = [
-    # (a) r11 changed-code cohort: the full bq_* family (bq.py
-    # rewrite), the pq/ivfpq gates + rows-only twins (pass-2
-    # delegation/checkpoint changes; pq_knn also adjudicates the r10
-    # drift watch), mrl/mmr (pass-2 checkpoint), a knn_* subset (gate +
-    # cache key), and the store/tuner gates (batch_query fallthrough)
-    "bq_recall_gate",
-    "bq_clustered_recall_gate",
-    "bq_tune_gate",
-    "bq_knn",
-    "pq_clustered_recall_gate",
-    "ivfpq_clustered_recall_gate",
-    "pq_knn",
-    "ivfpq_knn",
-    "mrl_recall_gate",
-    "mmr_rerank_topk",
-    "knn_cosine_topk",
-    "knn_qblocked_parity",
-    "knn_chunked_parity",
-    "store_lifecycle_gate",
-    "tune_overfetch_gate",
-    # (b) the displaced cohort VERDICT r10 named: the events_* window
-    # family + the six decision shapes
-    "events_rolling_avg",
-    "events_histogram",
-    "events_pivot",
-    "events_sliding",
-    "events_range_frame",
-    "events_json_extract",
-    "events_unpivot",
-    "events_sessionize",
-    "user_journey",
-    "brand_price_median",
-    "customer_balance_tiles",
-    "lineitem_quantity_quantiles",
-    "parts_above_avg",
-    "priority_intersect",
-    "orders_late_exists",
-    # (c) oldest r9-window rows: the fuzzy / LLM-pipeline / dedup
-    # cohort last driver-green in r9 or earlier
-    "embedding_stats",
-    "rag_pack_gate",
-    "part_fuzzy_pairs",
-    "embed_docs_384",
-    "chunk_documents",
-    "dedup_components",
-    "component_safe_split",
-    "bpe_train_distributed_gate",
-    "bpe_encode_gate",
-    "bm25_topk",
-    "hybrid_rrf",
-    "doc_perplexity_bigram",
-    "ngram_contamination",
-    "winnow_crossdoc_pairs",
-    "pii_redact",
-    "text_jaccard_autocap",
-    "simhash_exactness_gate",
-    "dedup_exact",
-    # (a') two slots reassigned mid-round from the (c) filler cohort
-    # (events_asof_purchase, part_price_bands — both judge-green in r10
-    # and covered by the sweep) to the round's NEW operator: both MaxSim
-    # physical strategies under their full value-hash oracle
+# changed in r12 — the whole MaxSim family (token-budget chunking,
+# id fail-fast, packed NULL rule, filter_metadata, funnel packed
+# re-rank), the NEW store token tier (store_maxsim_gate), and
+# store.batch_query's per-tier saturation take (store_lifecycle_gate)
+# — including the three r11 entries never driver-checked
+# (maxsim_funnel_recall_gate, label_centroids, knn_grouped_topk) and
+# the one registry entry never driver-checked at all
+# (semdedup_embeddings, rows-only twin); (b) the cohort VERDICT r11
+# named as displaced this round; (c) the TPC-H decision shapes rotated
+# out in r11; (d) remaining slots by staleness — last driver-green r5
+# (ivf_knn/minhash/simhash pairs/rag_pipeline), r7, r8, then r9.
+# Rotated-out entries stay oracle-checked by the per-round builder
+# sweep (tools/oracle_sweep.py) and judge re-runs.
+_R12_WINDOW = [
+    # (a) r12 changed-code cohort + never-driver-checked entries
+    "store_maxsim_gate",
     "maxsim_topk",
     "maxsim_blocked_parity",
+    "maxsim_funnel_recall_gate",
+    "label_centroids",
+    "knn_grouped_topk",
+    "store_lifecycle_gate",
+    "semdedup_embeddings",
+    # (b) the displaced cohort VERDICT r11 named
+    "rerank_topk",
+    "lsh_recall_gate",
+    "minhash_recall_gate",
+    "minhash_dedup_clustered",
+    "corpus_pipeline_gate",
+    "semdedup_gate",
+    "jl_projection_gate",
+    "quality_threshold_calibration",
+    "mixture_plan",
+    "mixture_sample",
+    "streaming_knn_gate",
+    "dsir_gumbel_sample",
+    # (c) the TPC-H decision shapes rotated out in r11
+    "returned_item_revenue",
+    "product_profit",
+    "supplier_top_parts",
+    "customer_segment_stats",
+    "lineitem_percentile_cont",
+    "lineitem_conditional",
+    "orders_monthly_growth",
+    "salted_join_parity",
+    # (d) staleness fillers: last driver-green r5
+    "ivf_knn",
+    "minhash_neardup_pairs",
+    "rag_pipeline",
+    "simhash_neardup_pairs",
+    # ... r7
+    "approx_distinct_gate",
+    "orders_grouping_sets",
+    "part_price_bands",
+    # ... r8
+    "boilerplate_removal",
+    "customer_order_distribution",
+    "distinct_users",
+    "events_multi_rollup",
+    "source_lang_agreement",
+    "weighted_mixture",
+    # ... r9
+    "approx_quantile_gate",
+    "bpe_pair_counts",
+    "bpe_train_gate",
+    "customers_without_orders",
+    "discounted_revenue",
+    "doc_perplexity",
+    "doc_repetition",
+    "doc_winnow_fp",
+    "embedding_neardup",
 ]
-assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)
 }
 
 _JACCARD_SHINGLES_BODY = """
@@ -4388,6 +4505,9 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     # packed-doc BLAS sweep + task-level top-k reduce)
     "maxsim_topk": _MAXSIM_ORACLE,
     "maxsim_blocked_parity": _MAXSIM_ORACLE,
+    # the store token tier at saturating overfetch EQUALS the exact
+    # operator, so it shares the exact MaxSim ground truth
+    "store_maxsim_gate": _MAXSIM_ORACLE,
     # the funnel gate asserts every query's recall bar cleared — same
     # all-pass contract as the bq/ivf/pq recall-gate oracles
     "maxsim_funnel_recall_gate": """
