@@ -573,6 +573,7 @@ def maxsim_funnel(
     query_vec_col: str = "embedding",
     filter_metadata: Mapping[str, Any] | None = None,
     doc_tokens_packed: bool = False,
+    delegate_saturation: float | None = 0.25,
 ) -> DataFrame:
     """Two-pass late interaction (the PLAID-shaped funnel): a sign-bit
     Hamming MaxSim candidate pass over :func:`pack_doc_token_codes`
@@ -603,6 +604,18 @@ def maxsim_funnel(
     budget is spent corpus-wide and a heavily-selective filter can
     return fewer than ``k`` rows (raise ``overfetch``, or carry the
     hot key on the codes frame to make it a pushed prune).
+
+    Candidate-saturation delegation (``delegate_saturation``, the
+    engine-wide r11 rule, operators/bq.py): once ``M * k * overfetch >=
+    delegate_saturation * n_docs`` the "pruning" candidate pass keeps
+    most of the corpus, the exact re-rank approaches a full second
+    sweep, and the two-pass plan is strictly worse than ONE exact sweep
+    — measured r12 at 10k docs x 128 tokens/doc, 100 queries x 32
+    tokens: funnel 30.6s vs exact blocked 6.3s (BENCH_r12_maxsim_
+    density.json). Both probes are LIMIT-bounded and memoized; the
+    delegated plan returns the identical schema with EXACT results
+    (recall error disappears, never appears). ``None`` pins the funnel
+    (gates/benches that measure the tier itself).
     """
     from mlx_vector_db_spark.operators.bq import (
         BQModel,
@@ -627,6 +640,34 @@ def maxsim_funnel(
         doc_tokens = apply_metadata_filter(doc_tokens, filter_metadata)
     doc_token_codes = _drop_null_packed(doc_token_codes, "token_codes")
     queries = _drop_null_vectors(query_tokens, query_vec_col)
+    take = int(k) * int(overfetch)
+    if delegate_saturation is not None:
+        # LIMIT-bounded, memoized probes (the bq/pq_search_batch shape):
+        # M distinct queries, then only enough of the (doc_id)-projected
+        # code scan to decide saturation
+        m_probe = _bounded_query_count(
+            queries.select(query_id_col).distinct(), 65_536
+        )
+        sat_bound = int(m_probe * take / float(delegate_saturation))
+        if (
+            m_probe > 0  # empty query set keeps the fail-fast below
+        ) and (
+            _bounded_query_count(
+                doc_token_codes.select(doc_id_col), sat_bound
+            )
+            <= sat_bound
+        ):
+            return maxsim_join(
+                doc_tokens,
+                queries,
+                k=k,
+                metric="cosine",
+                doc_id_col=doc_id_col,
+                vec_col=vec_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                doc_tokens_packed=doc_tokens_packed,
+            )
     qpdf = (
         queries.select(query_id_col, query_vec_col)
         .orderBy(query_id_col)
@@ -647,7 +688,6 @@ def maxsim_funnel(
     sc = doc_token_codes.sparkSession.sparkContext
     bqc = sc.broadcast({"qw": qw, "q_ids": q_ids, "q_starts": q_starts})
     _register_broadcast(bqc)
-    take = int(k) * int(overfetch)
 
     def hamming_maxsim(
         batches: Iterator[pd.DataFrame],

@@ -330,7 +330,13 @@ def q_maxsim_funnel_recall_gate(spark, sf_dir):
     )
     bq = train_bq(docs, seed=42)
     codes = pack_doc_token_codes(docs, bq)
-    approx = maxsim_funnel(codes, docs, qtok, bq, k=KNN_K, overfetch=8)
+    # the gate measures the FUNNEL's recall: pin the two-pass plan (the
+    # production default would saturation-delegate at catalog sizes,
+    # making recall trivially 1.0 — the bq_recall_gate discipline)
+    approx = maxsim_funnel(
+        codes, docs, qtok, bq, k=KNN_K, overfetch=8,
+        delegate_saturation=None,
+    )
     exact = maxsim_join(docs, qtok, k=KNN_K)
     hits = approx.select("query_id", "doc_id").join(
         exact.select("query_id", "doc_id"), on=["query_id", "doc_id"]
@@ -397,8 +403,12 @@ def q_maxsim_funnel_topk(spark, sf_dir):
         F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("query_id"),
         "embedding",
     )
+    # the bench twin measures the funnel TIER: pin the two-pass plan
+    # (the production default saturation-delegates at bench sizes) —
+    # the bq_knn discipline
     out = maxsim_funnel(
-        codes, packed, qtok, bq, k=5, overfetch=8, doc_tokens_packed=True
+        codes, packed, qtok, bq, k=5, overfetch=8, doc_tokens_packed=True,
+        delegate_saturation=None,
     )
     return out.select(
         "query_id",

@@ -1829,6 +1829,18 @@ class VectorStore:
     # packing shuffles at query time; the optional sign-bit code table
     # (build_token_codes) is its 32x-compressed funnel twin.
 
+    #: parquet row-group (block) size for PACKED token tables. Packed
+    #: rows are wide (tokens_per_doc x dim floats — 32 KB/row at
+    #: ColBERT density), and Spark's vectorized reader decodes up to
+    #: one whole row group per batch: the default 128 MB block decodes
+    #: ~134 MB of contiguous column vectors PER TASK, which OOMs
+    #: small-heap executors (measured r12: 100k docs x 128 tokens x
+    #: 64D, 32 tasks, default heap — Java heap space in
+    #: VectorizedRleValuesReader). Bounding the WRITER's row groups at
+    #: 32 MB bounds every future reader's batch memory, independent of
+    #: session conf — the layout fix, not a tuning workaround.
+    _TOKEN_PARQUET_BLOCK = 32 * 1024 * 1024
+
     @property
     def tokens_dir(self) -> Path:
         return self.data_dir.parent / f"{self.data_dir.name}__tokens"
@@ -1885,14 +1897,18 @@ class VectorStore:
             return 0
         pack_doc_tokens(flat, "doc_id", "embedding").write.mode(
             "append"
-        ).parquet(str(self.tokens_dir))
+        ).option("parquet.block.size", self._TOKEN_PARQUET_BLOCK).parquet(
+            str(self.tokens_dir)
+        )
         if self.config.token_bq:
             from mlx_vector_db_spark.operators.bq import BQModel
 
             model = BQModel.from_dict(self.config.token_bq)
             pack_doc_token_codes(flat, model, "doc_id", "embedding").write.mode(
                 "append"
-            ).parquet(str(self.token_codes_dir))
+            ).option("parquet.block.size", self._TOKEN_PARQUET_BLOCK).parquet(
+                str(self.token_codes_dir)
+            )
         return n
 
     def token_df(self) -> DataFrame:
@@ -1937,7 +1953,9 @@ class VectorStore:
         # stage-then-swap (the build_bq discipline): a crash mid-build
         # leaves the previous code table readable, never a torn one
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-        codes.write.mode("overwrite").parquet(str(staging))
+        codes.write.mode("overwrite").option(
+            "parquet.block.size", self._TOKEN_PARQUET_BLOCK
+        ).parquet(str(staging))
         old = self.data_dir.parent / f".old-{uuid.uuid4().hex}"
         if self.token_codes_dir.exists():
             os.replace(self.token_codes_dir, old)

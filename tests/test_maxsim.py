@@ -320,7 +320,8 @@ def test_funnel_full_overfetch_equals_exact(funnel_parts):
 
     docs, queries, bq, codes = funnel_parts
     out = maxsim_funnel(codes, docs, queries, bq, k=K,
-                        overfetch=(N_DOCS + K - 1) // K)
+                        overfetch=(N_DOCS + K - 1) // K,
+                        delegate_saturation=None)
     exact = maxsim_join(docs, queries, k=K)
     a = [(r["query_id"], r["doc_id"], r["rank"])
          for r in out.orderBy("query_id", "rank").collect()]
@@ -336,7 +337,8 @@ def test_funnel_shape_and_recall(funnel_parts):
     from mlx_vector_db_spark.operators.maxsim import maxsim_funnel
 
     docs, queries, bq, codes = funnel_parts
-    out = maxsim_funnel(codes, docs, queries, bq, k=K, overfetch=8)
+    out = maxsim_funnel(codes, docs, queries, bq, k=K, overfetch=8,
+                        delegate_saturation=None)
     rows = out.collect()
     got = {}
     for r in rows:
@@ -361,7 +363,8 @@ def test_funnel_null_queries_excluded(spark, funnel_parts):
             [(99, None)], "query_id long, embedding array<float>"
         )
     )
-    out = maxsim_funnel(codes, docs, nullq, bq, k=K, overfetch=8)
+    out = maxsim_funnel(codes, docs, nullq, bq, k=K, overfetch=8,
+                        delegate_saturation=None)
     assert not [r for r in out.collect() if r["query_id"] == 99]
 
 
@@ -517,7 +520,8 @@ def test_blocked_token_budget_heavy_density(spark, monkeypatch):
 
     bq = train_bq(docs, seed=5)
     codes = pack_doc_token_codes(docs, bq)
-    out = maxsim_funnel(codes, docs, queries, bq, k=5, overfetch=6)
+    out = maxsim_funnel(codes, docs, queries, bq, k=5, overfetch=6,
+                        delegate_saturation=None)
     rf = [(r["query_id"], r["doc_id"], r["rank"])
           for r in out.orderBy("query_id", "rank").collect()]
     assert rf == ra
@@ -628,6 +632,7 @@ def test_funnel_filter_metadata(spark, funnel_parts):
         codes, tagged, queries, bq, k=K,
         overfetch=(N_DOCS + K - 1) // K,
         filter_metadata={"lang": "en"},
+        delegate_saturation=None,
     )
     exact = maxsim_join(tagged, queries, k=K, filter_metadata={"lang": "en"})
     a = [(r["query_id"], r["doc_id"], r["rank"])
@@ -636,3 +641,30 @@ def test_funnel_filter_metadata(spark, funnel_parts):
          for r in exact.orderBy("query_id", "rank").collect()]
     assert a == e
     assert a and all(d % 3 == 0 for _, d, _ in a)
+
+
+def test_funnel_saturation_delegation(funnel_parts):
+    """Engine-wide r11 rule on the funnel (r12): when M * k * overfetch
+    saturates the doc corpus, the default delegates to ONE exact sweep
+    — identical schema, exact values (equal to the pinned funnel at
+    saturating overfetch), and the executed plan has no Python worker
+    stage (the exact path's expression plan), proving the two-pass
+    kernel never ran."""
+    from mlx_vector_db_spark.operators.maxsim import maxsim_funnel
+
+    docs, queries, bq, codes = funnel_parts
+    over = (N_DOCS + K - 1) // K  # saturating: take >= N_DOCS
+    delegated = maxsim_funnel(codes, docs, queries, bq, k=K, overfetch=over)
+    plan = delegated._jdf.queryExecution().executedPlan().toString()
+    assert "mapinpandas" not in plan.lower().replace("_", "")
+    pinned = maxsim_funnel(codes, docs, queries, bq, k=K, overfetch=over,
+                           delegate_saturation=None)
+    a = [(r["query_id"], r["doc_id"], r["rank"])
+         for r in delegated.orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["doc_id"], r["rank"])
+         for r in pinned.orderBy("query_id", "rank").collect()]
+    assert a == b
+    # an UNsaturated call keeps the funnel: tiny take, Python stage
+    kept = maxsim_funnel(codes, docs, queries, bq, k=1, overfetch=1)
+    kplan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "mapinpandas" in kplan.lower().replace("_", "")
