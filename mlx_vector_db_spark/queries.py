@@ -151,6 +151,15 @@ SELECT query_id, doc_id, rnk::INTEGER AS rank, round(s, 6) AS score
 FROM rk WHERE rnk <= 5
 """.replace("{cos}", _COSINE_SQL)
 
+#: filtered MaxSim ground truth: identical pipeline, doc side
+#: pre-filtered by the same equality predicate the Spark entry pushes
+#: to the token scan (grp = doc_id % 3 = 0)
+_MAXSIM_FILTERED_ORACLE = _MAXSIM_ORACLE.replace(
+    "  FROM embeddings\n), q AS",
+    "  FROM embeddings WHERE (vec_id // 4) % 3 = 0\n), q AS",
+)
+assert "WHERE (vec_id // 4) % 3 = 0" in _MAXSIM_FILTERED_ORACLE
+
 
 def q_knn_cosine(spark, sf_dir):
     """Batch cosine top-k (reference J2+A1+F1)."""
@@ -210,6 +219,38 @@ def q_maxsim_blocked_parity(spark, sf_dir):
     """The blocked BLAS sweep (packed docs, segment reduces, task-level
     top-k cut) against the same ground truth."""
     return _maxsim(spark, sf_dir, "blocked")
+
+
+def q_maxsim_filtered(spark, sf_dir):
+    """Filtered MaxSim (r12 — the P1 metadata pre-filter brought to
+    late interaction, reference semantics service/optimized_vector_
+    store.py:159-167): docs carry a promoted ``grp`` column, the
+    equality predicate reaches the token scan BEFORE scoring, and
+    filter-then-topk == topk-of-filtered by construction. The blocked
+    strategy on purpose — the expression path's filter pushdown is
+    already pinned by knn_cosine_filtered; this pins the Arrow sweep's
+    filtered scan against the full value-hash oracle."""
+    from mlx_vector_db_spark.operators.maxsim import maxsim_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("doc_id"),
+        "embedding",
+    ).withColumn("grp", (F.col("doc_id") % 3).cast("int"))
+    qtok = emb.where(F.col("vec_id") < 16).select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("query_id"),
+        "embedding",
+    )
+    out = maxsim_join(
+        docs, qtok, k=5, metric="cosine", strategy="blocked",
+        filter_metadata={"grp": 0},
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_knn_grouped(spark, sf_dir):
@@ -3920,6 +3961,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_qblocked_parity": q_knn_qblocked_parity,
     "maxsim_topk": q_maxsim_topk,
     "maxsim_blocked_parity": q_maxsim_blocked_parity,
+    "maxsim_filtered": q_maxsim_filtered,
     "maxsim_funnel_recall_gate": q_maxsim_funnel_recall_gate,
     "label_centroids": q_label_centroids,
     "knn_grouped_topk": q_knn_grouped,
@@ -4013,9 +4055,11 @@ QUERIES: dict[str, QueryFn] = {
 # sweep (tools/oracle_sweep.py) and judge re-runs.
 _R12_WINDOW = [
     # (a) r12 changed-code cohort + never-driver-checked entries
+    # (maxsim_filtered is NEW r12: the P1 filter on the blocked sweep)
     "store_maxsim_gate",
     "maxsim_topk",
     "maxsim_blocked_parity",
+    "maxsim_filtered",
     "maxsim_funnel_recall_gate",
     "label_centroids",
     "knn_grouped_topk",
@@ -4068,7 +4112,6 @@ _R12_WINDOW = [
     "doc_perplexity",
     "doc_repetition",
     "doc_winnow_fp",
-    "embedding_neardup",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
@@ -4518,6 +4561,7 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     # the store token tier at saturating overfetch EQUALS the exact
     # operator, so it shares the exact MaxSim ground truth
     "store_maxsim_gate": _MAXSIM_ORACLE,
+    "maxsim_filtered": _MAXSIM_FILTERED_ORACLE,
     # the funnel gate asserts every query's recall bar cleared — same
     # all-pass contract as the bq/ivf/pq recall-gate oracles
     "maxsim_funnel_recall_gate": """
