@@ -89,8 +89,57 @@ _PROBE_CACHE: dict[tuple[str, int, int], bool] = {}
 _PROBE_CACHE_MAX = 1024
 
 
+def _row_group_starved(narrow: DataFrame, target: int) -> bool:
+    """True when ``narrow`` scans parquet files whose TOTAL row-group
+    count is below ``target`` — partition-count blindness found r12:
+    file splits are byte ranges, but a parquet ROW GROUP is the atomic
+    read unit, so a table of few fat-row-group files PLANS ``target``
+    splits while only the row-group-owning splits carry any rows. A
+    5-file store (500k rows/file, single default-128 MB row group each)
+    planned 32 splits for the 100k x 2M blocked kNN sweep; FOUR tasks
+    carried 484k rows each and 28 read nothing — the 25-TFLOP GEMM ran
+    4-way and the stage took ~5x its fair-share time
+    (BENCH_r12_saturation.json). Engine-written tables now bound row
+    groups at 32 MB (session.py), but foreign tables can still arrive
+    fat — this probe reads ONLY footer metadata, driver-side, no Spark
+    job, and only when the scan has fewer files than ``target`` (a real
+    wide table short-circuits on file count alone).
+    """
+    try:
+        files = narrow.inputFiles()
+    except Exception:  # pragma: no cover — connect / non-file plans
+        return False
+    if not files or len(files) >= target:
+        return False
+    try:
+        import urllib.parse
+
+        import pyarrow.parquet as papq
+
+        groups = 0
+        for f in files:
+            if not f.endswith(".parquet"):
+                return False
+            parsed = urllib.parse.urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                # remote FS: footer reads need a remote client; the
+                # writer-side row-group bound is the defense there
+                return False
+            groups += papq.ParquetFile(
+                urllib.parse.unquote(parsed.path)
+            ).metadata.num_row_groups
+            if groups >= target:
+                return False
+        return True
+    except Exception:  # pragma: no cover — unreadable footer
+        return False
+
+
 def _under_partitioned(narrow: DataFrame, target: int) -> bool:
-    """True when ``narrow`` plans to fewer than ``target`` partitions.
+    """True when ``narrow`` plans to fewer than ``target`` partitions —
+    or plans enough SPLITS but scans fewer than ``target`` parquet row
+    groups (see :func:`_row_group_starved`), which starves compute just
+    the same.
 
     ``df.rdd.getNumPartitions()`` converts the whole plan to a physical
     RDD on every call — cheap but nonzero, and this guard sits inside
@@ -110,10 +159,14 @@ def _under_partitioned(narrow: DataFrame, target: int) -> bool:
             target,
         )
     except Exception:  # pragma: no cover — connect / internal-API drift
-        return narrow.rdd.getNumPartitions() < target
+        return narrow.rdd.getNumPartitions() < target or _row_group_starved(
+            narrow, target
+        )
     hit = _PROBE_CACHE.get(key)
     if hit is None:
-        hit = narrow.rdd.getNumPartitions() < target
+        hit = narrow.rdd.getNumPartitions() < target or _row_group_starved(
+            narrow, target
+        )
         if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
             _PROBE_CACHE.clear()
         _PROBE_CACHE[key] = hit

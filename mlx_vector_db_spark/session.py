@@ -79,6 +79,22 @@ def get_spark(
         # the events table carries TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as raw nanos and convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 32 MB parquet row groups on every table this engine WRITES
+        # (default 128 MB). Vector rows are wide (~300 B at dim 64,
+        # 32 KB packed tokens), so a 128 MB row group is one
+        # unsplittable unit of up to ~400k rows: (a) byte-range file
+        # splits collapse onto whichever task owns the row-group
+        # midpoint — measured r12 at 100k queries x 2M rows, a 5-file
+        # store planned 32 splits but FOUR tasks carried 484k rows each
+        # while 28 read nothing, serializing the 25-TFLOP blocked sweep
+        # 4-way (the partition-count rebalance probe can't see it: the
+        # count was 32); (b) the vectorized reader decodes up to one
+        # row group per batch, OOMing small heaps on packed rows (the
+        # token-tier finding, store._TOKEN_PARQUET_BLOCK). 32 MB keeps
+        # row groups large enough for columnar compression and scan
+        # throughput while letting splits and reader batches stay
+        # balanced and bounded on any cluster.
+        .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -743,3 +743,46 @@ def test_delegation_requires_long_ids(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert isinstance(out.schema["id"].dataType, IntegerType)
     assert isinstance(out.schema["query_id"].dataType, IntegerType)
+
+
+def test_row_group_starvation_probe(spark, tmp_path):
+    """r12: a parquet scan can plan >= target SPLITS while owning fewer
+    ROW GROUPS than target (fat single-row-group files) — byte-range
+    splits collapse onto the row-group owners and the compute runs
+    few-way. The probe reads footers driver-side and flags it; a table
+    written with bounded row groups passes."""
+    import pyspark.sql.functions as SF
+
+    from mlx_vector_db_spark.rebalance import (
+        _row_group_starved,
+        rebalance_for_compute,
+    )
+
+    df = spark.range(40_000).select(
+        SF.col("id"), SF.lpad(SF.lit("x"), 200, "y").alias("pad")
+    )
+    fat = str(tmp_path / "fat")
+    # one file, one huge row group
+    df.coalesce(1).write.option(
+        "parquet.block.size", 512 * 1024 * 1024
+    ).parquet(fat)
+    fat_df = spark.read.parquet(fat)
+    assert _row_group_starved(fat_df, 8) is True
+    # rebalance now spreads it to defaultParallelism despite whatever
+    # split count was planned (the test session runs local[4])
+    target = spark.sparkContext.defaultParallelism
+    parts = (
+        rebalance_for_compute(fat_df)
+        .groupBy(SF.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    n = {r["p"]: r["count"] for r in parts}
+    assert len(n) == target
+    assert max(n.values()) < 40_000  # no single task owns everything
+    # bounded row groups -> not starved
+    thin = str(tmp_path / "thin")
+    df.coalesce(1).write.option("parquet.block.size", 64 * 1024).parquet(thin)
+    assert _row_group_starved(spark.read.parquet(thin), 8) is False
+    # non-file plans are a safe no
+    assert _row_group_starved(spark.range(10), 8) is False
