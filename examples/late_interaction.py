@@ -94,8 +94,37 @@ def main() -> int:
         F.col("score").alias("similarity"),
     )
     mmr_rerank(cand, k=5, lambda_=0.5).orderBy("query_id", "rank").show(5)
+
+    # 4. r12: the same stack store-native (tokens persisted packed,
+    #    codes maintained on add, saturation-aware query dispatch)
+    store_tier_tour(spark, sf_dir)
     return 0
 
+
+
+
+def store_tier_tour(spark, sf_dir):  # pragma: no cover - example code
+    """r12: the same stack as a FIRST-CLASS store capability — tokens
+    persisted packed, codes built once and maintained on add, queries
+    routed through saturation-aware dispatch."""
+    import tempfile
+
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = VectorStoreCatalog(spark, tempfile.mkdtemp(prefix="li-store-"))
+    st = cat.create_store("demo", "tokens", dimension=64)
+    st.add_token_vectors(
+        emb.select(
+            (F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding"
+        )
+    )
+    st.build_token_codes()  # sign-bit funnel artifact, persisted
+    q_toks = [r["embedding"] for r in emb.where("vec_id < 4").collect()]
+    # one query as a plain list of token vectors; funnel=None lets the
+    # engine pick (exact here — the candidate budget saturates a small
+    # corpus, and a saturated two-pass plan is strictly worse)
+    st.maxsim_query(q_toks, k=5).show()
 
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -2228,6 +2228,47 @@ def q_bq_tune_gate(spark, sf_dir):
     )
 
 
+def q_maxsim_tune_gate(spark, sf_dir):
+    """Self-calibration for the late-interaction funnel's over-fetch —
+    UNDER A FILTER (r12, VERDICT r11 #6: the reference's filtered-ANN
+    shape is over-fetch-then-filter, and a filter shifts the knee
+    because pass-1 candidates spent on non-matching docs are wasted):
+    tune_overfetch_maxsim on the embeddings-packed token corpus with
+    grp = doc_id % 3 = 0 must return a ladder rung whose measured
+    filtered recall@5 meets the 0.9 target AND be minimal over the
+    tried rungs. Deterministic (mean thresholds, exact Hamming, seeded
+    corpus) -> a stable 1-row oracle."""
+    from mlx_vector_db_spark.operators.bq import train_bq
+    from mlx_vector_db_spark.operators.maxsim import (
+        pack_doc_token_codes,
+        tune_overfetch_maxsim,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("doc_id"),
+        "embedding",
+    ).withColumn("grp", (F.col("doc_id") % 3).cast("int"))
+    qtok = emb.where(F.col("vec_id") < 16).select(
+        F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("query_id"),
+        "embedding",
+    )
+    bq = train_bq(docs, seed=42)
+    codes = pack_doc_token_codes(docs, bq).withColumn(
+        "grp", (F.col("doc_id") % 3).cast("int")
+    )
+    chosen, curve = tune_overfetch_maxsim(
+        codes, docs, qtok, bq, k=5, target_recall=0.9,
+        filter_metadata={"grp": 0},
+    )
+    passed = curve[chosen] >= 0.9 and all(
+        v < 0.9 for c, v in curve.items() if c < chosen
+    )
+    return spark.createDataFrame([(bool(passed),)], "passed boolean").where(
+        "passed"
+    )
+
+
 def q_embedding_neardup_bucketed(spark, sf_dir):
     """The 100 TB near-dup path under the same value oracle as the exact
     variant: B independent LSH bucketings (different seeds), candidates =
@@ -3903,6 +3944,7 @@ QUERIES: dict[str, QueryFn] = {
     "bq_knn": q_bq_knn,
     "mmr_rerank_topk": q_mmr_rerank_topk,
     "bq_tune_gate": q_bq_tune_gate,
+    "maxsim_tune_gate": q_maxsim_tune_gate,
     "rerank_topk": q_rerank_topk,
     "lsh_recall_gate": q_lsh_recall_gate,
     "minhash_recall_gate": q_minhash_recall_gate,
@@ -4060,6 +4102,7 @@ _R12_WINDOW = [
     "maxsim_topk",
     "maxsim_blocked_parity",
     "maxsim_filtered",
+    "maxsim_tune_gate",
     "maxsim_funnel_recall_gate",
     "label_centroids",
     "knn_grouped_topk",
@@ -4111,7 +4154,6 @@ _R12_WINDOW = [
     "discounted_revenue",
     "doc_perplexity",
     "doc_repetition",
-    "doc_winnow_fp",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
@@ -5846,6 +5888,9 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
         FROM embeddings WHERE vec_id < 5
     """,
     "bq_tune_gate": """
+        SELECT TRUE AS passed
+    """,
+    "maxsim_tune_gate": """
         SELECT TRUE AS passed
     """,
     "rerank_topk": """

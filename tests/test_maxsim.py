@@ -668,3 +668,39 @@ def test_funnel_saturation_delegation(funnel_parts):
     kept = maxsim_funnel(codes, docs, queries, bq, k=1, overfetch=1)
     kplan = kept._jdf.queryExecution().executedPlan().toString()
     assert "mapinpandas" in kplan.lower().replace("_", "")
+
+
+def test_tune_overfetch_maxsim(spark, funnel_parts):
+    """Self-calibration: chosen rung meets the target and is minimal
+    over the tried rungs; the curve is measured against the exact
+    operator; a filter changes the truth set (calibrate-with-filter
+    semantics); bad targets fail fast."""
+    from mlx_vector_db_spark.operators.maxsim import tune_overfetch_maxsim
+
+    docs, queries, bq, codes = funnel_parts
+    chosen, curve = tune_overfetch_maxsim(
+        codes, docs, queries, bq, k=K, target_recall=0.8,
+        candidates=[1, 2, 4, 8, 16],
+    )
+    assert chosen in curve and curve[chosen] >= 0.8
+    assert all(v < 0.8 for c, v in curve.items() if c < chosen)
+    # a saturating rung always clears any target: recall 1.0 at
+    # take >= N_DOCS (funnel == exact, pinned tier)
+    full = (N_DOCS + K - 1) // K
+    _, curve_full = tune_overfetch_maxsim(
+        codes, docs, queries, bq, k=K, target_recall=1.0,
+        candidates=[full],
+    )
+    assert curve_full[full] == pytest.approx(1.0)
+    # filtered calibration: the truth set is the FILTERED exact top-k
+    tagged = docs.withColumn(
+        "grp", (F.col("doc_id") % 2).cast("int")
+    )
+    tcodes = codes.withColumn("grp", (F.col("doc_id") % 2).cast("int"))
+    ch_f, curve_f = tune_overfetch_maxsim(
+        tcodes, tagged, queries, bq, k=K, target_recall=0.8,
+        candidates=[full], filter_metadata={"grp": 0},
+    )
+    assert curve_f[full] == pytest.approx(1.0)  # saturating + filter
+    with pytest.raises(ValueError, match="target_recall"):
+        tune_overfetch_maxsim(codes, docs, queries, bq, target_recall=0.0)
