@@ -3392,6 +3392,86 @@ def q_streaming_knn_gate(spark, sf_dir):
         _shutil.rmtree(work, ignore_errors=True)
 
 
+def q_streaming_maxsim_gate(spark, sf_dir):
+    """Streaming LATE-INTERACTION search under the value gate (r12):
+    the first 3 packed docs' token sets replayed as a bounded 2-file
+    query stream (one query set per file — the micro-batch completeness
+    contract), scored against the store's token tier through the real
+    micro-batch engine + foreachBatch maxsim_query path, and gated on
+    exact self-retrieval: each streamed query's own doc must rank 1
+    with the saturated score (sum of n_tokens perfect matches). The
+    oracle pins probe and hit counts; >= 2 epochs proves the stream ran
+    multi-batch."""
+    import os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from mlx_vector_db_spark.store import VectorStoreCatalog
+    from mlx_vector_db_spark.streaming import streaming_maxsim_scores
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"vdb-maxsim-stream-{_uuid.uuid4().hex[:8]}"
+    )
+    try:
+        cat = VectorStoreCatalog(spark, os.path.join(work, "stores"))
+        st = cat.create_store("sg", "tok", dimension=64)
+        emb = _t(spark, sf_dir, "embeddings")
+        docs = emb.select(
+            F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("doc_id"),
+            "embedding",
+        )
+        st.add_token_vectors(docs)
+        src = os.path.join(work, "queries")
+        qtok = emb.where(F.col("vec_id") < 12).select(
+            F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("query_id"),
+            "embedding",
+        )
+        # one file per query-set: queries 0-1 in epoch A, query 2 in B
+        qtok.where(F.col("query_id") < 2).coalesce(1).write.parquet(src)
+        qtok.where(F.col("query_id") == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("query_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = os.path.join(work, "scores")
+        q = streaming_maxsim_scores(
+            stream, st, os.path.join(work, "ckpt"), sink, k=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.read.parquet(sink)
+        row = (
+            got.agg(
+                F.sum(
+                    (
+                        (F.col("rank") == 1)
+                        & (F.col("query_id") == F.col("doc_id"))
+                        & (F.col("score") > F.lit(3.999999))
+                    ).cast("long")
+                ).alias("n_self_hits"),
+                F.count_distinct("epoch_id").alias("n_epochs_seen"),
+            )
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    3,
+                    int(row["n_self_hits"]),
+                    bool(row["n_epochs_seen"] >= 2),
+                )
+            ],
+            "n_probes long, n_self_hits long, multi_batch_ran boolean",
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def q_part_fuzzy_pairs(spark, sf_dir):
     """Blocked fuzzy matching, fully oracle-checked: part-name pairs
     within the same brand at edit distance <= 2 (typo/near-identical
@@ -3935,6 +4015,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_plan": q_mixture_plan,
     "mixture_sample": q_mixture_sample,
     "streaming_knn_gate": q_streaming_knn_gate,
+    "streaming_maxsim_gate": q_streaming_maxsim_gate,
     "ivf_clustered_recall_gate": q_ivf_clustered_recall_gate,
     "pq_clustered_recall_gate": q_pq_clustered_recall_gate,
     "ivfpq_clustered_recall_gate": q_ivfpq_clustered_recall_gate,
@@ -4103,6 +4184,7 @@ _R12_WINDOW = [
     "maxsim_blocked_parity",
     "maxsim_filtered",
     "maxsim_tune_gate",
+    "streaming_maxsim_gate",
     "maxsim_funnel_recall_gate",
     "label_centroids",
     "knn_grouped_topk",
@@ -4153,7 +4235,6 @@ _R12_WINDOW = [
     "customers_without_orders",
     "discounted_revenue",
     "doc_perplexity",
-    "doc_repetition",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
@@ -6199,6 +6280,10 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
     """,
     "streaming_knn_gate": """
         SELECT 20::BIGINT AS n_probes, 20::BIGINT AS n_self_hits,
+               TRUE AS multi_batch_ran
+    """,
+    "streaming_maxsim_gate": """
+        SELECT 3::BIGINT AS n_probes, 3::BIGINT AS n_self_hits,
                TRUE AS multi_batch_ran
     """,
     "part_fuzzy_pairs": """

@@ -605,3 +605,80 @@ def score_knn_batch(
         .partitionBy("epoch_id")
         .parquet(sink_path)
     )
+
+
+def streaming_maxsim_scores(
+    query_token_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    sink_path: str,
+    k: int = 10,
+    overfetch: int = 4,
+    funnel: "bool | None" = None,
+    filter_metadata=None,
+    query_name: str = "maxsim_stream",
+):
+    """Continuous LATE-INTERACTION matching (r12): answer a stream of
+    multi-vector queries against the store's token tier, appending
+    results to a parquet sink — :func:`streaming_knn_scores` for the
+    ColBERT data model, a shape neither the single-vector reference nor
+    stock Spark has.
+
+    Input rows are query TOKENS ``(query_id, embedding)``; the
+    MICRO-BATCH is the unit of query completeness — a query scores with
+    the tokens present in its batch, so producers must emit a query's
+    token set atomically (one file / one message), the same contract
+    every batch `maxsim_query` call has for its query frame. Each
+    micro-batch runs :meth:`VectorStore.maxsim_query`, so the
+    saturation-aware funnel dispatch and main-table metadata filtering
+    work identically to batch; results carry an ``epoch_id`` provenance
+    column and the sink is idempotent under foreachBatch's
+    at-least-once replays (dynamic epoch-partition overwrite — the
+    score_knn_batch pattern). Returns the StreamingQuery.
+    """
+
+    def _score(batch_df: DataFrame, epoch_id: int) -> None:
+        score_maxsim_batch(
+            store, batch_df, epoch_id, sink_path,
+            k=k, overfetch=overfetch, funnel=funnel,
+            filter_metadata=filter_metadata,
+        )
+
+    return (
+        query_token_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def score_maxsim_batch(
+    store,
+    batch_df: DataFrame,
+    epoch_id: int,
+    sink_path: str,
+    k: int = 10,
+    overfetch: int = 4,
+    funnel: "bool | None" = None,
+    filter_metadata=None,
+) -> None:
+    """One micro-batch of :func:`streaming_maxsim_scores` — exposed so
+    the delivery guarantee is directly testable (the score_knn_batch
+    discipline: replayed epochs replace their own ``epoch_id``
+    partition instead of double-appending)."""
+    if batch_df.isEmpty():
+        return
+    res = store.maxsim_query(
+        batch_df,
+        k=k,
+        overfetch=overfetch,
+        funnel=funnel,
+        filter_metadata=filter_metadata,
+    )
+    (
+        res.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(sink_path)
+    )

@@ -673,3 +673,95 @@ def test_streaming_ingest_inline_compaction(spark, tmp_path):
     assert store.count() == n_batches * rows_per
     ids = {r["id"] for r in store.to_df().select("id").collect()}
     assert ids == set(range(n_batches * rows_per))
+
+
+def test_streaming_maxsim_matches_batch(spark, tmp_path):
+    """r12: a stream of multi-vector (token) queries answered against
+    the store's TOKEN tier — the union of all micro-batch results
+    equals the one-shot maxsim_query over the same query set, with
+    per-epoch provenance. One query set per file (the micro-batch
+    completeness contract)."""
+    from mlx_vector_db_spark.streaming import streaming_maxsim_scores
+
+    rng = np.random.default_rng(17)
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("smx", "tok", dimension=8)
+    tok_rows = [
+        (d, rng.normal(size=8).astype(float).tolist())
+        for d in range(30)
+        for _ in range(3)
+    ]
+    docs = spark.createDataFrame(
+        tok_rows, "doc_id long, embedding array<float>"
+    )
+    store.add_token_vectors(docs)
+
+    src = tmp_path / "qtok"
+    all_q = []
+    for b in range(3):
+        rows = [
+            (b, t)
+            for (d, t) in tok_rows
+            if d == b  # query b = doc b's token set (self-match truth)
+        ]
+        spark.createDataFrame(
+            rows, "query_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        all_q += rows
+
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = str(tmp_path / "mscores")
+    q = streaming_maxsim_scores(
+        stream, store, str(tmp_path / "ckpt-mx"), sink, k=3
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(sink)
+    assert got.select("epoch_id").distinct().count() == 3
+    got_rows = {
+        (r["query_id"], r["doc_id"], r["rank"]) for r in got.collect()
+    }
+    batch_q = spark.createDataFrame(
+        all_q, "query_id long, embedding array<float>"
+    )
+    exp_rows = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in store.maxsim_query(batch_q, k=3).collect()
+    }
+    assert got_rows == exp_rows
+    top = {r["query_id"]: r["doc_id"] for r in got.collect() if r["rank"] == 1}
+    assert top == {0: 0, 1: 1, 2: 2}
+
+
+def test_streaming_maxsim_sink_idempotent_on_epoch_replay(spark, tmp_path):
+    """Replaying a maxsim epoch replaces its partition, not
+    double-appends (the score_knn_batch delivery guarantee)."""
+    from mlx_vector_db_spark.streaming import score_maxsim_batch
+
+    rng = np.random.default_rng(19)
+    cat = VectorStoreCatalog(spark, tmp_path / "stores")
+    store = cat.create_store("idemx", "tok", dimension=4)
+    docs = spark.createDataFrame(
+        [
+            (d, rng.normal(size=4).astype(float).tolist())
+            for d in range(8)
+            for _ in range(2)
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    store.add_token_vectors(docs)
+    batch = docs.where(F.col("doc_id") < 2).withColumnRenamed(
+        "doc_id", "query_id"
+    )
+    sink = str(tmp_path / "sink")
+    score_maxsim_batch(store, batch, 7, sink, k=2)
+    once = spark.read.parquet(sink).count()
+    score_maxsim_batch(store, batch, 7, sink, k=2)  # replay epoch 7
+    again = spark.read.parquet(sink)
+    assert again.count() == once
+    assert [r["epoch_id"] for r in again.select("epoch_id").distinct().collect()] == [7]
