@@ -1971,6 +1971,38 @@ class VectorStore:
         self.config.token_bq = None
         self.catalog._save_config(self.config)
 
+    def optimize_tokens(self, target_files: int = 4) -> int:
+        """Compact the token tier's small files (the OPTIMIZE analog for
+        the packed tables): every :meth:`add_token_vectors` call appends
+        its own part-files, so a micro-batch token ingest accumulates
+        the classic small-file problem — compact both the packed float
+        table and (when built) the code table into ``target_files``
+        range-partitioned on ``doc_id``, so footer min/max stats become
+        tight per file (point lookups and semi-join pruning touch one
+        file). Row groups stay bounded (32 MB writer default). Staged
+        swap per table — a crash leaves the previous layout readable.
+        Returns the resulting packed-table file count."""
+        if not self.tokens_dir.exists():
+            return 0
+        spark = self.catalog.spark
+        for d in (self.tokens_dir, self.token_codes_dir):
+            if not d.exists():
+                continue
+            df = spark.read.parquet(str(d))
+            staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+            (
+                df.repartitionByRange(target_files, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .option("parquet.block.size", self._TOKEN_PARQUET_BLOCK)
+                .parquet(str(staging))
+            )
+            old = self.data_dir.parent / f".old-{uuid.uuid4().hex}"
+            os.replace(d, old)
+            os.replace(staging, d)
+            shutil.rmtree(old, ignore_errors=True)
+        return len(list(self.tokens_dir.glob("*.parquet")))
+
     def maxsim_query(
         self,
         query_tokens,

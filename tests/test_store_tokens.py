@@ -245,3 +245,38 @@ def test_build_reuses_store_bq_thresholds(spark, loaded):
     store.build_bq()
     store.build_token_codes()
     assert store.config.token_bq["thresholds"] == store.config.bq["thresholds"]
+
+
+def test_optimize_tokens_compacts_and_preserves(spark, store):
+    """r12: micro-batch token adds accumulate part-files; optimize_tokens
+    compacts both tier tables to range-partitioned files with identical
+    contents and query results."""
+    for b in range(5):
+        store.add_token_vectors(
+            spark.createDataFrame(
+                _token_rows(range(b * 4, b * 4 + 4)),
+                "doc_id long, embedding array<float>",
+            )
+        )
+    store.build_token_codes()
+    files_before = len(list(store.tokens_dir.glob("*.parquet")))
+    assert files_before >= 5
+    queries = spark.createDataFrame(
+        _token_rows(range(2)), "doc_id long, embedding array<float>"
+    ).withColumnRenamed("doc_id", "query_id")
+    before = sorted(
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in store.maxsim_query(queries, k=3, funnel=False).collect()
+    )
+    n_files = store.optimize_tokens(target_files=2)
+    assert n_files <= 2 + 1  # range partitioner may emit an empty split
+    assert store.token_df().count() == 20
+    assert store.token_codes_df().count() == 20
+    after = sorted(
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in store.maxsim_query(queries, k=3, funnel=False).collect()
+    )
+    assert after == before
+    # no-op on an empty tier
+    store.drop_token_vectors()
+    assert store.optimize_tokens() == 0
