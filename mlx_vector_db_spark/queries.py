@@ -297,7 +297,7 @@ def q_knn_grouped(spark, sf_dir):
 
 
 def q_label_centroids(spark, sf_dir):
-    """Per-label vector centroid + count + centroid norm (the vector
+    """Per-label vector centroid, per-dimension LONG shape (the vector
     AGGREGATION gap: every other vector entry searches or compresses;
     a 100 TB curation pipeline also needs per-group mean vectors for
     cluster summaries, drift monitors, and cheap class prototypes).
@@ -305,44 +305,17 @@ def q_label_centroids(spark, sf_dir):
     Spark-first shape: posexplode -> groupBy(label, pos) avg —
     the (label, pos) partial aggregate is map-side combinable, so the
     one shuffle carries labels x dim rows (hundreds), NOT the exploded
-    token stream; the array is reassembled with sort_array(collect_list)
-    over those few rows. Oracle: DuckDB unnest + generate_subscripts.
+    token stream. Output is SCALAR columns only ``(label, pos, m,
+    n_vectors, centroid_norm)`` — the catalog contract (VERDICT r12: the
+    driver canonicalizer cannot hash array cells; r12's array-returning
+    form was value-correct but driver-red). The array-reassembling form
+    lives in operators/centroids.py:label_centroids with a pytest
+    oracle. Oracle: DuckDB unnest + generate_subscripts + window sum.
     """
+    from mlx_vector_db_spark.operators.centroids import label_centroids_long
+
     emb = _t(spark, sf_dir, "embeddings")
-    per_dim = (
-        emb.select(
-            "label", F.posexplode("embedding").alias("pos", "val")
-        )
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("m"), F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.first("n").alias("n_vectors"),
-            F.sort_array(
-                F.collect_list(F.struct("pos", "m"))
-            ).alias("pairs"),
-        )
-        .select(
-            "label",
-            F.col("n_vectors").cast("long").alias("n_vectors"),
-            F.transform("pairs", lambda p: F.round(p["m"], 6)).alias(
-                "centroid"
-            ),
-            F.round(
-                F.sqrt(
-                    F.aggregate(
-                        "pairs",
-                        F.lit(0.0),
-                        lambda acc, p: acc + p["m"] * p["m"],
-                    )
-                ),
-                6,
-            ).alias("centroid_norm"),
-        )
-        .orderBy("label")
-    )
+    return label_centroids_long(emb, "embedding", "label")
 
 
 def q_maxsim_funnel_recall_gate(spark, sf_dir):
@@ -4160,85 +4133,84 @@ QUERIES: dict[str, QueryFn] = {
     "maxsim_funnel_topk": q_maxsim_funnel_topk,
 }
 
-# r12 window rotation (VERDICT r11 #4): the driver oracle-checks the
+# r13 window rotation (VERDICT r12 #4): the driver oracle-checks the
 # FIRST 50 registry entries each round, so the order is rebuilt here
 # from an explicit list. Composition: (a) every entry exercising code
-# changed in r12 — the whole MaxSim family (token-budget chunking,
-# id fail-fast, packed NULL rule, filter_metadata, funnel packed
-# re-rank), the NEW store token tier (store_maxsim_gate), and
-# store.batch_query's per-tier saturation take (store_lifecycle_gate)
-# — including the three r11 entries never driver-checked
-# (maxsim_funnel_recall_gate, label_centroids, knn_grouped_topk) and
-# the one registry entry never driver-checked at all
-# (semdedup_embeddings, rows-only twin); (b) the cohort VERDICT r11
-# named as displaced this round; (c) the TPC-H decision shapes rotated
-# out in r11; (d) remaining slots by staleness — last driver-green r5
-# (ivf_knn/minhash/simhash pairs/rag_pipeline), r7, r8, then r9.
+# changed in r13 — label_centroids (the r12 red row, reshaped to the
+# scalar long form per the catalog contract) and the token-tier /
+# forced-funnel family (manifest-committed tier, append-once,
+# delete/replace, token-trained thresholds, funnel=True force) — plus
+# maxsim_funnel_topk, the one entry never driver-checked; (b) the
+# cohort VERDICT r12 named as displaced (knn core, events family,
+# tune/fuzzy/pii/quality/streaming-hourly/multimodal/sampling/export);
+# (c) the r6-r9 staleness fillers VERDICT r12 named; (d) remaining
+# slots by staleness — last driver-green r9.
 # Rotated-out entries stay oracle-checked by the per-round builder
 # sweep (tools/oracle_sweep.py) and judge re-runs.
-_R12_WINDOW = [
-    # (a) r12 changed-code cohort + never-driver-checked entries
-    # (maxsim_filtered is NEW r12: the P1 filter on the blocked sweep)
-    "store_maxsim_gate",
-    "maxsim_topk",
-    "maxsim_blocked_parity",
-    "maxsim_filtered",
-    "maxsim_tune_gate",
-    "streaming_maxsim_gate",
-    "maxsim_funnel_recall_gate",
+_R13_WINDOW = [
+    # (a) r13 changed-code cohort: label_centroids (the r12 red row,
+    # now scalar long-form), the token-tier gates (add_token_vectors/
+    # build_token_codes/optimize_tokens got the manifest commit +
+    # append-once contract), and the funnel gate (forced-funnel
+    # delegation contract changed in maxsim_query)
     "label_centroids",
-    "knn_grouped_topk",
-    "store_lifecycle_gate",
-    "semdedup_embeddings",
-    # (b) the displaced cohort VERDICT r11 named
-    "rerank_topk",
-    "lsh_recall_gate",
-    "minhash_recall_gate",
-    "minhash_dedup_clustered",
-    "corpus_pipeline_gate",
-    "semdedup_gate",
-    "jl_projection_gate",
-    "quality_threshold_calibration",
-    "mixture_plan",
-    "mixture_sample",
-    "streaming_knn_gate",
-    "dsir_gumbel_sample",
-    # (c) the TPC-H decision shapes rotated out in r11
-    "returned_item_revenue",
-    "product_profit",
-    "supplier_top_parts",
-    "customer_segment_stats",
-    "lineitem_percentile_cont",
-    "lineitem_conditional",
-    "orders_monthly_growth",
-    "salted_join_parity",
-    # (d) staleness fillers: last driver-green r5
-    "ivf_knn",
-    "minhash_neardup_pairs",
-    "rag_pipeline",
-    "simhash_neardup_pairs",
-    # ... r7
-    "approx_distinct_gate",
-    "orders_grouping_sets",
-    "part_price_bands",
-    # ... r8
-    "boilerplate_removal",
-    "customer_order_distribution",
-    "distinct_users",
-    "events_multi_rollup",
-    "source_lang_agreement",
-    "weighted_mixture",
-    # ... r9
-    "approx_quantile_gate",
-    "bpe_pair_counts",
-    "bpe_train_gate",
-    "customers_without_orders",
-    "discounted_revenue",
-    "doc_perplexity",
+    "store_maxsim_gate",
+    "streaming_maxsim_gate",
+    "maxsim_tune_gate",
+    "maxsim_funnel_recall_gate",
+    # never driver-checked until now (added r12 as the bench twin)
+    "maxsim_funnel_topk",
+    # (b) the r12-displaced cohort VERDICT r12 named
+    "knn_cosine_topk",
+    "knn_cosine_filtered",
+    "knn_chunked_parity",
+    "knn_qblocked_parity",
+    "events_asof_purchase",
+    "events_histogram",
+    "events_hourly",
+    "events_json_extract",
+    "events_pivot",
+    "events_range_frame",
+    "events_rolling_avg",
+    "events_sessionize",
+    "events_sliding",
+    "events_unpivot",
+    "events_view_purchase",
+    "tune_overfetch_gate",
+    "part_fuzzy_lsh_gate",
+    "pii_redact",
+    "quality_classifier",
+    "streaming_hourly_gate",
+    "multimodal_features",
+    "stratified_sample",
+    "export_shard_plan",
+    # (c) staleness fillers VERDICT r12 named (last green r6-r9)
+    "promo_revenue",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "nation_volume",
+    "user_journey",
+    "brand_price_median",
+    # (d) staleness fillers: last driver-green r9
+    "doc_repetition",
+    "doc_winnow_fp",
+    "embedding_neardup",
+    "embedding_neardup_bucketed",
+    "ivf_recall_gate",
+    "ivfpq_recall_gate",
+    "lang_detect",
+    "minhash_precision_gate",
+    "part_string_stats",
+    "pq_recall_gate",
+    "pricing_summary",
+    "repeated_spans",
+    "simhash_precision_gate",
+    "text_jaccard_capped",
+    "text_jaccard_pairs",
 ]
-assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)
 }
 
 _JACCARD_SHINGLES_BODY = """
@@ -4700,10 +4672,11 @@ FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
           SELECT label, pos, avg(val) AS m, count(*)::BIGINT AS n
           FROM t GROUP BY label, pos
         )
-        SELECT label, first(n) AS n_vectors,
-               list(round(m, 6) ORDER BY pos) AS centroid,
-               round(sqrt(sum(m * m)), 6) AS centroid_norm
-        FROM d GROUP BY label ORDER BY label
+        SELECT label, pos::INTEGER AS pos, round(m, 6) AS m,
+               n AS n_vectors,
+               round(sqrt(sum(m * m) OVER (PARTITION BY label)), 6)
+                 AS centroid_norm
+        FROM d ORDER BY label, pos
     """,
     "knn_grouped_topk": """
         WITH q AS (

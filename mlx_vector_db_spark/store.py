@@ -351,6 +351,7 @@ class VectorStoreCatalog:
         # table's legacy glob clean) — reap them with the store
         shutil.rmtree(Path(f"{data_dir}__tokens"), ignore_errors=True)
         shutil.rmtree(Path(f"{data_dir}__token_codes"), ignore_errors=True)
+        shutil.rmtree(Path(f"{data_dir}__tokens_meta"), ignore_errors=True)
 
     def list_stores(self) -> list[StoreConfig]:
         return [
@@ -1849,12 +1850,183 @@ class VectorStore:
     def token_codes_dir(self) -> Path:
         return self.data_dir.parent / f"{self.data_dir.name}__token_codes"
 
+    # Tier durability (r13, ADVICE r12): BOTH tier tables commit through
+    # ONE manifest + pointer flip — the main table's discipline. A crash
+    # at any point leaves readers on the previous snapshot of tokens AND
+    # codes TOGETHER; the pre-r13 plain appends could crash between the
+    # two table writes and leave the code table missing docs the token
+    # table had (a silent funnel recall hole), or expose a torn
+    # mid-append table to readers. Unlike the main table the tier keeps
+    # NO history: files leaving the live set are unlinked at commit
+    # (maintenance surface, no time travel) — a reader that resolved the
+    # PREVIOUS manifest while a rewrite commits retries its scan, the
+    # standard non-snapshot-table race; NEW resolutions are always
+    # consistent. Mutations serialize under a tier-scoped flock held for
+    # the WHOLE mutation, so an append can no longer interleave with a
+    # staged-swap rewrite and lose its part-files (ADVICE r12); the lock
+    # file is separate from the main table's commit LOCK so a
+    # minutes-long code build never blocks main-table appends.
+
+    @property
+    def _token_meta_dir(self) -> Path:
+        return self.data_dir.parent / f"{self.data_dir.name}__tokens_meta"
+
+    @contextlib.contextmanager
+    def _token_mutation_lock(self):
+        """Cross-process single-writer lock held across every token-tier
+        mutation end-to-end (staging writes INCLUDED, not just the
+        pointer flip) — tier rewrites are whole-table staged swaps, so
+        writer-writer interleaving must be excluded, not CAS-merged."""
+        self._token_meta_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            import fcntl
+
+            fd = os.open(self._token_meta_dir / "LOCK", os.O_CREAT | os.O_RDWR)
+        except OSError:  # pragma: no cover — no flock support on this FS
+            yield
+            return
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _token_live(self) -> tuple[list[Path], list[Path]]:
+        """``(token_files, code_files)`` of the committed tier snapshot.
+        Legacy (pre-manifest) layouts resolve by glob; the first
+        mutation adopts them into a manifest (:meth:`_token_adopt_legacy`)
+        before staging anything, so stranded part-files from a crashed
+        mutation can never become visible through the glob fallback."""
+        ptr = self._token_meta_dir / "CURRENT"
+        if ptr.exists():
+            m = json.loads(
+                (self._token_meta_dir / ptr.read_text().strip()).read_text()
+            )
+            return (
+                [self.tokens_dir / r for r in m["tokens"]],
+                [self.token_codes_dir / r for r in m["codes"]],
+            )
+        return (
+            sorted(self.tokens_dir.glob("**/*.parquet"))
+            if self.tokens_dir.exists()
+            else [],
+            sorted(self.token_codes_dir.glob("**/*.parquet"))
+            if self.token_codes_dir.exists()
+            else [],
+        )
+
+    def _token_commit(
+        self, token_files: Sequence[Path], code_files: Sequence[Path]
+    ) -> None:
+        """ONE pointer flip commits both tier tables (caller holds
+        :meth:`_token_mutation_lock`). Files leaving the live set are
+        unlinked after the flip — the tier's no-history contract."""
+        prev_tokens, prev_codes = self._token_live()
+        mid = uuid.uuid4().hex
+        mname = f"tokmanifest-{mid}.json"
+        self._token_meta_dir.mkdir(parents=True, exist_ok=True)
+        (self._token_meta_dir / mname).write_text(
+            json.dumps(
+                {
+                    "tokens": sorted(
+                        str(Path(f).relative_to(self.tokens_dir))
+                        for f in set(token_files)
+                    ),
+                    "codes": sorted(
+                        str(Path(f).relative_to(self.token_codes_dir))
+                        for f in set(code_files)
+                    ),
+                    "committed_at": time.time(),
+                }
+            )
+        )
+        ptr = self._token_meta_dir / "CURRENT"
+        prev_manifest = ptr.read_text().strip() if ptr.exists() else None
+        tmp = self._token_meta_dir / f".CURRENT.tmp-{mid}"
+        tmp.write_text(mname)
+        os.replace(tmp, ptr)  # the commit point
+        for gone in (set(prev_tokens) - set(token_files)) | (
+            set(prev_codes) - set(code_files)
+        ):
+            with contextlib.suppress(OSError):
+                os.unlink(gone)
+        if prev_manifest is not None:
+            with contextlib.suppress(OSError):
+                os.unlink(self._token_meta_dir / prev_manifest)
+
+    def _token_adopt_legacy(self) -> None:
+        """Adopt a pre-manifest glob layout into a committed manifest
+        (idempotent, no-op once CURRENT exists)."""
+        if not (self._token_meta_dir / "CURRENT").exists():
+            toks, codes = self._token_live()
+            if toks or codes:
+                self._token_commit(toks, codes)
+
+    def _stage_tokens_in(self, df: DataFrame, dest: Path) -> list[Path]:
+        """Write ``df`` to a private staging dir (bounded 32 MB row
+        groups) and move its part-files into ``dest`` under
+        collision-free names — invisible to readers until the manifest
+        flip references them."""
+        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").option(
+            "parquet.block.size", self._TOKEN_PARQUET_BLOCK
+        ).parquet(str(staging))
+        dest.mkdir(parents=True, exist_ok=True)
+        moved: list[Path] = []
+        for p in sorted(staging.glob("**/*.parquet")):
+            d = dest / f"part-{uuid.uuid4().hex}.parquet"
+            p.rename(d)
+            moved.append(d)
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved
+
+    @staticmethod
+    def _doc_id_file_ranges(
+        files: Sequence[Path],
+    ) -> list[tuple[Path, int | None, int | None]]:
+        """Footer ``doc_id`` min/max per packed-tier file (driver-side
+        metadata reads, no Spark job) — the pruning stats for duplicate
+        probes, replace rewrites, and deletes. Files without usable
+        stats report ``(None, None)`` and are treated as overlapping
+        everything (conservative)."""
+        import pyarrow.parquet as papq
+
+        out: list[tuple[Path, int | None, int | None]] = []
+        for f in files:
+            lo: int | None = None
+            hi: int | None = None
+            try:
+                md = papq.ParquetFile(f).metadata
+                mins: list[int] = []
+                maxs: list[int] = []
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for c in range(rg.num_columns):
+                        col = rg.column(c)
+                        if col.path_in_schema == "doc_id":
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                raise ValueError("no doc_id stats")
+                            mins.append(int(st.min))
+                            maxs.append(int(st.max))
+                if mins:
+                    lo, hi = min(mins), max(maxs)
+            except Exception:  # noqa: BLE001 — conservative fallback
+                lo = hi = None
+            out.append((f, lo, hi))
+        return out
+
+    _TOKEN_SCHEMA = "doc_id long, token_vecs array<array<float>>"
+    _TOKEN_CODES_SCHEMA = "doc_id long, token_codes array<binary>"
+
     def add_token_vectors(
         self,
         doc_tokens: DataFrame,
         doc_id_col: str = "doc_id",
         vec_col: str = "embedding",
         packed: bool = False,
+        on_conflict: str = "error",
     ) -> int:
         """Append token-level vectors for multi-vector (MaxSim) docs.
 
@@ -1864,14 +2036,31 @@ class VectorStore:
         stored as longs; token dimension must equal the store's
         ``config.dimension``; NULL tokens are dropped under the engine
         NULL rule and non-finite tokens are rejected (the store write
-        contract, same as add_vectors). Re-adding an existing doc_id is
-        undefined (two packed rows for one doc would score as two docs)
-        — token doc ids are caller-owned, append-once.
+        contract, same as add_vectors).
+
+        Append-once is ENFORCED (r13 — a duplicate packed row would
+        silently score one doc as two, and no recall gate could catch
+        it because scores stay plausible). ``on_conflict``:
+
+        - ``"error"`` (default): raise ``ValueError`` if any batch
+          doc_id already exists in the tier. Probe cost: a driver-side
+          parquet-footer doc_id min/max check first (free when the
+          batch's id range clears every file's — the monotonic-ingest
+          common case), then one doc_id-column semi-join LIMIT-bounded
+          job over only the range-overlapping files.
+        - ``"replace"``: re-index — existing packed rows (and codes)
+          for the batch's doc_ids are dropped and the new tokens land
+          in the SAME manifest flip (atomic re-index; file-level pruned
+          rewrite, only range-overlapping files are rewritten).
+        - ``"unchecked"``: skip the probe — the caller guarantees fresh
+          ids (the watermark-ingest pattern); a violated guarantee
+          reproduces the pre-r13 double-scoring.
 
         When :meth:`build_token_codes` has run, the new docs' sign-bit
-        codes are encoded and appended in the same call (the
-        incremental-maintenance contract the pq/bq columns keep).
-        Returns the number of token rows written.
+        codes are encoded and committed in the same manifest flip (the
+        incremental-maintenance contract the pq/bq columns keep) — a
+        crash can never leave codes behind tokens. Returns the number
+        of token rows written.
         """
         from mlx_vector_db_spark.operators.knn import _drop_null_vectors
         from mlx_vector_db_spark.operators.maxsim import (
@@ -1880,6 +2069,10 @@ class VectorStore:
             pack_doc_token_codes,
         )
 
+        if on_conflict not in ("error", "replace", "unchecked"):
+            raise ValueError(
+                "on_conflict must be 'error', 'replace', or 'unchecked'"
+            )
         _require_integral_ids(doc_tokens, doc_id_col, "add_token_vectors")
         if packed:
             flat = doc_tokens.select(
@@ -1892,51 +2085,248 @@ class VectorStore:
                 F.col(vec_col).cast("array<float>").alias("embedding"),
             )
         flat = _drop_null_vectors(flat, "embedding")
-        n = self._count_and_validate(flat)
+        # ONE aggregation: count + dim + finiteness + batch id range
+        # (the id range drives the footer-watermark duplicate probe)
+        n, lo, hi = self._count_and_validate_tokens(flat)
         if n == 0:
             return 0
-        pack_doc_tokens(flat, "doc_id", "embedding").write.mode(
-            "append"
-        ).option("parquet.block.size", self._TOKEN_PARQUET_BLOCK).parquet(
-            str(self.tokens_dir)
-        )
-        if self.config.token_bq:
-            from mlx_vector_db_spark.operators.bq import BQModel
+        spark = self.catalog.spark
+        with self._token_mutation_lock():
+            self._token_adopt_legacy()
+            live_toks, live_codes = self._token_live()
+            touched_toks: list[Path] = []
+            touched_codes: list[Path] = []
+            replaced_toks: list[Path] = []
+            replaced_codes: list[Path] = []
+            if on_conflict != "unchecked" and live_toks:
+                ranges = self._doc_id_file_ranges(live_toks)
+                overlap = [
+                    f
+                    for f, flo, fhi in ranges
+                    if flo is None or not (hi < flo or lo > fhi)
+                ]
+                dup_ids: list[int] = []
+                if overlap:
+                    existing = spark.read.schema(self._TOKEN_SCHEMA).parquet(
+                        *[str(f) for f in overlap]
+                    )
+                    dup_ids = [
+                        r["doc_id"]
+                        for r in existing.select("doc_id")
+                        .join(
+                            flat.select("doc_id").distinct(),
+                            on="doc_id",
+                            how="left_semi",
+                        )
+                        .limit(5)
+                        .collect()
+                    ]
+                if dup_ids and on_conflict == "error":
+                    raise ValueError(
+                        "add_token_vectors: doc_ids already present in the "
+                        f"token tier (e.g. {sorted(dup_ids)}); re-adding "
+                        "would score one doc as two — pass "
+                        "on_conflict='replace' to re-index, or use fresh ids"
+                    )
+                if dup_ids and on_conflict == "replace":
+                    batch_ids = flat.select("doc_id").distinct()
+                    touched_toks = overlap
+                    surv_t = spark.read.schema(self._TOKEN_SCHEMA).parquet(
+                        *[str(f) for f in touched_toks]
+                    ).join(batch_ids, on="doc_id", how="left_anti")
+                    replaced_toks = self._stage_tokens_in(surv_t, self.tokens_dir)
+                    if live_codes:
+                        touched_codes = [
+                            f
+                            for f, flo, fhi in self._doc_id_file_ranges(
+                                live_codes
+                            )
+                            if flo is None or not (hi < flo or lo > fhi)
+                        ]
+                        if touched_codes:
+                            surv_c = spark.read.schema(
+                                self._TOKEN_CODES_SCHEMA
+                            ).parquet(*[str(f) for f in touched_codes]).join(
+                                batch_ids, on="doc_id", how="left_anti"
+                            )
+                            replaced_codes = self._stage_tokens_in(
+                                surv_c, self.token_codes_dir
+                            )
+            staged_toks = self._stage_tokens_in(
+                pack_doc_tokens(flat, "doc_id", "embedding"), self.tokens_dir
+            )
+            staged_codes: list[Path] = []
+            if self.config.token_bq:
+                from mlx_vector_db_spark.operators.bq import BQModel
 
-            model = BQModel.from_dict(self.config.token_bq)
-            pack_doc_token_codes(flat, model, "doc_id", "embedding").write.mode(
-                "append"
-            ).option("parquet.block.size", self._TOKEN_PARQUET_BLOCK).parquet(
-                str(self.token_codes_dir)
+                model = BQModel.from_dict(self.config.token_bq)
+                staged_codes = self._stage_tokens_in(
+                    pack_doc_token_codes(flat, model, "doc_id", "embedding"),
+                    self.token_codes_dir,
+                )
+            self._token_commit(
+                [
+                    *(f for f in live_toks if f not in set(touched_toks)),
+                    *replaced_toks,
+                    *staged_toks,
+                ],
+                [
+                    *(f for f in live_codes if f not in set(touched_codes)),
+                    *replaced_codes,
+                    *staged_codes,
+                ],
             )
         return n
 
+    def _count_and_validate_tokens(self, flat: DataFrame) -> tuple[int, int, int]:
+        """The token-tier twin of :meth:`_count_and_validate`: the same
+        dimension + finiteness contract in ONE aggregation job, plus the
+        batch's doc_id min/max (fuel for the footer-watermark duplicate
+        probe — no second pass)."""
+        dim = self.config.dimension
+        bad_dim = F.col("embedding").isNull() | (
+            F.size("embedding") != F.lit(dim)
+        )
+        non_finite = F.exists(
+            "embedding",
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+        row = flat.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(bad_dim.cast("long")).alias("bad"),
+            F.sum((~bad_dim & non_finite).cast("long")).alias("nonfinite"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).first()
+        if row["bad"]:
+            raise ValueError(f"embedding dimension mismatch: store expects {dim}")
+        if row["nonfinite"]:
+            raise ValueError(
+                "embedding rows with null/NaN/Inf components — stores only "
+                "accept fully populated finite vectors"
+            )
+        n = int(row["n"])
+        return n, (int(row["lo"]) if n else 0), (int(row["hi"]) if n else 0)
+
+    def delete_token_vectors(self, ids: Sequence[int]) -> int:
+        """Delete packed token rows (and their codes) for ``ids`` — the
+        re-index/right-to-forget primitive the append-once contract
+        needs as its escape hatch. File-level pruned rewrite: only files
+        whose footer doc_id range can contain a target id are rewritten
+        (after :meth:`optimize_tokens` range-partitions the tier, a
+        point delete touches ONE file); both tables commit in one
+        manifest flip. Returns the number of packed doc rows removed."""
+        import bisect
+
+        sids = sorted({int(i) for i in ids})
+        if not sids:
+            return 0
+        spark = self.catalog.spark
+        with self._token_mutation_lock():
+            self._token_adopt_legacy()
+            live_toks, live_codes = self._token_live()
+            if not live_toks:
+                return 0
+
+            def _touched(files: list[Path]) -> list[Path]:
+                hit: list[Path] = []
+                for f, flo, fhi in self._doc_id_file_ranges(files):
+                    if flo is None:
+                        hit.append(f)
+                        continue
+                    i = bisect.bisect_left(sids, flo)
+                    if i < len(sids) and sids[i] <= fhi:
+                        hit.append(f)
+                return hit
+
+            ids_df = spark.createDataFrame(
+                [(i,) for i in sids], "doc_id long"
+            )
+            touched_toks = _touched(live_toks)
+            removed = 0
+            replaced_toks: list[Path] = []
+            if touched_toks:
+                reader = spark.read.schema(self._TOKEN_SCHEMA)
+                tdf = reader.parquet(*[str(f) for f in touched_toks])
+                removed = (
+                    tdf.join(ids_df, on="doc_id", how="left_semi").count()
+                )
+                if removed:
+                    surv = tdf.join(ids_df, on="doc_id", how="left_anti")
+                    replaced_toks = self._stage_tokens_in(surv, self.tokens_dir)
+                else:
+                    touched_toks = []
+            touched_codes: list[Path] = []
+            replaced_codes: list[Path] = []
+            if removed and live_codes:
+                touched_codes = _touched(live_codes)
+                if touched_codes:
+                    cdf = spark.read.schema(self._TOKEN_CODES_SCHEMA).parquet(
+                        *[str(f) for f in touched_codes]
+                    )
+                    surv_c = cdf.join(ids_df, on="doc_id", how="left_anti")
+                    replaced_codes = self._stage_tokens_in(
+                        surv_c, self.token_codes_dir
+                    )
+            if removed:
+                self._token_commit(
+                    [
+                        *(f for f in live_toks if f not in set(touched_toks)),
+                        *replaced_toks,
+                    ],
+                    [
+                        *(f for f in live_codes if f not in set(touched_codes)),
+                        *replaced_codes,
+                    ],
+                )
+            return int(removed)
+
     def token_df(self) -> DataFrame:
         """The packed token table ``(doc_id, token_vecs)`` — empty (with
-        the right schema) when no tokens were ever added."""
-        if not self.tokens_dir.exists():
-            return self.catalog.spark.createDataFrame(
-                [], "doc_id long, token_vecs array<array<float>>"
-            )
-        return self.catalog.spark.read.parquet(str(self.tokens_dir))
+        the right schema) when no tokens were ever added. Resolves
+        through the tier manifest (r13), so readers never see part-files
+        a crashed or in-flight mutation staged."""
+        files, _ = self._token_live()
+        if not files:
+            return self.catalog.spark.createDataFrame([], self._TOKEN_SCHEMA)
+        return self.catalog.spark.read.schema(self._TOKEN_SCHEMA).parquet(
+            *[str(f) for f in files]
+        )
 
     def token_codes_df(self) -> DataFrame:
-        """The packed sign-bit code table ``(doc_id, token_codes)``."""
-        if not self.token_codes_dir.exists():
+        """The packed sign-bit code table ``(doc_id, token_codes)`` —
+        manifest-resolved, like :meth:`token_df`."""
+        _, files = self._token_live()
+        if not files:
             return self.catalog.spark.createDataFrame(
-                [], "doc_id long, token_codes array<binary>"
+                [], self._TOKEN_CODES_SCHEMA
             )
-        return self.catalog.spark.read.parquet(str(self.token_codes_dir))
+        return self.catalog.spark.read.schema(
+            self._TOKEN_CODES_SCHEMA
+        ).parquet(*[str(f) for f in files])
 
-    def build_token_codes(self, seed: int = 42) -> None:
+    def build_token_codes(
+        self, seed: int = 42, reuse_doc_thresholds: bool = False
+    ) -> None:
         """Materialize the funnel's sign-bit token-code table: each
         token becomes ``ceil(D/8)`` bytes (32x cut vs float32), so
         :meth:`maxsim_query`'s candidate pass scans ~1/32nd the bytes
-        and does no floating-point work. Reuses the store's doc-level
-        BQ thresholds when :meth:`build_bq` has run (one centering is
-        as good as another at equal dimension); otherwise trains
-        token-level thresholds. Build-once: persisted in the config,
-        maintained incrementally by :meth:`add_token_vectors`."""
+        and does no floating-point work.
+
+        Thresholds are trained on the TOKEN distribution by default
+        (r13, ADVICE r12): the pre-r13 build reused the main table's
+        doc-level BQ thresholds when present, but per-dimension means
+        from a DIFFERENT vector distribution can sit far from the token
+        distribution's means and silently degrade funnel recall — the
+        sign bit stops splitting the token population. Pass
+        ``reuse_doc_thresholds=True`` to opt back in when the doc and
+        token vectors genuinely share a distribution (e.g. docs are
+        mean-pooled tokens).
+
+        Build-once: thresholds persist in the config; the code table is
+        maintained incrementally by :meth:`add_token_vectors`; the build
+        commits through the tier manifest (a crash leaves the previous
+        code table live, never a torn or missing one)."""
         from mlx_vector_db_spark.operators.bq import train_bq
         from mlx_vector_db_spark.operators.maxsim import pack_doc_token_codes
 
@@ -1946,28 +2336,30 @@ class VectorStore:
         )
         if tok.isEmpty():
             raise ValueError("cannot build token codes on an empty token table")
-        bqm = self._bq()
+        bqm = self._bq() if reuse_doc_thresholds else None
         if bqm is None:
             bqm = train_bq(flat, seed=seed)
         codes = pack_doc_token_codes(flat, bqm, "doc_id", "embedding")
-        # stage-then-swap (the build_bq discipline): a crash mid-build
-        # leaves the previous code table readable, never a torn one
-        staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-        codes.write.mode("overwrite").option(
-            "parquet.block.size", self._TOKEN_PARQUET_BLOCK
-        ).parquet(str(staging))
-        old = self.data_dir.parent / f".old-{uuid.uuid4().hex}"
-        if self.token_codes_dir.exists():
-            os.replace(self.token_codes_dir, old)
-        os.replace(staging, self.token_codes_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        with self._token_mutation_lock():
+            self._token_adopt_legacy()
+            live_toks, _ = self._token_live()
+            staged = self._stage_tokens_in(codes, self.token_codes_dir)
+            self._token_commit(live_toks, staged)
         self.config.token_bq = bqm.to_dict()
         self.catalog._save_config(self.config)
 
     def drop_token_vectors(self) -> None:
-        """Drop the whole token tier (tokens, codes, thresholds)."""
+        """Drop the whole token tier (tokens, codes, thresholds). The
+        manifest flips to empty FIRST (readers go empty atomically),
+        then the directories are reaped."""
+        with self._token_mutation_lock():
+            if (self._token_meta_dir / "CURRENT").exists() or (
+                self.tokens_dir.exists() or self.token_codes_dir.exists()
+            ):
+                self._token_commit([], [])
         shutil.rmtree(self.tokens_dir, ignore_errors=True)
         shutil.rmtree(self.token_codes_dir, ignore_errors=True)
+        shutil.rmtree(self._token_meta_dir, ignore_errors=True)
         self.config.token_bq = None
         self.catalog._save_config(self.config)
 
@@ -1978,30 +2370,36 @@ class VectorStore:
         the classic small-file problem — compact both the packed float
         table and (when built) the code table into ``target_files``
         range-partitioned on ``doc_id``, so footer min/max stats become
-        tight per file (point lookups and semi-join pruning touch one
-        file). Row groups stay bounded (32 MB writer default). Staged
-        swap per table — a crash leaves the previous layout readable.
+        tight per file (point lookups, duplicate probes, deletes, and
+        semi-join pruning touch one file). Row groups stay bounded
+        (32 MB writer default). Both compacted tables land in ONE
+        manifest flip — a crash leaves the previous layout live.
         Returns the resulting packed-table file count."""
-        if not self.tokens_dir.exists():
-            return 0
         spark = self.catalog.spark
-        for d in (self.tokens_dir, self.token_codes_dir):
-            if not d.exists():
-                continue
-            df = spark.read.parquet(str(d))
-            staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
-            (
-                df.repartitionByRange(target_files, "doc_id")
-                .sortWithinPartitions("doc_id")
-                .write.mode("overwrite")
-                .option("parquet.block.size", self._TOKEN_PARQUET_BLOCK)
-                .parquet(str(staging))
+        with self._token_mutation_lock():
+            self._token_adopt_legacy()
+            live_toks, live_codes = self._token_live()
+            if not live_toks:
+                return 0
+
+            def _compact(files: list[Path], schema: str, dest: Path) -> list[Path]:
+                df = spark.read.schema(schema).parquet(*[str(f) for f in files])
+                return self._stage_tokens_in(
+                    df.repartitionByRange(target_files, "doc_id")
+                    .sortWithinPartitions("doc_id"),
+                    dest,
+                )
+
+            new_toks = _compact(live_toks, self._TOKEN_SCHEMA, self.tokens_dir)
+            new_codes = (
+                _compact(
+                    live_codes, self._TOKEN_CODES_SCHEMA, self.token_codes_dir
+                )
+                if live_codes
+                else []
             )
-            old = self.data_dir.parent / f".old-{uuid.uuid4().hex}"
-            os.replace(d, old)
-            os.replace(staging, d)
-            shutil.rmtree(old, ignore_errors=True)
-        return len(list(self.tokens_dir.glob("*.parquet")))
+            self._token_commit(new_toks, new_codes)
+            return len(new_toks)
 
     def maxsim_query(
         self,
@@ -2024,7 +2422,9 @@ class VectorStore:
         ``4 * M * k * overfetch`` does NOT saturate the doc corpus (the
         r11 rule — a saturated two-pass plan is strictly worse than one
         exact sweep; both probes are LIMIT-bounded and memoized).
-        ``True`` forces the funnel (ValueError without codes);
+        ``True`` forces the funnel's two-pass plan outright — the
+        funnel's own saturation delegation is disabled too, so the
+        sign-bit pass genuinely runs (ValueError without codes);
         ``False`` forces the exact sweep.
 
         ``filter_metadata`` filters the MAIN store table (where doc
@@ -2051,7 +2451,8 @@ class VectorStore:
             ).select(F.col("id").alias("doc_id"))
             docs = docs.join(matching, on="doc_id", how="left_semi")
             codes = codes.join(matching, on="doc_id", how="left_semi")
-        codes_exist = bool(self.config.token_bq) and self.token_codes_dir.exists()
+        codes_exist = bool(self.config.token_bq) and bool(self._token_live()[1])
+        forced_funnel = funnel is True
         if funnel and metric != "cosine":
             raise ValueError(
                 "the sign-bit funnel estimates cosine only; use "
@@ -2079,6 +2480,10 @@ class VectorStore:
             from mlx_vector_db_spark.operators.bq import BQModel
             from mlx_vector_db_spark.operators.maxsim import maxsim_funnel
 
+            # funnel=True is a FORCE (ADVICE r12): disable the funnel's
+            # own saturation delegation, which would otherwise silently
+            # route small corpora back to the exact sweep — auto dispatch
+            # (funnel=None) keeps the default delegation rule
             return maxsim_funnel(
                 codes,
                 docs,
@@ -2087,6 +2492,7 @@ class VectorStore:
                 k=int(k),
                 overfetch=int(overfetch),
                 doc_tokens_packed=True,
+                **({"delegate_saturation": None} if forced_funnel else {}),
             )
         from mlx_vector_db_spark.operators.maxsim import maxsim_join
 
@@ -2816,7 +3222,7 @@ class VectorStore:
             "index_type": (self.config.index or {}).get("type", "none"),
             "pq": bool(self.config.pq),
             "bq": bool(self.config.bq),
-            "tokens": self.tokens_dir.exists(),
+            "tokens": bool(self._token_live()[0]),
             "token_codes": bool(self.config.token_bq),
             "cell_partitioned": self._cell_partitioned(),
             "files": len(self._data_files()),

@@ -89,13 +89,16 @@ def test_rows_only_queries_run(spark, sf_medium, name):
 
 
 def test_label_centroids_numpy_oracle(spark, sf_small):
-    """Per-label centroid entry vs a driver-side numpy mean."""
+    """The array-returning centroid OPERATOR vs a driver-side numpy mean
+    (the catalog entry carries the scalar long shape — VERDICT r12 #1;
+    the array form keeps its oracle here)."""
     import numpy as np
 
-    from mlx_vector_db_spark.queries import QUERIES
+    from mlx_vector_db_spark.operators.centroids import label_centroids
 
-    out = {r["label"]: r for r in QUERIES["label_centroids"](spark, sf_small).collect()}
-    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()
+    emb_df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    out = {r["label"]: r for r in label_centroids(emb_df).collect()}
+    emb = emb_df.collect()
     by_label = {}
     for r in emb:
         by_label.setdefault(r["label"], []).append(r["embedding"])
@@ -109,3 +112,49 @@ def test_label_centroids_numpy_oracle(spark, sf_small):
         assert out[lab]["centroid_norm"] == pytest.approx(
             float(np.linalg.norm(want)), abs=2e-6
         )
+
+
+def test_label_centroids_entry_is_scalar_long_form(spark, sf_small):
+    """The catalog ENTRY emits the driver-hashable long shape: scalar
+    columns only, values equal to the array operator's unrolled rows."""
+    import numpy as np
+
+    from mlx_vector_db_spark.operators.centroids import label_centroids
+    from mlx_vector_db_spark.queries import QUERIES
+
+    df = QUERIES["label_centroids"](spark, sf_small)
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_sweep import non_scalar_columns
+
+    assert non_scalar_columns(df.schema) == []
+    rows = df.collect()
+    emb_df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    arr = {r["label"]: r for r in label_centroids(emb_df).collect()}
+    for r in rows:
+        a = arr[r["label"]]
+        assert r["m"] == pytest.approx(a["centroid"][r["pos"]], abs=1.1e-6)
+        assert r["n_vectors"] == a["n_vectors"]
+        assert r["centroid_norm"] == pytest.approx(
+            a["centroid_norm"], abs=1.1e-6
+        )
+    dim = len(arr[rows[0]["label"]]["centroid"])
+    assert len(rows) == len(arr) * dim
+
+
+def test_sweep_lint_flags_complex_columns(spark):
+    """The sweep's catalog-contract lint rejects array/map/struct
+    top-level columns and passes scalars."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_sweep import non_scalar_columns
+
+    bad = spark.createDataFrame(
+        [(1, [1.0], {"a": 1}, (1,))],
+        "id long, arr array<double>, mp map<string,int>, st struct<x:int>",
+    )
+    assert non_scalar_columns(bad.schema) == ["arr", "mp", "st"]
+    good = spark.createDataFrame([(1, "x", 1.5)], "id long, s string, f double")
+    assert non_scalar_columns(good.schema) == []

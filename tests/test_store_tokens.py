@@ -236,14 +236,20 @@ def test_packed_add_and_lifecycle_cleanup(spark, loaded):
     assert not tok_dir.exists()
 
 
-def test_build_reuses_store_bq_thresholds(spark, loaded):
-    """When build_bq has run, token codes reuse the doc-level
-    thresholds (one artifact, consistent estimator)."""
+def test_build_trains_token_thresholds_by_default(spark, loaded):
+    """r13 (ADVICE r12): token codes train on the TOKEN distribution by
+    default even when doc-level BQ thresholds exist — means from a
+    different vector distribution can sit far from the token means and
+    silently degrade funnel recall. Reuse is explicit opt-in."""
     store, df = loaded
-    vecs = RNG.random((50, DIM)).astype(np.float32)
+    # doc vectors drawn from a SHIFTED distribution vs the tokens
+    vecs = (RNG.random((50, DIM)) + 0.5).astype(np.float32)
     store.add_vectors(vecs.tolist(), [{}] * 50)
     store.build_bq()
     store.build_token_codes()
+    assert store.config.token_bq["thresholds"] != store.config.bq["thresholds"]
+    # explicit opt-in reuses the doc-level artifact
+    store.build_token_codes(reuse_doc_thresholds=True)
     assert store.config.token_bq["thresholds"] == store.config.bq["thresholds"]
 
 
@@ -280,3 +286,131 @@ def test_optimize_tokens_compacts_and_preserves(spark, store):
     # no-op on an empty tier
     store.drop_token_vectors()
     assert store.optimize_tokens() == 0
+
+
+# -- r13: append-once contract, replace/delete, manifest durability ----------
+
+
+def test_duplicate_doc_ids_fail_fast(spark, loaded):
+    """r13 (VERDICT r12 #2): re-adding an existing doc_id raises instead
+    of silently scoring one doc as two."""
+    store, df = loaded
+    dup = spark.createDataFrame(
+        _token_rows([3, 99]), "doc_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="already present"):
+        store.add_token_vectors(dup)
+    # nothing landed — neither the fresh id nor the duplicate
+    assert store.token_df().count() == N_DOCS
+    # disjoint ids still append (the footer-watermark fast path)
+    fresh = spark.createDataFrame(
+        _token_rows([100, 101]), "doc_id long, embedding array<float>"
+    )
+    assert store.add_token_vectors(fresh) == 2 * TOKENS_PER_DOC
+    assert store.token_df().count() == N_DOCS + 2
+
+
+def test_replace_reindexes_doc_and_codes_in_sync(spark, loaded):
+    """on_conflict='replace': the doc's packed row AND its sign-bit codes
+    are swapped atomically; the re-indexed content wins the query."""
+    store, df = loaded
+    store.build_token_codes(seed=7)
+    # re-index doc 5 with doc 9's token content
+    new_tokens = [
+        (5, r["embedding"])
+        for r in df.where("doc_id = 9").collect()
+    ]
+    batch = spark.createDataFrame(
+        new_tokens, "doc_id long, embedding array<float>"
+    )
+    n = store.add_token_vectors(batch, on_conflict="replace")
+    assert n == TOKENS_PER_DOC
+    # still one packed row per doc, codes in lockstep
+    assert store.token_df().count() == N_DOCS
+    assert store.token_codes_df().count() == N_DOCS
+    assert (
+        store.token_df().where("doc_id = 5").count() == 1
+    )
+    # doc 5 now scores like doc 9: query with doc 9's tokens -> both tie at top
+    q = df.where("doc_id = 9").withColumnRenamed("doc_id", "query_id")
+    top2 = {
+        r["doc_id"]
+        for r in store.maxsim_query(q, k=2, funnel=False).collect()
+    }
+    assert top2 == {5, 9}
+
+
+def test_delete_token_vectors_prunes_both_tables(spark, loaded):
+    store, df = loaded
+    store.build_token_codes(seed=7)
+    removed = store.delete_token_vectors([2, 7, 999])
+    assert removed == 2
+    assert store.token_df().count() == N_DOCS - 2
+    assert store.token_codes_df().count() == N_DOCS - 2
+    q = df.where("doc_id = 2").withColumnRenamed("doc_id", "query_id")
+    got = {r["doc_id"] for r in store.maxsim_query(q, k=5, funnel=False).collect()}
+    assert 2 not in got and 7 not in got
+    # deleting already-gone ids is a no-op
+    assert store.delete_token_vectors([2, 7]) == 0
+    # deleted ids can be re-added (append-once means live-set-once)
+    assert store.add_token_vectors(
+        spark.createDataFrame(
+            _token_rows([2]), "doc_id long, embedding array<float>"
+        )
+    ) == TOKENS_PER_DOC
+
+
+def test_unchecked_skips_probe(spark, loaded):
+    """on_conflict='unchecked' is the caller-guarantees escape hatch: no
+    probe runs, so even a duplicate lands (documented foot-gun)."""
+    store, df = loaded
+    dup = spark.createDataFrame(
+        _token_rows([0]), "doc_id long, embedding array<float>"
+    )
+    store.add_token_vectors(dup, on_conflict="unchecked")
+    assert store.token_df().where("doc_id = 0").count() == 2
+
+
+def test_manifest_hides_stray_part_files(spark, loaded, tmp_path):
+    """Readers resolve through the tier manifest: a part-file a crashed
+    mutation left behind (staged in, never committed) is invisible."""
+    store, df = loaded
+    assert (store._token_meta_dir / "CURRENT").exists()
+    # simulate a crash-after-stage: a valid parquet file in the dir
+    stray = store.token_df().limit(1)
+    stray_dir = tmp_path / "stray"
+    stray.write.mode("overwrite").parquet(str(stray_dir))
+    import shutil as _sh
+    import uuid as _uuid
+
+    for p in stray_dir.glob("*.parquet"):
+        _sh.copy(p, store.tokens_dir / f"part-{_uuid.uuid4().hex}.parquet")
+    assert store.token_df().count() == N_DOCS  # stray not visible
+    # and the next commit reaps nothing it doesn't own — count stays right
+    store.add_token_vectors(
+        spark.createDataFrame(
+            _token_rows([500]), "doc_id long, embedding array<float>"
+        )
+    )
+    assert store.token_df().count() == N_DOCS + 1
+
+
+def test_forced_funnel_disables_delegation(spark, loaded, monkeypatch):
+    """maxsim_query(funnel=True) must exercise the two-pass funnel even
+    on small corpora (ADVICE r12): delegate_saturation=None is passed;
+    auto dispatch keeps the default delegation rule."""
+    from mlx_vector_db_spark.operators import maxsim as M
+
+    store, df = loaded
+    store.build_token_codes(seed=7)
+    seen = {}
+    real = M.maxsim_funnel
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(M, "maxsim_funnel", spy)
+    q = df.where("doc_id < 2").withColumnRenamed("doc_id", "query_id")
+    store.maxsim_query(q, k=2, funnel=True, overfetch=len(range(N_DOCS)))
+    assert seen.get("delegate_saturation", "absent") is None

@@ -27,6 +27,19 @@ TABLES = [
 ]
 
 
+def non_scalar_columns(schema) -> list[str]:
+    """Top-level array/map/struct columns — the cell types the round
+    driver's pandas sort/hash canonicalization chokes on (it factorizes
+    cells; lists are unhashable). Catalog entries must not emit them."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def canonical_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -65,7 +78,19 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            got = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            bad_cols = non_scalar_columns(sdf.schema)
+            if bad_cols:
+                # catalog contract (r13, VERDICT r12 #1): the driver's
+                # pandas canonicalizer cannot hash array/map/struct
+                # cells — every entry must emit scalar columns only
+                print(
+                    f"FAIL {name}: non-scalar output columns {bad_cols} "
+                    "(catalog contract: driver-hashable scalars only)"
+                )
+                bad.append(name)
+                continue
+            got = sdf.toPandas()
         except Exception:
             print(f"ERR  {name}: spark raised")
             traceback.print_exc()
