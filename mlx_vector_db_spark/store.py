@@ -2416,16 +2416,23 @@ class VectorStore:
         embedding)`` or a plain sequence of token vectors (ONE query,
         ``query_id`` 0). Returns ``(query_id, doc_id, score, rank)``.
 
-        ``funnel`` routing mirrors :meth:`batch_query`'s saturation-
-        aware dispatch: ``None`` (default) runs the sign-bit funnel iff
-        :meth:`build_token_codes` has run AND the candidate budget
-        ``4 * M * k * overfetch`` does NOT saturate the doc corpus (the
-        r11 rule — a saturated two-pass plan is strictly worse than one
-        exact sweep; both probes are LIMIT-bounded and memoized).
+        ``funnel`` routing: ``None`` (default) runs the EXACT blocked
+        sweep. r13 demoted the funnel from the auto path after the
+        prescribed cold-cache A/B (VERDICT r12 #3): at the 2M-token
+        shape the two-pass funnel loses to the blocked BLAS sweep at
+        dim 64 AND dim 128, page-cache-warm AND posix_fadvise-evicted
+        cold (BENCH_r13_maxsim_cold_*.json) — on storage fast enough to
+        measure here, CPU is the bottleneck and the bit kernel's FLOP
+        savings never repay the second pass. The tier's measured value
+        is recall-gated STORAGE/SCAN-BYTE compression (11-22x smaller
+        candidate artifact, maxsim_funnel_recall_gate pins recall);
+        pass ``funnel=True`` when scan bandwidth, not CPU, is the
+        bottleneck — a corpus far beyond the page cache on cold object
+        storage, where pass 1 reads 1/32nd the bytes.
         ``True`` forces the funnel's two-pass plan outright — the
         funnel's own saturation delegation is disabled too, so the
         sign-bit pass genuinely runs (ValueError without codes);
-        ``False`` forces the exact sweep.
+        ``False`` forces the exact sweep explicitly.
 
         ``filter_metadata`` filters the MAIN store table (where doc
         metadata lives) and semi-joins the surviving ids into the token
@@ -2459,19 +2466,9 @@ class VectorStore:
                 "funnel=False for dot_product"
             )
         if funnel is None:
+            # exact sweep is the measured winner at every locally
+            # reachable shape (see docstring); the funnel is opt-in
             funnel = False
-            if codes_exist and metric == "cosine":
-                from mlx_vector_db_spark.operators.knn import (
-                    _bounded_query_count,
-                )
-
-                m_probe = _bounded_query_count(
-                    query_tokens.select("query_id").distinct(), 65_536
-                )
-                bound = 4 * m_probe * int(k) * max(int(overfetch), 1)
-                funnel = (
-                    _bounded_query_count(docs.select("doc_id"), bound) > bound
-                )
         if funnel:
             if not codes_exist:
                 raise ValueError(

@@ -630,7 +630,7 @@ def streaming_maxsim_scores(
     token set atomically (one file / one message), the same contract
     every batch `maxsim_query` call has for its query frame. Each
     micro-batch runs :meth:`VectorStore.maxsim_query`, so the
-    saturation-aware funnel dispatch and main-table metadata filtering
+    funnel routing (exact by default, r13) and main-table metadata filtering
     work identically to batch; results carry an ``epoch_id`` provenance
     column and the sink is idempotent under foreachBatch's
     at-least-once replays (dynamic epoch-partition overwrite — the

@@ -94,9 +94,9 @@ def test_build_token_codes_and_funnel_equals_exact_at_saturation(loaded):
 
 
 def test_funnel_auto_dispatch_saturation(loaded):
-    """funnel=None: a small corpus saturates the candidate budget, so
-    auto dispatch runs the exact sweep — results equal funnel=False;
-    forcing funnel=True without codes raises."""
+    """funnel=None runs the exact sweep (r13: the measured winner at
+    every locally reachable shape — the funnel is opt-in) — results
+    equal funnel=False; forcing funnel=True without codes raises."""
     store, df = loaded
     queries = df.where(F.col("doc_id") < 2).withColumnRenamed(
         "doc_id", "query_id"
@@ -109,7 +109,7 @@ def test_funnel_auto_dispatch_saturation(loaded):
         tuple(r) for r in exact.orderBy("query_id", "rank").collect()
     ]
     store.build_token_codes()
-    # 4 * M(2) * k(3) * overfetch(4) = 96 >= 40 docs -> still exact
+    # codes built -> auto STILL runs exact (the funnel is opt-in)
     auto2 = store.maxsim_query(queries, k=3)
     assert [
         (r["query_id"], r["doc_id"], r["rank"])

@@ -109,12 +109,10 @@ def main() -> int:
         timings[label] = round(_median(reps), 2)
         spreads[label] = round(max(reps) - min(reps), 2)
 
-    # which plan did auto pick? re-derive the dispatch bound for the row
     n_docs = store.token_df().count()
-    bound = 4 * args.queries * args.k * args.overfetch
-    timings["store_auto_picked"] = (
-        "funnel" if n_docs > bound else "exact(delegated)"
-    )
+    # r13: auto dispatch always runs the exact sweep (funnel is opt-in
+    # after the cold A/B — see maxsim_query docstring)
+    timings["store_auto_picked"] = "exact(default)"
 
     shutil.rmtree(root, ignore_errors=True)
     print(
