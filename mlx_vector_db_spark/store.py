@@ -282,10 +282,47 @@ class VectorStoreCatalog:
                 continue
         for cfg in self.list_stores():
             st = VectorStore(self, cfg)
+            # token-tier orphans: part-files a crashed mutation moved in
+            # but never committed (invisible to manifest-resolved readers,
+            # but disk they consume forever without this sweep). Runs
+            # under the TIER lock — an in-flight tier mutation holds it
+            # across its whole critical section, so no race; min_age
+            # additionally protects the lock-free-fallback filesystems.
+            with st._token_mutation_lock():
+                n += self._vacuum_token_tier(st, now, min_age_seconds)
             if st._live_files() is None:  # legacy layout: every file is live
                 continue
             with st._commit_lock():
                 n += self._vacuum_store(st, now, min_age_seconds)
+        return n
+
+    @staticmethod
+    def _vacuum_token_tier(
+        st: "VectorStore", now: float, min_age_seconds: int
+    ) -> int:
+        """Reap token-tier files referenced by NO committed tier
+        manifest. The tier keeps no history (superseded files unlink at
+        commit), so the only strandables are crash orphans. A
+        pre-manifest (glob) layout is skipped entirely — every file is
+        live there."""
+        if not (st._token_meta_dir / "CURRENT").exists():
+            return 0
+        toks, codes = st._token_live()
+        live = {p.resolve() for p in toks} | {p.resolve() for p in codes}
+        n = 0
+        for d in (st.tokens_dir, st.token_codes_dir):
+            if not d.exists():
+                continue
+            for f in d.glob("**/*.parquet"):
+                try:
+                    if (
+                        f.resolve() not in live
+                        and now - f.stat().st_mtime > min_age_seconds
+                    ):
+                        f.unlink()
+                        n += 1
+                except OSError:
+                    continue
         return n
 
     @staticmethod

@@ -414,3 +414,131 @@ def test_forced_funnel_disables_delegation(spark, loaded, monkeypatch):
     q = df.where("doc_id < 2").withColumnRenamed("doc_id", "query_id")
     store.maxsim_query(q, k=2, funnel=True, overfetch=len(range(N_DOCS)))
     assert seen.get("delegate_saturation", "absent") is None
+
+
+def test_vacuum_reaps_token_orphans_keeps_live(spark, loaded, tmp_path):
+    """A crash between move-in and the manifest flip strands invisible
+    part-files; catalog.vacuum reaps them (aged) and never touches
+    committed tier files."""
+    store, df = loaded
+    store.build_token_codes(seed=7)
+    import os
+    import shutil as _sh
+    import time as _time
+    import uuid as _uuid
+
+    stray_src = tmp_path / "stray2"
+    store.token_df().limit(1).write.mode("overwrite").parquet(str(stray_src))
+    strays = []
+    for d in (store.tokens_dir, store.token_codes_dir):
+        for p in stray_src.glob("*.parquet"):
+            dst = d / f"part-{_uuid.uuid4().hex}.parquet"
+            _sh.copy(p, dst)
+            strays.append(dst)
+    # age the strays past the retention window
+    old = _time.time() - 7200
+    for s in strays:
+        os.utime(s, (old, old))
+    n = store.catalog.vacuum(min_age_seconds=3600)
+    assert n >= len(strays)
+    assert not any(s.exists() for s in strays)
+    # committed data intact
+    assert store.token_df().count() == N_DOCS
+    assert store.token_codes_df().count() == N_DOCS
+    # young orphans survive (in-flight mutation protection)
+    young = store.tokens_dir / f"part-{_uuid.uuid4().hex}.parquet"
+    _sh.copy(next(iter(stray_src.glob("*.parquet"))), young)
+    store.catalog.vacuum(min_age_seconds=3600)
+    assert young.exists()
+
+
+def test_token_lifecycle_sequence_matches_model(spark, store):
+    """Scripted add/replace/delete/build/optimize interleaving vs a
+    driver-side dict model: the tier's packed contents equal the model
+    after every mutation, and codes stay in doc lockstep."""
+    model = {}
+
+    def tokens_for(ids, salt):
+        rng = np.random.default_rng(1000 + salt)
+        return {
+            int(d): [rng.normal(size=DIM).astype(float).tolist()
+                     for _ in range(3)]
+            for d in ids
+        }
+
+    def add(ids, salt, on_conflict="error"):
+        batch = tokens_for(ids, salt)
+        rows = [(d, t) for d, toks in batch.items() for t in toks]
+        store.add_token_vectors(
+            spark.createDataFrame(rows, "doc_id long, embedding array<float>"),
+            on_conflict=on_conflict,
+        )
+        model.update(batch)
+
+    def check():
+        got = {
+            r["doc_id"]: sorted(tuple(round(x, 5) for x in t)
+                                for t in r["token_vecs"])
+            for r in store.token_df().collect()
+        }
+        want = {
+            d: sorted(tuple(round(x, 5) for x in t) for t in toks)
+            for d, toks in model.items()
+        }
+        assert got == want
+        if store.config.token_bq:
+            code_ids = {r["doc_id"] for r in
+                        store.token_codes_df().select("doc_id").collect()}
+            assert code_ids == set(model)
+
+    add(range(8), salt=0)
+    check()
+    store.build_token_codes(seed=5)
+    check()
+    add(range(8, 12), salt=1)
+    check()
+    add([2, 3], salt=2, on_conflict="replace")
+    check()
+    removed = store.delete_token_vectors([0, 5, 99])
+    assert removed == 2
+    for d in (0, 5):
+        model.pop(d)
+    check()
+    store.optimize_tokens(target_files=2)
+    check()
+    add([0], salt=3)  # deleted id is re-addable
+    check()
+
+
+def test_concurrent_appends_serialize_under_tier_lock(spark, store):
+    """Four threads appending disjoint doc_id ranges concurrently: the
+    tier mutation lock serializes the commits, every batch lands, and
+    the final manifest is consistent (no lost append — the pre-r13
+    staged-swap interleaving hazard)."""
+    import threading
+
+    errs = []
+
+    def worker(base):
+        try:
+            rows = _token_rows(range(base, base + 5))
+            store.add_token_vectors(
+                spark.createDataFrame(
+                    rows, "doc_id long, embedding array<float>"
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(b,))
+               for b in (0, 100, 200, 300)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert store.token_df().count() == 20
+    ids = {r["doc_id"] for r in store.token_df().select("doc_id").collect()}
+    assert ids == set(range(0, 5)) | set(range(100, 105)) | set(
+        range(200, 205)
+    ) | set(range(300, 305))
