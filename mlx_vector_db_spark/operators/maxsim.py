@@ -99,6 +99,17 @@ _MAXSIM_SLICE_ELEMS = 8_000_000
 #: (allocator/cache churn) — bq.py's _BQ_SLICE_ELEMS discipline.
 _FUNNEL_SLICE_WORDS = 2_000_000
 
+#: funnel pass-2 candidate-pushdown bound: up to this many candidate
+#: ids are collected driver-side and pushed into the float-table scan
+#: as a parquet In filter (exact-set pushdown needs
+#: spark.sql.parquet.pushdown.inFilterThreshold >= this AND the 16 MB
+#: thread stacks, both set in session.py — the pushed predicate's
+#: parquet evaluation recurses per value and overflows a default 1 MB
+#: stack from ~1.2k values). 16384 is the measured-safe bound (16k OK
+#: at -Xss16m; 32k fails on planning allocation pressure); past it the
+#: semi-join fallback keeps pass 2 fully distributed (full-scan bytes).
+_FUNNEL_PUSHDOWN_LIMIT = 16_384
+
 
 def _token_chunk_bounds(
     lens: np.ndarray, tok_budget: int, docs_cap: int
@@ -805,13 +816,32 @@ def maxsim_funnel(
         [F.col("_approx").desc(), F.col("doc_id").asc()],
         take,
     )
-    cand_ids = cand_topk.select("doc_id").distinct().withColumnRenamed(
-        "doc_id", doc_id_col
-    )
-    # the semi-join prunes the float token scan to candidates only;
-    # doc_tokens_packed lets a store-materialized (doc_id, token_vecs)
-    # table feed the re-rank without an explode/re-pack round trip
-    subset = doc_tokens.join(cand_ids, on=doc_id_col, how="left_semi")
+    # pass-2 scan pruning (r13): the candidate set is driver-bounded by
+    # construction (<= n_queries * take distinct ids), so up to
+    # _FUNNEL_PUSHDOWN_LIMIT it is collected and pushed into the
+    # float-table scan as an In filter — parquet row-group and page
+    # (column-index) stats then prune the re-rank read to the
+    # candidates' pages, which is the funnel's entire byte story on
+    # bandwidth-bound storage: the previous semi-join filtered rows
+    # only AFTER decoding them, so pass 2 read the WHOLE float table
+    # from the device (measured r13: 538 MB funnel vs 515 MB artifact
+    # under a 150 MB/s throttle — more bytes than the exact sweep it
+    # was supposed to beat). Collecting makes the funnel eager at call
+    # time: pass 1 runs ONCE here, and the returned plan re-ranks only
+    # (repeat actions on the result no longer recompute the candidate
+    # pass). Past the bound, the lazy semi-join fallback keeps the old
+    # behavior; doc_tokens_packed lets a store-materialized
+    # (doc_id, token_vecs) table feed the re-rank without an
+    # explode/re-pack round trip.
+    if len(q_ids) * take <= _FUNNEL_PUSHDOWN_LIMIT:
+        cand_id_rows = cand_topk.select("doc_id").distinct().collect()
+        ids = [r[0] for r in cand_id_rows] or [-1]  # empty -> no match
+        subset = doc_tokens.where(F.col(doc_id_col).isin(ids))
+    else:
+        cand_ids = cand_topk.select("doc_id").distinct().withColumnRenamed(
+            "doc_id", doc_id_col
+        )
+        subset = doc_tokens.join(cand_ids, on=doc_id_col, how="left_semi")
     return maxsim_join(
         subset,
         queries,

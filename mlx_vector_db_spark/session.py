@@ -95,6 +95,29 @@ def get_spark(
         # throughput while letting splits and reader batches stay
         # balanced and bounded on any cluster.
         .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
+        # push LARGE In-sets down to parquet as the exact set instead of
+        # collapsing to a min/max range (the default threshold is 10):
+        # the funnel's pass-2 re-rank pushes a driver-bounded candidate
+        # id list (up to n_queries * k * overfetch values) into the
+        # float-table scan, and only the exact set lets row-group AND
+        # page (column-index) stats prune a SCATTERED id list — a range
+        # filter over scattered candidates spans the whole table and
+        # prunes nothing (measured r13: the semi-join fallback read the
+        # full 515 MB float table under a 150 MB/s throttle).
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "131072")
+        # the pushed In predicate's parquet evaluation recurses per
+        # value: at the default 1 MB thread stack it overflows from
+        # ~1.2k values (measured: 1100 OK / 1500 StackOverflowError,
+        # nondeterministic near the edge). 16 MB stacks carry 16k
+        # values with headroom (measured OK; 32k fails on planning
+        # allocation pressure instead — the funnel caps its pushdown at
+        # 16384, operators/maxsim._FUNNEL_PUSHDOWN_LIMIT). Stacks are
+        # lazily faulted, so the cost is virtual address space only.
+        # On a real cluster the executor opt is the one that matters;
+        # both are set so local[*] (driver-hosted executors) and
+        # deployed executors agree.
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
+        .config("spark.executor.extraJavaOptions", "-Xss16m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

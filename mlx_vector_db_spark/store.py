@@ -2000,14 +2000,51 @@ class VectorStore:
             if toks or codes:
                 self._token_commit(toks, codes)
 
+    #: parquet PAGE size for packed tier tables (default 1 MB). The page
+    #: is the unit of column-index (min/max) pruning: the funnel's
+    #: pass-2 re-rank pushes a scattered candidate id list into the
+    #: float scan, and byte savings equal the fraction of pages with no
+    #: candidate — at 1 MB pages (~800 packed rows each) any realistic
+    #: candidate set hits every page; at 64 KB (~50 rows) the same set
+    #: leaves most pages untouched. Costs ~1% size in page headers.
+    _TOKEN_PARQUET_PAGE = 64 * 1024
+
+    #: parquet page ROW-COUNT cap (default 20000). The byte cap alone is
+    #: per-COLUMN: a 64 KB page of the 8-byte doc_id column spans ~8000
+    #: rows, and column-index pruning selects row RANGES at the
+    #: PREDICATE column's page granularity — so one scattered candidate
+    #: dragged in an 8000-row range (~8 MB of packed floats) and 45 hit
+    #: doc_id pages read 359 of 515 MB (measured r13). Capping every
+    #: page at 100 rows makes the range granularity 100 rows: the same
+    #: 100-candidate read drops to 13 MB (39x), 800 candidates to
+    #: 102 MB (5x), at +0.06% file size.
+    _TOKEN_PARQUET_PAGE_ROWS = 100
+
     def _stage_tokens_in(self, df: DataFrame, dest: Path) -> list[Path]:
         """Write ``df`` to a private staging dir (bounded 32 MB row
-        groups) and move its part-files into ``dest`` under
-        collision-free names — invisible to readers until the manifest
-        flip references them."""
+        groups, 64 KB / 100-row point-lookup-friendly pages, rows
+        locally SORTED by doc_id) and move its part-files into ``dest``
+        under collision-free names — invisible to readers until the
+        manifest flip references them.
+
+        The local sort is what makes the page stats USABLE: packed
+        rows arrive from a hash shuffle, so without it each page holds
+        doc_ids scattered across the whole id range — page min/max
+        spans everything and column-index pruning keeps every page
+        (measured r13: the funnel's pushed candidate filter read the
+        full 515 MB float table on unsorted files vs 13-102 MB on
+        sorted ones). sortWithinPartitions is a zero-shuffle local
+        sort; optimize_tokens additionally RANGE-partitions across
+        files so footer-level pruning composes on top."""
         staging = self.data_dir.parent / f".staging-{uuid.uuid4().hex}"
+        if "doc_id" in df.columns:
+            df = df.sortWithinPartitions("doc_id")
         df.write.mode("overwrite").option(
             "parquet.block.size", self._TOKEN_PARQUET_BLOCK
+        ).option(
+            "parquet.page.size", self._TOKEN_PARQUET_PAGE
+        ).option(
+            "parquet.page.row.count.limit", self._TOKEN_PARQUET_PAGE_ROWS
         ).parquet(str(staging))
         dest.mkdir(parents=True, exist_ok=True)
         moved: list[Path] = []
@@ -2458,14 +2495,23 @@ class VectorStore:
         prescribed cold-cache A/B (VERDICT r12 #3): at the 2M-token
         shape the two-pass funnel loses to the blocked BLAS sweep at
         dim 64 AND dim 128, page-cache-warm AND posix_fadvise-evicted
-        cold (BENCH_r13_maxsim_cold_*.json) — on storage fast enough to
-        measure here, CPU is the bottleneck and the bit kernel's FLOP
-        savings never repay the second pass. The tier's measured value
-        is recall-gated STORAGE/SCAN-BYTE compression (11-22x smaller
-        candidate artifact, maxsim_funnel_recall_gate pins recall);
-        pass ``funnel=True`` when scan bandwidth, not CPU, is the
-        bottleneck — a corpus far beyond the page cache on cold object
-        storage, where pass 1 reads 1/32nd the bytes.
+        cold (BENCH_r13_maxsim_cold_*.json) — on fast storage CPU is
+        the bottleneck and the bit kernel's FLOP savings never repay
+        the second pass.
+
+        The bandwidth-bound carve-out was then MEASURED under a cgroup
+        read throttle (BENCH_r13_maxsim_throttled.json): with the
+        optimize_tokens layout (range-clustered files, 100-row pages)
+        and the pass-2 candidate In-pushdown, the funnel reads 117 MB
+        where the exact sweep reads 515 and WINS 1.9x at 40 MB/s
+        (9.3s vs 17.5s, 10 queries x 2M tokens). The win needs BOTH
+        (a) scan bandwidth — not CPU — as the bottleneck (>= ~150 MB/s
+        the sweep wins again), and (b) candidates sparse vs the corpus
+        (~<1 per 100-row page; at 100 queries the same probe reads 463
+        of 515 MB and loses). Candidate count is fixed (M*k*overfetch)
+        while the corpus grows, so (b) IMPROVES with scale — the 100 TB
+        cold-store serving shape is exactly the win regime. Pass
+        ``funnel=True`` there; run :meth:`optimize_tokens` first.
         ``True`` forces the funnel's two-pass plan outright — the
         funnel's own saturation delegation is disabled too, so the
         sign-bit pass genuinely runs (ValueError without codes);

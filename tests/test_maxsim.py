@@ -664,10 +664,15 @@ def test_funnel_saturation_delegation(funnel_parts):
     b = [(r["query_id"], r["doc_id"], r["rank"])
          for r in pinned.orderBy("query_id", "rank").collect()]
     assert a == b
-    # an UNsaturated call keeps the funnel: tiny take, Python stage
+    # an UNsaturated call keeps the funnel. r13: the candidate pass runs
+    # EAGERLY at call time (bounded collect) and the returned plan is
+    # the re-rank over the PUSHED candidate id set — no Python stage in
+    # the returned plan (it already ran), and the candidate filter is
+    # visible as an IN/INSET predicate on doc_id
     kept = maxsim_funnel(codes, docs, queries, bq, k=1, overfetch=1)
-    kplan = kept._jdf.queryExecution().executedPlan().toString()
-    assert "mapinpandas" in kplan.lower().replace("_", "")
+    kplan = kept._jdf.queryExecution().executedPlan().toString().lower()
+    assert ("inset" in kplan) or (" in (" in kplan)
+    assert "doc_id" in kplan
 
 
 def test_tune_overfetch_maxsim(spark, funnel_parts):
@@ -704,3 +709,39 @@ def test_tune_overfetch_maxsim(spark, funnel_parts):
     assert curve_f[full] == pytest.approx(1.0)  # saturating + filter
     with pytest.raises(ValueError, match="target_recall"):
         tune_overfetch_maxsim(codes, docs, queries, bq, target_recall=0.0)
+
+
+def test_funnel_pass2_candidate_pushdown_reaches_parquet(
+    spark, funnel_parts, tmp_path, monkeypatch
+):
+    """r13: the funnel's pass-2 re-rank pushes the driver-bounded
+    candidate id list into the float-table scan as an In filter —
+    visible as PushedFilters In(doc_id, ...) on a parquet doc table —
+    so parquet row-group/page stats prune the re-rank read (the byte
+    story measured in BENCH_r13_maxsim_throttled*). Past the bound the
+    lazy semi-join fallback keeps pass 2 distributed."""
+    from mlx_vector_db_spark.operators import maxsim as M
+
+    docs, queries, bq, codes = funnel_parts
+    pdir = tmp_path / "packed"
+    M.pack_doc_tokens(docs).write.mode("overwrite").parquet(str(pdir))
+    packed = spark.read.parquet(str(pdir))
+    out = M.maxsim_funnel(
+        codes, packed, queries, bq, k=2, overfetch=2,
+        doc_tokens_packed=True, delegate_saturation=None,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" in plan
+    # parity with the semi-join fallback (forced via the limit)
+    monkeypatch.setattr(M, "_FUNNEL_PUSHDOWN_LIMIT", 0)
+    fb = M.maxsim_funnel(
+        codes, packed, queries, bq, k=2, overfetch=2,
+        doc_tokens_packed=True, delegate_saturation=None,
+    )
+    fplan = fb._jdf.queryExecution().executedPlan().toString().lower()
+    assert "mapinpandas" in fplan.replace("_", "")  # lazy pass-1 retained
+    a = [(r["query_id"], r["doc_id"], r["rank"])
+         for r in out.orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["doc_id"], r["rank"])
+         for r in fb.orderBy("query_id", "rank").collect()]
+    assert a == b

@@ -1,29 +1,32 @@
 #!/usr/bin/env python
-"""Cold-storage A/B for the MaxSim funnel (VERDICT r12 #3): the funnel's
-remaining value claim is the 32x byte cut on COLD reads — warm-corpus
-CPU loses to BLAS at dim 64 (SCALE.md r12) and the saturated regime
-delegates away. Measure it instead of asserting it.
+"""Bandwidth-throttled, byte-metered A/B for the MaxSim funnel — the
+experiment that settles the tier's LAST unmeasured claim (SCALE.md r13:
+"pass funnel=True when scan bandwidth, not CPU, is the bottleneck").
 
-Method: build the packed float table and the sign-bit code table at the
-target shape, then before every measured rep EVICT the artifact's page
-cache with ``posix_fadvise(POSIX_FADV_DONTNEED)`` per file (no root
-needed, per-inode eviction — the same pages a cold object-store read
-would miss). Three measured modes per rep set:
+The NVMe cold A/B (tools/maxsim_cold.py) showed CPU dominating; this
+tool emulates the bandwidth-bound regime directly:
 
-- ``blocked_cold``  — exact blocked sweep, float table evicted first
-- ``funnel_cold``   — two-pass funnel, BOTH artifacts evicted first
-  (pass 1 reads the 32x-smaller codes; pass 2 re-reads only the
-  candidates' float rows)
-- ``blocked_warm`` / ``funnel_warm`` — same, no eviction (the SCALE.md
-  r12 warm story, re-confirmed in the same process for a fair frame)
+- the measuring process (and the JVM it spawns — cgroup membership is
+  inherited) joins a dedicated cgroup-v1 blkio cgroup with
+  ``blkio.throttle.read_bps_device`` capped at ``--mbps`` (default 150,
+  an object-store-per-node-like figure);
+- before every rep the artifacts are evicted with posix_fadvise, so
+  every parquet byte crosses the throttle;
+- the cgroup's ``blkio.throttle.io_service_bytes`` taken before/after
+  each rep gives the EXACT device bytes read — the byte claim is
+  measured, not inferred from file sizes.
 
-``--dim`` synthesizes a fresh uniform token corpus at that dimension
-(dim 128 halves the bit kernel's relative cost vs dim 64 — the shape
-the claim should win first if it wins anywhere).
+Why this matters: the funnel's pass 2 re-ranks via a semi-join against
+the float token table — a full scan that the join filters AFTER decode
+— so its device bytes are codes + ALL floats unless candidate pushdown
+prunes the scan. This tool shows which story the bytes actually tell.
+
+Must run as root (writes the blkio cgroup). Cleans the cgroup up on
+exit; the throttle never applies outside the measuring process tree.
 
     SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
-        python tools/maxsim_cold.py /tmp/sf100knn --sf 100 --reps 3 \
-        [--dim 128] [--queries 100]
+        python tools/maxsim_throttled.py /tmp/sf100knn --sf 100 \
+        --reps 2 --mbps 150 [--queries 100]
 
 Prints ONE JSON line in the BENCH sidecar format.
 """
@@ -42,6 +45,56 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import _JIFFIES_HZ, _steal_jiffies  # noqa: E402
 
+CGROUP = Path("/sys/fs/cgroup/blkio/spark-graft-throttle")
+
+
+def _device_of(path: str) -> str:
+    st = os.stat(path)
+    return f"{os.major(st.st_dev)}:{os.minor(st.st_dev)}"
+
+
+def _join_cgroup(dev: str, bps: int) -> None:
+    CGROUP.mkdir(exist_ok=True)
+    (CGROUP / "blkio.throttle.read_bps_device").write_text(f"{dev} {bps}\n")
+    (CGROUP / "cgroup.procs").write_text(str(os.getpid()))
+
+
+def _read_bytes(dev: str) -> int:
+    total = 0
+    try:
+        for line in (CGROUP / "blkio.throttle.io_service_bytes").read_text().splitlines():
+            parts = line.split()
+            if len(parts) == 3 and parts[0] == dev and parts[1] == "Read":
+                total = int(parts[2])
+    except OSError:
+        pass
+    return total
+
+
+def _cleanup() -> None:
+    try:
+        Path("/sys/fs/cgroup/blkio/cgroup.procs").write_text(str(os.getpid()))
+    except OSError:
+        pass
+    try:
+        CGROUP.rmdir()
+    except OSError:
+        pass
+
+
+def _evict(*dirs: str) -> None:
+    for d in dirs:
+        for f in Path(d).glob("**/*.parquet"):
+            fd = os.open(f, os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+
+
+def _du(d: str) -> int:
+    return sum(f.stat().st_size for f in Path(d).glob("**/*.parquet"))
+
 
 def _median(xs):
     xs = sorted(xs)
@@ -49,46 +102,22 @@ def _median(xs):
     return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
 
-def _noop(df):
-    df.write.format("noop").mode("overwrite").save()
-
-
-def _evict(*dirs: str) -> int:
-    """posix_fadvise(DONTNEED) every byte of every parquet file under
-    ``dirs`` — returns the number of bytes advised out."""
-    total = 0
-    for d in dirs:
-        for f in Path(d).glob("**/*.parquet"):
-            size = f.stat().st_size
-            fd = os.open(f, os.O_RDONLY)
-            try:
-                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
-            finally:
-                os.close(fd)
-            total += size
-    return total
-
-
-def _du(d: str) -> int:
-    return sum(f.stat().st_size for f in Path(d).glob("**/*.parquet"))
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
     ap.add_argument("--sf", type=float, required=True)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--mbps", type=int, default=150)
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--overfetch", type=int, default=8)
-    ap.add_argument(
-        "--dim",
-        type=int,
-        default=None,
-        help="synthesize a uniform token corpus at this dim instead of "
-        "reading sf_dir embeddings (keeps the same token count)",
-    )
     args = ap.parse_args()
+
+    dev = _device_of(args.sf_dir)
+    _join_cgroup(dev, args.mbps * 1024 * 1024)
+    import atexit
+
+    atexit.register(_cleanup)
 
     from pyspark.sql import functions as F
 
@@ -102,22 +131,8 @@ def main() -> int:
     from mlx_vector_db_spark.session import get_spark, release_intermediates
 
     steal0 = _steal_jiffies()
-    spark = get_spark("maxsim-cold")
+    spark = get_spark("maxsim-throttled")
     emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
-    if args.dim:
-        # same row count, synthetic uniform vectors at --dim (seeded by
-        # vec_id so the corpus is deterministic across runs)
-        dim = int(args.dim)
-        emb = emb.select(
-            "vec_id",
-            F.transform(
-                F.sequence(F.lit(1), F.lit(dim)),
-                lambda i: F.pmod(
-                    F.hash(F.col("vec_id") * F.lit(2654435761) + i), F.lit(10_000)
-                ).cast("float")
-                / F.lit(10_000.0),
-            ).alias("embedding"),
-        )
     docs = emb.select(
         F.floor(F.col("vec_id") / F.lit(4)).cast("long").alias("doc_id"),
         "embedding",
@@ -125,7 +140,7 @@ def main() -> int:
     n_tokens = docs.count()
     dim = len(docs.select("embedding").first()["embedding"])
 
-    packed_path = tempfile.mkdtemp(prefix="maxsim-cold-pack-")
+    packed_path = tempfile.mkdtemp(prefix="maxsim-thr-pack-")
     pack_doc_tokens(docs).repartitionByRange(32, "doc_id").sortWithinPartitions("doc_id").write.mode("overwrite").option(
         "parquet.block.size", 32 * 1024 * 1024
     ).option("parquet.page.size", 64 * 1024).option(
@@ -133,7 +148,7 @@ def main() -> int:
     ).parquet(packed_path)
     packed = spark.read.parquet(packed_path)
     bqm = train_bq(docs, seed=42)
-    codes_path = tempfile.mkdtemp(prefix="maxsim-cold-codes-")
+    codes_path = tempfile.mkdtemp(prefix="maxsim-thr-codes-")
     pack_doc_token_codes(docs, bqm).repartitionByRange(32, "doc_id").sortWithinPartitions("doc_id").write.mode("overwrite").option(
         "parquet.block.size", 32 * 1024 * 1024
     ).option("parquet.page.size", 64 * 1024).option(
@@ -141,12 +156,15 @@ def main() -> int:
     ).parquet(codes_path)
     codes = spark.read.parquet(codes_path)
 
-    qtok = docs.where(F.col("doc_id") < args.queries).withColumnRenamed(
-        "doc_id", "query_id"
-    )
     qtok = spark.createDataFrame(
-        qtok.collect(), "query_id long, embedding array<float>"
-    )  # pin query tokens driver-side so reps never rescan the corpus for them
+        docs.where(F.col("doc_id") < args.queries)
+        .withColumnRenamed("doc_id", "query_id")
+        .collect(),
+        "query_id long, embedding array<float>",
+    )
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
 
     def run_blocked():
         _noop(
@@ -167,25 +185,21 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for label, fn, evict_dirs in (
-        ("blocked_cold", run_blocked, (packed_path,)),
-        ("funnel_cold", run_funnel, (packed_path, codes_path)),
-        ("blocked_warm", run_blocked, ()),
-        ("funnel_warm", run_funnel, ()),
-    ):
-        if not evict_dirs:
-            fn()  # warm the cache for the warm rows
-            release_intermediates(spark)
+    bytes_read: dict[str, int] = {}
+    for label, fn in (("blocked_cold", run_blocked), ("funnel_cold", run_funnel)):
         reps = []
+        byts = []
         for _ in range(args.reps):
-            if evict_dirs:
-                _evict(*evict_dirs)
+            _evict(packed_path, codes_path)
+            b0 = _read_bytes(dev)
             t0 = time.monotonic()
             fn()
             reps.append(time.monotonic() - t0)
+            byts.append(_read_bytes(dev) - b0)
             release_intermediates(spark)
         timings[label] = round(_median(reps), 2)
         spreads[label] = round(max(reps) - min(reps), 2)
+        bytes_read[label] = int(_median(byts))
 
     print(
         json.dumps(
@@ -193,6 +207,7 @@ def main() -> int:
                 "sf": args.sf if args.sf % 1 else int(args.sf),
                 "reps": args.reps,
                 "stat": "median",
+                "throttle_read_mbps": args.mbps,
                 "queries": {
                     "n_doc_tokens": n_tokens,
                     "dim": dim,
@@ -201,7 +216,8 @@ def main() -> int:
                     "overfetch": args.overfetch,
                     **timings,
                 },
-                "bytes": {
+                "device_bytes_read": bytes_read,
+                "artifact_bytes": {
                     "packed_float": _du(packed_path),
                     "codes": _du(codes_path),
                 },
