@@ -542,3 +542,17 @@ def test_concurrent_appends_serialize_under_tier_lock(spark, store):
     assert ids == set(range(0, 5)) | set(range(100, 105)) | set(
         range(200, 205)
     ) | set(range(300, 305))
+
+
+def test_store_funnel_pushes_candidate_filter(spark, loaded):
+    """r13: the store-native funnel's pass-2 re-rank pushes the
+    driver-bounded candidate id list into the tier's parquet scan
+    (PushedFilters In(doc_id, ...)) — the byte story measured in
+    BENCH_r13_maxsim_throttled.json."""
+    store, df = loaded
+    store.build_token_codes(seed=7)
+    store.optimize_tokens(target_files=2)
+    q = df.where("doc_id < 2").withColumnRenamed("doc_id", "query_id")
+    out = store.maxsim_query(q, k=3, funnel=True, overfetch=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan
