@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.operators.quality import hashed_feature_buckets
 from mlx_vector_db_spark.operators.sampling import sample_key
+from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
 __all__ = ["dsir_log_weights", "dsir_resample", "gumbel_key"]
 
@@ -66,7 +67,13 @@ def _bucket_counts(
     """(bucket, count) over all gram occurrences of a corpus — bounded
     at ``n_buckets`` rows regardless of corpus size."""
     return (
-        df.select(
+        # parallelism guard: the md5 gram hashing is the operator's
+        # dominant per-row cost (~80%, BENCH_r13_dsir_profile_sf1) and
+        # runs in the SCAN stage — a single-file corpus serializes it
+        # onto one core (measured r13: the whole pass on 1 of 32 tasks).
+        # No-op on any real wide table.
+        rebalance_for_compute(df, text_col)
+        .select(
             F.explode(hashed_feature_buckets(text_col, n_buckets, ngram_max)).alias(
                 "bucket"
             )
@@ -111,12 +118,17 @@ def dsir_log_weights(
     # q-distribution and the scoring pass consume them, and the md5
     # gram hashing is the dominant per-row cost — without the fence it
     # runs twice over the full raw corpus
-    feats = raw_df.select(
-        F.col(id_col),
-        F.explode(hashed_feature_buckets(text_col, n_buckets, ngram_max)).alias(
-            "bucket"
-        ),
-    ).localCheckpoint(eager=False)
+    feats = (
+        # same parallelism guard as _bucket_counts: hash on every core
+        rebalance_for_compute(raw_df, id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.explode(hashed_feature_buckets(text_col, n_buckets, ngram_max)).alias(
+                "bucket"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
     q_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("q_c"))
 
     # n_buckets-row ratio table; the totals ride 1-row broadcast cross

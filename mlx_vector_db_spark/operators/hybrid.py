@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import tokens
 from mlx_vector_db_spark.operators.topk import bounded_global_rank
+from mlx_vector_db_spark.rebalance import rebalance_for_compute
 
 __all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
 
@@ -56,8 +57,13 @@ def bm25_scores(
     terms = [t.lower() for t in terms]
     toks = F.transform(tokens(text_col), lambda w: F.lower(w))
 
-    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
-        id_col, "_toks", F.size("_toks").alias("_dl")
+    # parallelism guard: tokenize + lowercase + the term-filter explode
+    # are the per-row cost and otherwise run in the scan stage — one
+    # core on a single-file corpus. No-op on a real wide table.
+    base = (
+        rebalance_for_compute(docs, id_col, text_col)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, "_toks", F.size("_toks").alias("_dl"))
     )
     # global scalars (N, avgdl) as a broadcast single-row aggregate —
     # stays in-plan, no driver round-trip
