@@ -340,39 +340,38 @@ def minhash_lsh_pairs(
         "_id", "_sh", F.transform("_sh", lambda h: _fold32(h)).alias("_f")
     )
 
-    def min_hash_k(k: int) -> Column:
-        def perm(h: Column) -> Column:
-            return F.pmod(h * F.lit(a[k]) + F.lit(b[k]), F.lit(_MERSENNE_P))
-
-        # empty shingle array (empty text) -> sentinel signature
-        return F.coalesce(
-            F.array_min(F.transform(F.col("_f"), perm)), F.lit(_MERSENNE_P)
-        ).alias(f"_h{k}")
-
-    sig = fdf.select("_id", "_sh", *[min_hash_k(k) for k in range(num_hashes)])
+    # K nested-HOF signature columns built as ONE JVM-parsed selectExpr
+    # instead of K py4j Column trees: semantically identical (parity
+    # pinned by test_minhash_selectexpr_parity), but the Column form
+    # cost ~3.3s of pure DRIVER time per invocation at K=128 (~10 py4j
+    # round-trips per function x 128 — measured r13: 3.81s Column build
+    # vs 0.53s selectExpr parse). The empty-array coalesce keeps the
+    # sentinel signature for empty texts.
+    p = _MERSENNE_P
+    sig_exprs = [
+        f"coalesce(array_min(transform(_f, h -> "
+        f"pmod(h * {a[k]}L + {b[k]}L, {p}L))), {p}L) AS _h{k}"
+        for k in range(num_hashes)
+    ]
+    sig = fdf.selectExpr("_id", "_sh", *sig_exprs)
     # materialize once, lineage-truncated: banding reads it, and the
     # verify joins read it twice more. A lazy localCheckpoint (not
     # persist) so the blocks are context-cleaned when the frame goes out
     # of scope instead of pinning executor storage for the session.
     sig = sig.localCheckpoint(eager=False)
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"_h{b * rows_per_band + j}").cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+    # band hashes as one JVM-parsed expression (same py4j-round-trip
+    # economics as the signature block above; values unchanged)
+    band_elems = ", ".join(
+        "xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"cast(_h{b * rows_per_band + j} as string)"
+            for j in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        "_id", f"posexplode(array({band_elems})) AS (band, band_hash)"
     )
     if isinstance(max_bucket_size, str):
         if max_bucket_size != "auto":
@@ -422,9 +421,9 @@ def minhash_lsh_pairs(
             sketch_prefilter = max(
                 0.0, threshold - 1.5 / math.sqrt(num_hashes)
             )
-        sigarr = sig.select(
+        sigarr = sig.selectExpr(
             "_id",
-            F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("_sig"),
+            "array(" + ", ".join(f"_h{k}" for k in range(num_hashes)) + ") AS _sig",
         )
         cand = (
             cand.join(

@@ -108,6 +108,7 @@ def dq_audit(df: DataFrame, check: Check) -> DataFrame:
         )
 
     reports: list[DataFrame] = []
+    wide = None
     if preds:
         aggs = [F.count(F.lit(1)).cast("long").alias("_n")] + [
             expr.alias(f"_v{i}") for i, (_, _, expr) in enumerate(preds)
@@ -118,6 +119,7 @@ def dq_audit(df: DataFrame, check: Check) -> DataFrame:
         # the PHYSICAL plan, not just the logical one)
         wide = df.agg(*aggs).localCheckpoint(eager=False)
         rows = None
+
         for i, (name, col, _) in enumerate(preds):
             one = wide.select(
                 F.lit(name).alias("constraint"),
@@ -127,6 +129,19 @@ def dq_audit(df: DataFrame, check: Check) -> DataFrame:
             )
             rows = one if rows is None else rows.unionByName(one)
         reports.append(rows)
+
+    # ONE total-row count shared by every uniqueness/fk report: when the
+    # row-predicate pass ran, its fenced ``_n`` IS that count — re-deriving
+    # it per constraint re-plans (and without exchange reuse, re-runs) a
+    # full count scan per report row for a value the plan already holds
+    total = (
+        wide.select(F.col("_n").alias("checked"))
+        if wide is not None
+        else df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
+        .localCheckpoint(eager=False)
+        if (check.uniqueness or check.fk)
+        else None
+    )
 
     for key in check.uniqueness:
         cols = [key] if isinstance(key, str) else list(key)
@@ -139,7 +154,6 @@ def dq_audit(df: DataFrame, check: Check) -> DataFrame:
                 F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("violations")
             )
         )
-        total = df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
         reports.append(
             dup.crossJoin(F.broadcast(total)).select(
                 F.lit("uniqueness").alias("constraint"),
@@ -156,7 +170,6 @@ def dq_audit(df: DataFrame, check: Check) -> DataFrame:
             .join(keys, on=child_col, how="left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("violations"))
         )
-        total = df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
         reports.append(
             orphans.crossJoin(F.broadcast(total)).select(
                 F.lit("fk").alias("constraint"),

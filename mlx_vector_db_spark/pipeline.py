@@ -242,22 +242,39 @@ def embed_texts(
         + ["embedding array<float>"]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def run(batches):
+        # Arrow-native batch assembly (guide §4.2): the previous
+        # mapInPandas form emitted the vectors as per-row Python lists
+        # (``v.tolist()``), paying one Python float object per
+        # dimension per row on the way back to Arrow — at 384-dim that
+        # conversion dominated the encode stage. Here the (n, dim)
+        # float32 matrix becomes ONE ListArray over its flat buffer;
+        # values are bit-identical (float32 either way).
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            texts = pdf[text_col].fillna("").tolist()
+            texts = [
+                "" if t is None else t
+                for t in rb.column(rb.schema.get_field_index(text_col)).to_pylist()
+            ]
             vecs: list[np.ndarray] = []
             for i in range(0, len(texts), batch_size):
                 vecs.append(encoder(texts[i : i + batch_size]))
-            emb = np.vstack(vecs)
+            emb = np.ascontiguousarray(np.vstack(vecs), dtype=np.float32)
             if emb.shape != (len(texts), dim):
                 raise ValueError(
                     f"encoder returned {emb.shape}, expected ({len(texts)}, {dim})"
                 )
-            yield pdf.assign(embedding=[v.tolist() for v in emb])
+            offsets = pa.array(
+                np.arange(0, (len(texts) + 1) * dim, dim, dtype=np.int32)
+            )
+            flat = pa.array(emb.reshape(-1))
+            col = pa.ListArray.from_arrays(offsets, flat)
+            yield rb.append_column("embedding", col)
 
-    return df.mapInPandas(run, schema=out_schema)
+    return df.mapInArrow(run, schema=out_schema)
 
 
 class TextPipeline:

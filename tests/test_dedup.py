@@ -578,3 +578,50 @@ def test_simhash_auto_bucket_cap_matches_explicit(spark):
     assert auto == uncapped
     with __import__("pytest").raises(ValueError, match="auto"):
         simhash_pairs(docs, max_bucket_size="never").collect()
+
+
+def test_minhash_selectexpr_parity(spark, corpus):
+    """The r13 selectExpr rewrite of the signature/band columns must be
+    bit-identical to the Column-API form (pmod universal hashing over
+    folded shingle hashes) — pins the SQL-string semantics against the
+    expression-API semantics it replaced."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    num_hashes, seed, shingle_n = 16, 42, 3
+    a, b = D._minhash_coeffs(num_hashes, seed)
+    p = D._MERSENNE_P
+
+    # Column-API reference (the pre-r13 form)
+    from mlx_vector_db_spark.functions.text import tokens
+
+    base = df.select(F.col("doc_id"), tokens("text").alias("_toks"))
+    hdf = base.select(
+        "doc_id", D._hashed_shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
+    )
+    fdf = hdf.select(
+        "doc_id", F.transform("_sh", lambda h: D._fold32(h)).alias("_f")
+    )
+
+    def min_hash_k(k):
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.col("_f"),
+                    lambda h: F.pmod(h * F.lit(a[k]) + F.lit(b[k]), F.lit(p)),
+                )
+            ),
+            F.lit(p),
+        ).alias(f"_h{k}")
+
+    ref = fdf.select("doc_id", *[min_hash_k(k) for k in range(num_hashes)])
+
+    # selectExpr form (what minhash_lsh_pairs builds)
+    exprs = [
+        f"coalesce(array_min(transform(_f, h -> "
+        f"pmod(h * {a[k]}L + {b[k]}L, {p}L))), {p}L) AS _h{k}"
+        for k in range(num_hashes)
+    ]
+    new = fdf.selectExpr("doc_id", *exprs)
+
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, new.collect()))
