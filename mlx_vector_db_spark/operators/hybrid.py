@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import tokens
 from mlx_vector_db_spark.operators.topk import bounded_global_rank
-from mlx_vector_db_spark.rebalance import rebalance_for_compute
+from mlx_vector_db_spark.rebalance import (
+    LIGHT_KERNEL_SPLIT_BYTES,
+    rebalance_for_compute,
+)
 
 __all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
 
@@ -61,7 +64,9 @@ def bm25_scores(
     # are the per-row cost and otherwise run in the scan stage — one
     # core on a single-file corpus. No-op on a real wide table.
     base = (
-        rebalance_for_compute(docs, id_col, text_col)
+        rebalance_for_compute(
+            docs, id_col, text_col, split_bytes=LIGHT_KERNEL_SPLIT_BYTES
+        )
         .select(F.col(id_col), toks.alias("_toks"))
         .select(id_col, "_toks", F.size("_toks").alias("_dl"))
     )

@@ -28,7 +28,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import tokens
-from mlx_vector_db_spark.rebalance import rebalance_for_compute
+from mlx_vector_db_spark.rebalance import (
+    LIGHT_KERNEL_SPLIT_BYTES,
+    rebalance_for_compute,
+)
 
 __all__ = [
     "repetition_signals",
@@ -636,16 +639,18 @@ def unigram_lm_scores(
     # lowercase/split/explode work otherwise runs in the scan stage —
     # a single-file corpus serializes it onto one core (measured r13 on
     # the dsir md5 pass, same shape). No-op on a real wide table.
-    ref_toks = rebalance_for_compute(ref, text_col).select(
+    ref_toks = rebalance_for_compute(
+        ref, text_col, split_bytes=LIGHT_KERNEL_SPLIT_BYTES
+    ).select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok")
     )
     lm = ref_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
     stats = lm.agg(
         F.sum("_c").alias("_total"), F.count(F.lit(1)).alias("_vocab")
     )
-    tokd = rebalance_for_compute(df, id_col, text_col).select(
-        F.col(id_col), F.explode(lower_toks).alias("_tok")
-    )
+    tokd = rebalance_for_compute(
+        df, id_col, text_col, split_bytes=LIGHT_KERNEL_SPLIT_BYTES
+    ).select(F.col(id_col), F.explode(lower_toks).alias("_tok"))
     denom = F.col("_total") + F.lit(float(alpha)) * (F.col("_vocab") + 1)
     scored = (
         tokd.join(lm, on="_tok", how="left")
@@ -717,9 +722,9 @@ def bigram_lm_scores(
     # parallelism guard: tokenization + pair-zip explode are the per-row
     # cost and otherwise run in the scan stage (one core on a
     # single-file corpus). No-op on a real wide table.
-    ref_tok_arr = rebalance_for_compute(ref, text_col).select(
-        _toks(ref).alias("_ws")
-    )
+    ref_tok_arr = rebalance_for_compute(
+        ref, text_col, split_bytes=LIGHT_KERNEL_SPLIT_BYTES
+    ).select(_toks(ref).alias("_ws"))
     uni = (
         ref_tok_arr.select(F.explode("_ws").alias("_tok"))
         .groupBy("_tok")
@@ -744,9 +749,9 @@ def bigram_lm_scores(
     stats = uni.agg(F.sum("_uc").alias("_total"), F.count(F.lit(1)).alias("_vocab"))
 
     # (prev, cur) pairs of the scored corpus, first token with prev NULL
-    toks_df = rebalance_for_compute(df, id_col, text_col).select(
-        F.col(id_col), _toks(df).alias("_ws")
-    )
+    toks_df = rebalance_for_compute(
+        df, id_col, text_col, split_bytes=LIGHT_KERNEL_SPLIT_BYTES
+    ).select(F.col(id_col), _toks(df).alias("_ws"))
     pairs = toks_df.select(
         F.col(id_col),
         F.explode(

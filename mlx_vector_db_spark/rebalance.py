@@ -22,7 +22,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["rebalance_for_compute", "pushdown_barrier"]
+__all__ = [
+    "rebalance_for_compute",
+    "pushdown_barrier",
+    "LIGHT_KERNEL_SPLIT_BYTES",
+]
+
+#: ``split_bytes`` preset for tokenize-class kernels (lowercase + regex
+#: split + explode): ~0.5-1 cpu-s per compressed MB, so 256 KB/task
+#: keeps tasks in the tens-of-ms range where per-task fixed cost stays
+#: small relative to compute. Heavy kernels (md5 n-gram hashing, K-wide
+#: minhash permutation loops: several cpu-s per MB) should NOT pass a
+#: split — full width measured strictly faster for them even at 0.6 MB.
+LIGHT_KERNEL_SPLIT_BYTES = 256 << 10
 
 
 def pushdown_barrier(df: DataFrame, cache: bool = True) -> DataFrame:
@@ -173,16 +185,62 @@ def _under_partitioned(narrow: DataFrame, target: int) -> bool:
     return hit
 
 
-def rebalance_for_compute(df: DataFrame, *cols: str | Column) -> DataFrame:
+def _input_bytes(narrow: DataFrame) -> int | None:
+    """Total size of the local files the plan scans, or None when the
+    inputs are not local files (remote FS, RDD lineage, views over
+    non-file sources). Driver-side metadata only — no job."""
+    try:
+        import urllib.parse
+        from pathlib import Path
+
+        files = narrow.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            parsed = urllib.parse.urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return None
+            total += Path(urllib.parse.unquote(parsed.path)).stat().st_size
+        return total
+    except Exception:  # pragma: no cover — connect / listing drift
+        return None
+
+
+def rebalance_for_compute(
+    df: DataFrame, *cols: str | Column, split_bytes: int | None = None
+) -> DataFrame:
     """Project ``df`` down to ``cols`` (all columns when omitted) and,
     if the plan has fewer partitions than ``defaultParallelism``, round-
-    robin repartition it to that width so the downstream per-row compute
-    uses every core. The partition-count probe plans the query but
-    launches no job, and is memoized per plan fingerprint (see
-    :func:`_under_partitioned`)."""
+    robin repartition it so the downstream per-row compute uses every
+    core. The partition-count probe plans the query but launches no job,
+    and is memoized per plan fingerprint (see :func:`_under_partitioned`).
+
+    ``split_bytes`` makes the width SCALE-ADAPTIVE for lighter kernels:
+    the repartition width becomes ``clamp(input_bytes / split_bytes, 2,
+    defaultParallelism)`` instead of always the full core count. Measured
+    r13 (paired fresh-process A/B): full-width rebalance of the
+    tokenize-class LM passes pays ~50 ms of fixed per-task CPU x 32
+    tasks x N stages, which at a 0.6 MB corpus costs MORE than the
+    serial scan it replaces (doc_perplexity 1.48 -> 2.26 s at sf0.1)
+    while the same rebalance wins 1.9x at sf1 (2.86 -> 1.48 s). A
+    bytes-proportional width keeps both regimes: tiny input -> a couple
+    of tasks (~serial, no overhead cliff), big input -> full width.
+    Callers whose per-byte compute is heavy (md5 n-gram hashing, K=128
+    minhash permutations) omit it — for them even a sub-MB input is
+    CPU-seconds of work and full width measured strictly faster. When
+    the input bytes cannot be read (remote FS, non-file lineage) the
+    width falls back to full parallelism — at cluster scale the guard
+    is a no-op anyway (any real wide table passes the partition-count
+    check)."""
     narrow = df.select(*cols) if cols else df
     sc = narrow.sparkSession.sparkContext
     target = sc.defaultParallelism
     if _under_partitioned(narrow, target):
-        narrow = narrow.repartition(target)
+        width = target
+        if split_bytes:
+            b = _input_bytes(narrow)
+            if b is not None:
+                width = max(2, min(target, -(-b // int(split_bytes))))
+        narrow = narrow.repartition(width)
     return narrow
