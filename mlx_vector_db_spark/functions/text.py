@@ -90,10 +90,15 @@ def chunk_documents(
     def _chunks(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: chunk_text(t, chunk_size, overlap))
 
-    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+    from mlx_vector_db_spark.rebalance import (
+        LIGHT_KERNEL_SPLIT_BYTES,
+        rebalance_for_compute,
+    )
 
     return (
-        rebalance_for_compute(docs, id_col, text_col).select(
+        rebalance_for_compute(
+            docs, id_col, text_col, split_bytes=LIGHT_KERNEL_SPLIT_BYTES
+        ).select(
             F.col(id_col).alias("document_id"),
             F.posexplode(_chunks(F.col(text_col))).alias("chunk_index", "chunk_text"),
         )

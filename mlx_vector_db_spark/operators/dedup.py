@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.functions.text import doc_fingerprint, shingles, tokens
 from mlx_vector_db_spark.functions.vector import cosine_similarity
-from mlx_vector_db_spark.rebalance import rebalance_for_compute
+from mlx_vector_db_spark.rebalance import (
+    HEAVY_KERNEL_SPLIT_BYTES,
+    rebalance_for_compute,
+)
 
 __all__ = [
     "exact_dedup",
@@ -70,6 +73,98 @@ def _fold32(col: Column) -> Column:
     """Fold a 64-bit shingle hash to the 32-bit MinHash register width
     (standard; the universal family decorrelates the K functions)."""
     return col.bitwiseAND(F.lit((1 << 32) - 1))
+
+
+def _signature_numpy(hdf: DataFrame, num_hashes: int, a: list[int], b: list[int]) -> DataFrame:
+    """The K-permutation min as ONE vectorized numpy pass per Arrow
+    batch — bit-identical to the JVM ``selectExpr`` form (pinned by
+    ``test_minhash_numpy_kernel_parity``) and several-fold cheaper:
+    the interpreted HOF lambdas cost 5-6.7 cpu-s at sf0.1 (r13 stage
+    profile, no codegen, no CSE inside ``transform``), while numpy
+    streams the flattened shingle registers through K multiply-add-
+    reduce sweeps at memory bandwidth.
+
+    Numerics, proven identical:
+    - fold32 keeps h < 2^32; a_k < 2^30; b_k < P < 2^61, so
+      ``h*a_k + b_k < 2^63`` — no int64 wraparound on either engine;
+    - ``pmod(x, P)`` for the positive x above == numpy ``x % P`` ==
+      the branchless Mersenne fold used here (P = 2^61 - 1:
+      ``(x & P) + (x >> 61)``, one conditional subtract). The Mersenne
+      form was measured SLOWER as an interpreted HOF node (r13: node
+      count beats hardware ops when every node re-interprets), but in
+      numpy the ~4 cheap vector int ops beat the vectorized 64-bit
+      division ~5x — the same arithmetic, opposite cost model.
+    - empty or NULL shingle arrays emit the sentinel P signature,
+      matching ``coalesce(array_min(...), P)``.
+
+    Input frame: ``(_id, _sh)``; output: ``(_id, _sh, _h0.._h{K-1})``
+    with ``_sh`` passed through untouched (the exact-verify stage
+    consumes it downstream). The 32-bit fold happens inside the kernel
+    so the JVM-side ``_f`` projection disappears entirely.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    A = np.asarray(a, dtype=np.int64)
+    B = np.asarray(b, dtype=np.int64)
+    P = _MERSENNE_P
+    K = int(num_hashes)
+    out_schema = StructType(
+        list(hdf.schema.fields)
+        + [StructField(f"_h{k}", LongType(), False) for k in range(K)]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n_rows = rb.num_rows
+            if n_rows == 0:
+                continue
+            sh = rb.column(rb.schema.get_field_index("_sh"))
+            # raw child values + absolute offsets: exact regardless of
+            # batch slicing or NULL entries (a null list spans zero
+            # child elements but keeps monotonic offsets)
+            off = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals64 = sh.values.to_numpy(zero_copy_only=False)
+            starts, ends = off[:-1], off[1:]
+            empty = starts == ends
+            if sh.null_count:
+                empty = empty | np.asarray(sh.is_null())
+            n_elems = vals64.shape[0] if vals64.ndim else 0
+            sig_cols = []
+            if n_elems == 0 or bool(empty.all()):
+                sent = np.full(n_rows, P, dtype=np.int64)
+                sig_cols = [pa.array(sent)] * K
+            else:
+                # fold64 -> 32-bit registers once per batch
+                h = (
+                    np.asarray(vals64, dtype=np.int64) & np.int64((1 << 32) - 1)
+                )
+                # reduceat needs every index < n_elems; empty rows are
+                # patched afterwards so the clamped garbage never shows
+                starts_c = np.minimum(starts, n_elems - 1)
+                buf = np.empty_like(h)
+                tmp = np.empty_like(h)
+                for k in range(K):
+                    np.multiply(h, A[k], out=buf)
+                    buf += B[k]
+                    # branchless Mersenne fold == pmod(buf, P) for
+                    # 0 <= buf < 2^63 (see docstring)
+                    np.bitwise_and(buf, P, out=tmp)
+                    buf >>= np.int64(61)
+                    tmp += buf
+                    tmp -= np.where(tmp >= P, np.int64(P), np.int64(0))
+                    mins = np.minimum.reduceat(tmp, starts_c)
+                    if empty.any():
+                        mins[empty] = P
+                    sig_cols.append(pa.array(mins))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(rb.num_columns)] + sig_cols,
+                names=list(rb.schema.names) + [f"_h{k}" for k in range(K)],
+            )
+
+    return hdf.mapInArrow(kernel, out_schema)
 
 
 def _hashed_shingles_from_tokens(
@@ -237,6 +332,54 @@ def fanout_autocap(
     return min(JACCARD_AUTOCAP_MAX, max(JACCARD_AUTOCAP_MIN, int(best)))
 
 
+def fanout_autocap_frame(
+    dfreq: DataFrame,
+    nrows_df: DataFrame,
+    pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
+    df_col: str = "_df",
+) -> DataFrame:
+    """:func:`fanout_autocap` as a 1-row ``(_cap long)`` frame, derived
+    fully IN-PLAN — same knee, same clamp, bit-identical cap value, but
+    zero eager driver jobs at query-construction time.
+
+    The driver-returning form costs two serial job waves before the
+    main action can even start (a count of the corpus, then the
+    histogram/window/first over the DF aggregate); since the cap is
+    only ever USED as a filter bound, it can instead ride the plan as a
+    1-row broadcast cross join (the engine's unigram-LM scalar-totals
+    pattern) and the whole query collapses to ONE action. ``nrows_df``
+    is a 1-row frame with the corpus row count in ``_nr``.
+
+    Callers that need the cap as a Python int (plan-construction
+    decisions) keep using :func:`fanout_autocap`.
+    """
+    hist = (
+        dfreq.where(F.col(df_col) >= 2)
+        .groupBy(F.col(df_col).alias("_f"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn(
+        "_cum",
+        F.sum(F.col("_cnt") * F.expr("_f * (_f - 1) DIV 2")).over(w),
+    )
+    return (
+        cum.crossJoin(F.broadcast(nrows_df))
+        .where(F.col("_cum") <= F.lit(int(pair_budget)) * F.col("_nr"))
+        .agg(
+            F.least(
+                F.lit(JACCARD_AUTOCAP_MAX),
+                F.greatest(
+                    F.lit(JACCARD_AUTOCAP_MIN),
+                    F.coalesce(F.max("_f"), F.lit(JACCARD_AUTOCAP_MIN)),
+                ),
+            )
+            .cast("long")
+            .alias("_cap")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -249,6 +392,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | str | None = None,
     sketch_prefilter: float | str | None = "auto",
     autocap_pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
+    sig_kernel: str = "numpy",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -328,7 +472,9 @@ def minhash_lsh_pairs(
     # exist only inside the min expressions and emitted jaccards are
     # bit-identical to the aggregate form.
     a, b = _minhash_coeffs(num_hashes, seed)
-    base = rebalance_for_compute(df, id_col, text_col)
+    base = rebalance_for_compute(
+        df, id_col, text_col, split_bytes=HEAVY_KERNEL_SPLIT_BYTES
+    )
     # tokens in their own projection: the shingle lambda slices the
     # token array per index, and an inline split() would re-run per
     # shingle (HOF lambdas evaluate outside codegen CSE)
@@ -336,24 +482,35 @@ def minhash_lsh_pairs(
     hdf = tokd.select(
         "_id", _hashed_shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
     )
-    fdf = hdf.select(
-        "_id", "_sh", F.transform("_sh", lambda h: _fold32(h)).alias("_f")
-    )
+    if sig_kernel not in ("numpy", "expr"):
+        raise ValueError(f"unknown sig_kernel {sig_kernel!r}")
+    if sig_kernel == "numpy":
+        # vectorized K-permutation min (bit-identical — see
+        # _signature_numpy; parity pinned by
+        # test_minhash_numpy_kernel_parity). r14 quiet A/B at sf1:
+        # the signature stage's 5-6.7 interpreted cpu-s collapse to a
+        # numpy memory-bandwidth sweep.
+        sig = _signature_numpy(hdf, num_hashes, a, b)
+    else:
+        fdf = hdf.select(
+            "_id", "_sh", F.transform("_sh", lambda h: _fold32(h)).alias("_f")
+        )
 
-    # K nested-HOF signature columns built as ONE JVM-parsed selectExpr
-    # instead of K py4j Column trees: semantically identical (parity
-    # pinned by test_minhash_selectexpr_parity), but the Column form
-    # cost ~3.3s of pure DRIVER time per invocation at K=128 (~10 py4j
-    # round-trips per function x 128 — measured r13: 3.81s Column build
-    # vs 0.53s selectExpr parse). The empty-array coalesce keeps the
-    # sentinel signature for empty texts.
-    p = _MERSENNE_P
-    sig_exprs = [
-        f"coalesce(array_min(transform(_f, h -> "
-        f"pmod(h * {a[k]}L + {b[k]}L, {p}L))), {p}L) AS _h{k}"
-        for k in range(num_hashes)
-    ]
-    sig = fdf.selectExpr("_id", "_sh", *sig_exprs)
+        # K nested-HOF signature columns built as ONE JVM-parsed
+        # selectExpr instead of K py4j Column trees: semantically
+        # identical (parity pinned by test_minhash_selectexpr_parity),
+        # but the Column form cost ~3.3s of pure DRIVER time per
+        # invocation at K=128 (~10 py4j round-trips per function x 128
+        # — measured r13: 3.81s Column build vs 0.53s selectExpr
+        # parse). The empty-array coalesce keeps the sentinel signature
+        # for empty texts.
+        p = _MERSENNE_P
+        sig_exprs = [
+            f"coalesce(array_min(transform(_f, h -> "
+            f"pmod(h * {a[k]}L + {b[k]}L, {p}L))), {p}L) AS _h{k}"
+            for k in range(num_hashes)
+        ]
+        sig = fdf.selectExpr("_id", "_sh", *sig_exprs)
     # materialize once, lineage-truncated: banding reads it, and the
     # verify joins read it twice more. A lazy localCheckpoint (not
     # persist) so the blocks are context-cleaned when the frame goes out
@@ -573,7 +730,9 @@ def simhash_signatures(
     (a duplicated id yields one fingerprint row per occurrence — see
     the precondition note on :func:`minhash_lsh_pairs`)."""
     hdf = (
-        rebalance_for_compute(df, id_col, text_col)
+        rebalance_for_compute(
+            df, id_col, text_col, split_bytes=HEAVY_KERNEL_SPLIT_BYTES
+        )
         # materialized token projection — see _hashed_shingles_from_tokens
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
         .select(
@@ -767,7 +926,9 @@ def jaccard_pairs(
 
     blk = [block_col] if block_col else []
     base = (
-        rebalance_for_compute(df, id_col, text_col, *blk)
+        rebalance_for_compute(
+            df, id_col, text_col, *blk, split_bytes=HEAVY_KERNEL_SPLIT_BYTES
+        )
         # materialized token projection — see _hashed_shingles_from_tokens
         .select(
             F.col(id_col).alias("_id"),
@@ -821,15 +982,26 @@ def jaccard_pairs(
             )
             if auto_cap:
                 # the cap derivation reads the same DF aggregate the
-                # kept band filters — materialize it once for both
+                # kept band filters — materialize it once for both, and
+                # derive the knee IN-PLAN (fanout_autocap_frame): the
+                # r13 form ran two eager jobs (df.count() + the
+                # histogram/window/first) before the main action could
+                # start — ~0.5 s of serial construction waves at sf0.1
+                # (the whole autocap-vs-capped bench delta) for a value
+                # that is only ever a filter bound
                 dfreq = dfreq.localCheckpoint(eager=False)
-                max_shingle_freq = fanout_autocap(
-                    dfreq, df.count(), autocap_pair_budget
+                nrows_df = base.agg(F.count(F.lit(1)).alias("_nr"))
+                cap_df = fanout_autocap_frame(
+                    dfreq, nrows_df, autocap_pair_budget
                 )
+                cap_bound = F.col("_cap")
+                kept_src = dfreq.crossJoin(F.broadcast(cap_df))
+            else:
+                cap_bound = F.lit(int(max_shingle_freq))
+                kept_src = dfreq
             kept = (
-                dfreq.where(
-                    (F.col("_df") >= F.lit(2))
-                    & (F.col("_df") <= F.lit(int(max_shingle_freq)))
+                kept_src.where(
+                    (F.col("_df") >= F.lit(2)) & (F.col("_df") <= cap_bound)
                 )
                 .select("_tok", *bcols)
                 # checkpoint so BOTH self-join sides read one

@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 
 from mlx_vector_db_spark.operators.quality import hashed_feature_buckets
 from mlx_vector_db_spark.operators.sampling import sample_key
-from mlx_vector_db_spark.rebalance import rebalance_for_compute
+from mlx_vector_db_spark.rebalance import (
+    HEAVY_KERNEL_SPLIT_BYTES,
+    rebalance_for_compute,
+)
 
 __all__ = ["dsir_log_weights", "dsir_resample", "gumbel_key"]
 
@@ -72,7 +75,7 @@ def _bucket_counts(
         # runs in the SCAN stage — a single-file corpus serializes it
         # onto one core (measured r13: the whole pass on 1 of 32 tasks).
         # No-op on any real wide table.
-        rebalance_for_compute(df, text_col)
+        rebalance_for_compute(df, text_col, split_bytes=HEAVY_KERNEL_SPLIT_BYTES)
         .select(
             F.explode(hashed_feature_buckets(text_col, n_buckets, ngram_max)).alias(
                 "bucket"
@@ -120,7 +123,9 @@ def dsir_log_weights(
     # runs twice over the full raw corpus
     feats = (
         # same parallelism guard as _bucket_counts: hash on every core
-        rebalance_for_compute(raw_df, id_col, text_col)
+        rebalance_for_compute(
+            raw_df, id_col, text_col, split_bytes=HEAVY_KERNEL_SPLIT_BYTES
+        )
         .select(
             F.col(id_col),
             F.explode(hashed_feature_buckets(text_col, n_buckets, ngram_max)).alias(

@@ -290,10 +290,15 @@ def repeated_spans(
         raise ValueError(f"n must be >= 1 (got {n})")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1 (got {min_docs})")
-    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+    from mlx_vector_db_spark.rebalance import (
+        LIGHT_KERNEL_SPLIT_BYTES,
+        rebalance_for_compute,
+    )
 
     g = (
-        rebalance_for_compute(df, id_col, text_col)
+        rebalance_for_compute(
+            df, id_col, text_col, split_bytes=LIGHT_KERNEL_SPLIT_BYTES
+        )
         # materialized token projection — see word_ngrams_from_tokens
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
         .select(
@@ -445,16 +450,23 @@ def winnow_crossdoc_pairs(
             F.count(F.lit(1)).alias("_df")
         )
         if auto_cap:
-            from mlx_vector_db_spark.operators.dedup import fanout_autocap
+            from mlx_vector_db_spark.operators.dedup import fanout_autocap_frame
 
-            # cap derivation and kept band share one materialized
-            # DF aggregate
+            # cap derivation and kept band share one materialized DF
+            # aggregate, and the knee rides the plan as a 1-row
+            # broadcast (fanout_autocap_frame) — the driver-returning
+            # form serialized two eager jobs ahead of the main action
             dfreq = dfreq.localCheckpoint(eager=False)
-            max_fp_docs = fanout_autocap(dfreq, df.count(), autocap_pair_budget)
+            nrows_df = df.agg(F.count(F.lit(1)).alias("_nr"))
+            cap_df = fanout_autocap_frame(dfreq, nrows_df, autocap_pair_budget)
+            cap_bound = F.col("_cap")
+            kept_src = dfreq.crossJoin(F.broadcast(cap_df))
+        else:
+            cap_bound = F.lit(int(max_fp_docs))
+            kept_src = dfreq
         kept = (
-            dfreq.where(
-                (F.col("_df") >= F.lit(2))
-                & (F.col("_df") <= F.lit(int(max_fp_docs)))
+            kept_src.where(
+                (F.col("_df") >= F.lit(2)) & (F.col("_df") <= cap_bound)
             )
             .select("fingerprint")
             # materialize once for both join sides

@@ -267,12 +267,28 @@ def embed_texts(
                 raise ValueError(
                     f"encoder returned {emb.shape}, expected ({len(texts)}, {dim})"
                 )
+            # int32 list offsets cap one batch at 2^31 flat floats;
+            # guard explicitly instead of silently wrapping (reachable
+            # only with an extreme arrow.maxRecordsPerBatch x dim —
+            # ADVICE r13)
+            if (len(texts) + 1) * dim >= (1 << 31):
+                raise ValueError(
+                    f"embedding batch of {len(texts)} rows x {dim} dims "
+                    "overflows int32 Arrow list offsets; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             offsets = pa.array(
                 np.arange(0, (len(texts) + 1) * dim, dim, dtype=np.int32)
             )
             flat = pa.array(emb.reshape(-1))
             col = pa.ListArray.from_arrays(offsets, flat)
-            yield rb.append_column("embedding", col)
+            # RecordBatch.from_arrays instead of append_column: the
+            # latter exists only on pyarrow >= 15 and pyproject declares
+            # an unpinned pyarrow (ADVICE r13)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(rb.num_columns)] + [col],
+                names=list(rb.schema.names) + ["embedding"],
+            )
 
     return df.mapInArrow(run, schema=out_schema)
 

@@ -2278,9 +2278,15 @@ def q_doc_repetition(spark, sf_dir):
     combiner-friendly hash aggregations — nothing keyed by whole-doc
     text, so giant documents spread over their distinct grams."""
     from mlx_vector_db_spark.operators.quality import repetition_signals
-    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+    from mlx_vector_db_spark.rebalance import (
+        HEAVY_KERNEL_SPLIT_BYTES,
+        rebalance_for_compute,
+    )
 
-    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = rebalance_for_compute(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        split_bytes=HEAVY_KERNEL_SPLIT_BYTES,
+    )
     return repetition_signals(docs)
 
 
@@ -2387,9 +2393,15 @@ def q_doc_winnow_fp(spark, sf_dir):
     engine-portable (the whole fingerprint SET is under the value gate)."""
     from mlx_vector_db_spark.operators.quality import winnow_fingerprints
 
-    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+    from mlx_vector_db_spark.rebalance import (
+        HEAVY_KERNEL_SPLIT_BYTES,
+        rebalance_for_compute,
+    )
 
-    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = rebalance_for_compute(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        split_bytes=HEAVY_KERNEL_SPLIT_BYTES,
+    )
     return winnow_fingerprints(docs, k=4, w=4)
 
 
@@ -2404,9 +2416,15 @@ def q_winnow_crossdoc_pairs(spark, sf_dir):
     so the scale tier itself is what the value gate pins."""
     from mlx_vector_db_spark.operators.quality import winnow_crossdoc_pairs
 
-    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+    from mlx_vector_db_spark.rebalance import (
+        HEAVY_KERNEL_SPLIT_BYTES,
+        rebalance_for_compute,
+    )
 
-    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = rebalance_for_compute(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        split_bytes=HEAVY_KERNEL_SPLIT_BYTES,
+    )
     return winnow_crossdoc_pairs(docs, k=4, w=4, min_shared=2, max_fp_docs="auto")
 
 
@@ -2418,9 +2436,15 @@ def q_bpe_pair_counts(spark, sf_dir):
     map-side-combined word count."""
     from mlx_vector_db_spark.operators.tokenizer import bpe_pair_counts
 
-    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+    from mlx_vector_db_spark.rebalance import (
+        LIGHT_KERNEL_SPLIT_BYTES,
+        rebalance_for_compute,
+    )
 
-    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "text")
+    docs = rebalance_for_compute(
+        _t(spark, sf_dir, "documents"), "text",
+        split_bytes=LIGHT_KERNEL_SPLIT_BYTES,
+    )
     return bpe_pair_counts(docs, min_count=2)
 
 
@@ -2465,9 +2489,15 @@ def q_vocab_coverage(spark, sf_dir):
     join."""
     from mlx_vector_db_spark.operators.tokenizer import vocab_coverage
 
-    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+    from mlx_vector_db_spark.rebalance import (
+        LIGHT_KERNEL_SPLIT_BYTES,
+        rebalance_for_compute,
+    )
 
-    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = rebalance_for_compute(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        split_bytes=LIGHT_KERNEL_SPLIT_BYTES,
+    )
     return vocab_coverage(docs, vocab_size=1000)
 
 
@@ -2595,9 +2625,15 @@ def q_curation_pipeline(spark, sf_dir):
     aggregation shuffle + one join shuffle over the FILTERED corpus.
     """
     from mlx_vector_db_spark.functions.text import bpe_ish_token_count, tokens
-    from mlx_vector_db_spark.rebalance import rebalance_for_compute
+    from mlx_vector_db_spark.rebalance import (
+        HEAVY_KERNEL_SPLIT_BYTES,
+        rebalance_for_compute,
+    )
 
-    docs = rebalance_for_compute(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = rebalance_for_compute(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        split_bytes=HEAVY_KERNEL_SPLIT_BYTES,
+    )
     # token array materialized once: every signal below walks it via HOF
     # lambdas, which evaluate outside codegen CSE — inline tokens() was
     # re-splitting the text ~once per signal reference

@@ -20,21 +20,52 @@ wrap the signal projection in :func:`pushdown_barrier` first (see
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 
 __all__ = [
     "rebalance_for_compute",
     "pushdown_barrier",
     "LIGHT_KERNEL_SPLIT_BYTES",
+    "HEAVY_KERNEL_SPLIT_BYTES",
 ]
+
+
+def _split_preset(env: str, default: int) -> int:
+    """Per-kernel-class bytes/task presets, env-overridable so a
+    deployment can retune them to its hardware (cpu-s per compressed MB
+    is a hardware constant, not a scale constant) without a code edit.
+    The defaults are the values measured on this host."""
+    try:
+        return max(1, int(os.environ.get(env, default)))
+    except ValueError:
+        return default
+
 
 #: ``split_bytes`` preset for tokenize-class kernels (lowercase + regex
 #: split + explode): ~0.5-1 cpu-s per compressed MB, so 256 KB/task
 #: keeps tasks in the tens-of-ms range where per-task fixed cost stays
-#: small relative to compute. Heavy kernels (md5 n-gram hashing, K-wide
-#: minhash permutation loops: several cpu-s per MB) should NOT pass a
-#: split — full width measured strictly faster for them even at 0.6 MB.
-LIGHT_KERNEL_SPLIT_BYTES = 256 << 10
+#: small relative to compute.
+LIGHT_KERNEL_SPLIT_BYTES = _split_preset(
+    "SPARK_GRAFT_LIGHT_SPLIT_BYTES", 256 << 10
+)
+
+#: ``split_bytes`` preset for the HEAVY per-row kernels (md5 n-gram
+#: hashing, K=128 minhash permutation HOFs, 64-bit simhash votes:
+#: several cpu-s per compressed MB). r13 ran these at unconditional
+#: full width on the claim "strictly faster even at 0.6 MB", but the
+#: r13 driver's 8-core sidecar contradicted it: minhash 8c/32c ratio
+#: 0.28, dsir 0.35 — 32 narrow tasks over a sub-MB corpus pay more
+#: fixed per-task cost and host-jitter exposure than the extra cores
+#: return (the r13 A/B had only compared serial-vs-full-width, never
+#: an intermediate). ~48 KB/task puts a 0.6 MB corpus at ~13 tasks
+#: (measured r14: at or faster than full width at sf0.1 with a
+#: fraction of the spread) and anything >=1.5 MB at full width, so
+#: sf1/sf10 behavior is unchanged.
+HEAVY_KERNEL_SPLIT_BYTES = _split_preset(
+    "SPARK_GRAFT_HEAVY_SPLIT_BYTES", 48 << 10
+)
 
 
 def pushdown_barrier(df: DataFrame, cache: bool = True) -> DataFrame:

@@ -625,3 +625,61 @@ def test_minhash_selectexpr_parity(spark, corpus):
     new = fdf.selectExpr("doc_id", *exprs)
 
     assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_minhash_numpy_kernel_parity(spark, corpus):
+    """The r14 numpy mapInArrow signature kernel must be bit-identical
+    to the JVM selectExpr form — same fold32, same universal-hash
+    multiply-add, same Mersenne modulus, same empty/NULL sentinel. The
+    edge rows (empty string, NULL text, single token below shingle_n,
+    all-identical tokens) exercise the kernel's empty-segment and
+    null-mask paths explicitly."""
+    from pyspark.sql import functions as F
+
+    from mlx_vector_db_spark.functions.text import tokens
+
+    rows = list(corpus) + [
+        (9001, ""),
+        (9002, None),
+        (9003, "solo"),
+        (9004, "rep rep rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    num_hashes, seed, shingle_n = 16, 42, 3
+    a, b = D._minhash_coeffs(num_hashes, seed)
+    p = D._MERSENNE_P
+
+    base = df.select(F.col("doc_id").alias("_id"), tokens("text").alias("_toks"))
+    hdf = base.select(
+        "_id", D._hashed_shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
+    )
+    fdf = hdf.select(
+        "_id", "_sh", F.transform("_sh", lambda h: D._fold32(h)).alias("_f")
+    )
+    exprs = [
+        f"coalesce(array_min(transform(_f, h -> "
+        f"pmod(h * {a[k]}L + {b[k]}L, {p}L))), {p}L) AS _h{k}"
+        for k in range(num_hashes)
+    ]
+    ref = fdf.selectExpr("_id", *exprs)
+    new = D._signature_numpy(hdf, num_hashes, a, b).drop("_sh")
+
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_minhash_pairs_kernel_parity(spark, corpus_df):
+    """End-to-end: minhash_lsh_pairs(sig_kernel='numpy') emits exactly
+    the rows of the expr form on a real corpus."""
+    a = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs(corpus_df, sig_kernel="expr").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs(corpus_df, sig_kernel="numpy").collect(),
+        )
+    )
+    assert a == b

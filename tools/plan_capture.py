@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for every benchmarked query into
-plans/r13/<query>_<tag>.txt, plus a one-line-per-query summary of the
+plans/r14/<query>_<tag>.txt, plus a one-line-per-query summary of the
 plan shape (Exchange count, join strategies, Python-eval nodes,
 scan PushedFilters presence).
 
@@ -58,7 +58,7 @@ def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("plan_capture")
     try:
