@@ -331,33 +331,6 @@ def fanout_autocap(
         best = JACCARD_AUTOCAP_MIN
     return min(JACCARD_AUTOCAP_MAX, max(JACCARD_AUTOCAP_MIN, int(best)))
 
-
-def fanout_autocap_frame(
-    dfreq: DataFrame,
-    nrows_df: DataFrame,
-    pair_budget: int = JACCARD_AUTOCAP_PAIR_BUDGET,
-    df_col: str = "_df",
-) -> DataFrame:
-    """:func:`fanout_autocap` as a 1-row ``(_cap long)`` frame, derived
-    fully IN-PLAN — same knee, same clamp, bit-identical cap value, but
-    zero eager driver jobs at query-construction time.
-
-    The driver-returning form costs two serial job waves before the
-    main action can even start (a count of the corpus, then the
-    histogram/window/first over the DF aggregate); since the cap is
-    only ever USED as a filter bound, it can instead ride the plan as a
-    1-row broadcast cross join (the engine's unigram-LM scalar-totals
-    pattern) and the whole query collapses to ONE action. ``nrows_df``
-    is a 1-row frame with the corpus row count in ``_nr``.
-
-    Callers that need the cap as a Python int (plan-construction
-    decisions) keep using :func:`fanout_autocap`.
-    """
-    hist = (
-        dfreq.where(F.col(df_col) >= 2)
-        .groupBy(F.col(df_col).alias("_f"))
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
     w = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.withColumn(
         "_cum",
@@ -982,26 +955,22 @@ def jaccard_pairs(
             )
             if auto_cap:
                 # the cap derivation reads the same DF aggregate the
-                # kept band filters — materialize it once for both, and
-                # derive the knee IN-PLAN (fanout_autocap_frame): the
-                # r13 form ran two eager jobs (df.count() + the
-                # histogram/window/first) before the main action could
-                # start — ~0.5 s of serial construction waves at sf0.1
-                # (the whole autocap-vs-capped bench delta) for a value
-                # that is only ever a filter bound
+                # kept band filters — materialize it once for both.
+                # (r14: an IN-PLAN variant deriving the knee as a 1-row
+                # broadcast — removing both eager driver jobs — was
+                # built, oracle-verified, and A/B'd at sf0.1 and sf1:
+                # par to slightly SLOWER both scales. AQE already
+                # overlaps the eager cap jobs; the broadcast build of
+                # the histogram/window subtree lands on the kept
+                # filter's critical path instead. Reverted.)
                 dfreq = dfreq.localCheckpoint(eager=False)
-                nrows_df = base.agg(F.count(F.lit(1)).alias("_nr"))
-                cap_df = fanout_autocap_frame(
-                    dfreq, nrows_df, autocap_pair_budget
+                max_shingle_freq = fanout_autocap(
+                    dfreq, df.count(), autocap_pair_budget
                 )
-                cap_bound = F.col("_cap")
-                kept_src = dfreq.crossJoin(F.broadcast(cap_df))
-            else:
-                cap_bound = F.lit(int(max_shingle_freq))
-                kept_src = dfreq
             kept = (
-                kept_src.where(
-                    (F.col("_df") >= F.lit(2)) & (F.col("_df") <= cap_bound)
+                dfreq.where(
+                    (F.col("_df") >= F.lit(2))
+                    & (F.col("_df") <= F.lit(int(max_shingle_freq)))
                 )
                 .select("_tok", *bcols)
                 # checkpoint so BOTH self-join sides read one

@@ -450,23 +450,17 @@ def winnow_crossdoc_pairs(
             F.count(F.lit(1)).alias("_df")
         )
         if auto_cap:
-            from mlx_vector_db_spark.operators.dedup import fanout_autocap_frame
+            from mlx_vector_db_spark.operators.dedup import fanout_autocap
 
-            # cap derivation and kept band share one materialized DF
-            # aggregate, and the knee rides the plan as a 1-row
-            # broadcast (fanout_autocap_frame) — the driver-returning
-            # form serialized two eager jobs ahead of the main action
+            # cap derivation and kept band share one materialized
+            # DF aggregate (in-plan knee tried r14, measured par to
+            # slower — see the jaccard_pairs note; reverted)
             dfreq = dfreq.localCheckpoint(eager=False)
-            nrows_df = df.agg(F.count(F.lit(1)).alias("_nr"))
-            cap_df = fanout_autocap_frame(dfreq, nrows_df, autocap_pair_budget)
-            cap_bound = F.col("_cap")
-            kept_src = dfreq.crossJoin(F.broadcast(cap_df))
-        else:
-            cap_bound = F.lit(int(max_fp_docs))
-            kept_src = dfreq
+            max_fp_docs = fanout_autocap(dfreq, df.count(), autocap_pair_budget)
         kept = (
-            kept_src.where(
-                (F.col("_df") >= F.lit(2)) & (F.col("_df") <= cap_bound)
+            dfreq.where(
+                (F.col("_df") >= F.lit(2))
+                & (F.col("_df") <= F.lit(int(max_fp_docs)))
             )
             .select("fingerprint")
             # materialize once for both join sides
