@@ -4169,84 +4169,84 @@ QUERIES: dict[str, QueryFn] = {
     "maxsim_funnel_topk": q_maxsim_funnel_topk,
 }
 
-# r13 window rotation (VERDICT r12 #4): the driver oracle-checks the
+# r14 window rotation (VERDICT r13 #8): the driver oracle-checks the
 # FIRST 50 registry entries each round, so the order is rebuilt here
 # from an explicit list. Composition: (a) every entry exercising code
-# changed in r13 — label_centroids (the r12 red row, reshaped to the
-# scalar long form per the catalog contract) and the token-tier /
-# forced-funnel family (manifest-committed tier, append-once,
-# delete/replace, token-trained thresholds, funnel=True force) — plus
-# maxsim_funnel_topk, the one entry never driver-checked; (b) the
-# cohort VERDICT r12 named as displaced (knn core, events family,
-# tune/fuzzy/pii/quality/streaming-hourly/multimodal/sampling/export);
-# (c) the r6-r9 staleness fillers VERDICT r12 named; (d) remaining
-# slots by staleness — last driver-green r9.
-# Rotated-out entries stay oracle-checked by the per-round builder
-# sweep (tools/oracle_sweep.py) and judge re-runs.
-_R13_WINDOW = [
-    # (a) r13 changed-code cohort: label_centroids (the r12 red row,
-    # now scalar long-form), the token-tier gates (add_token_vectors/
-    # build_token_codes/optimize_tokens got the manifest commit +
-    # append-once contract), and the funnel gate (forced-funnel
-    # delegation contract changed in maxsim_query)
-    "label_centroids",
-    "store_maxsim_gate",
-    "streaming_maxsim_gate",
-    "maxsim_tune_gate",
-    "maxsim_funnel_recall_gate",
-    # never driver-checked until now (added r12 as the bench twin)
-    "maxsim_funnel_topk",
-    # (b) the r12-displaced cohort VERDICT r12 named
-    "knn_cosine_topk",
-    "knn_cosine_filtered",
-    "knn_chunked_parity",
-    "knn_qblocked_parity",
-    "events_asof_purchase",
-    "events_histogram",
-    "events_hourly",
-    "events_json_extract",
-    "events_pivot",
-    "events_range_frame",
-    "events_rolling_avg",
-    "events_sessionize",
-    "events_sliding",
-    "events_unpivot",
-    "events_view_purchase",
-    "tune_overfetch_gate",
-    "part_fuzzy_lsh_gate",
-    "pii_redact",
-    "quality_classifier",
-    "streaming_hourly_gate",
-    "multimodal_features",
-    "stratified_sample",
-    "export_shard_plan",
-    # (c) staleness fillers VERDICT r12 named (last green r6-r9)
-    "promo_revenue",
-    "large_volume_customers",
-    "waiting_suppliers",
-    "nation_volume",
-    "user_journey",
-    "brand_price_median",
-    # (d) staleness fillers: last driver-green r9
-    "doc_repetition",
-    "doc_winnow_fp",
-    "embedding_neardup",
-    "embedding_neardup_bucketed",
-    "ivf_recall_gate",
-    "ivfpq_recall_gate",
-    "lang_detect",
-    "minhash_precision_gate",
-    "part_string_stats",
-    "pq_recall_gate",
-    "pricing_summary",
-    "repeated_spans",
+# changed in r13 or r14 — the minhash family (selectExpr build r13,
+# numpy signature kernel + heavy-width r14; only the precision gate
+# sat in the r13 window), the dsir/LM-scorer family (quality.py LM
+# passes r13, dsir heavy-width r14), the pipeline embed path
+# (mapInArrow r13, pyarrow-compat batch build r14), and the
+# width-retuned jaccard/winnow/tokenizer/curation rows (r14) — 21
+# entries; (b) 29 of the r13-displaced cohort (in the r12 window, out
+# of the r13 one), preferring oracle-backed entries: the three
+# customer_* relational variants and the rows-only twins (ivf_knn,
+# simhash_neardup_pairs, rag_pipeline, semdedup_embeddings — each
+# covered by an oracle-backed gate in-window or in the sweep) yield
+# their slots to the engine gates (semdedup/store-lifecycle/
+# streaming-knn/lsh-recall). minhash_neardup_pairs is the one
+# rows-only entry, included deliberately (VERDICT r13 #8 names it:
+# dedup.py changed twice running; its values are pinned by the three
+# oracle gates beside it). Rotated-out entries stay oracle-checked by
+# the per-round builder sweep (tools/oracle_sweep.py, SWEEP_r14.txt).
+_R14_WINDOW = [
+    # (a) r13/r14 changed-code cohort
+    "minhash_recall_gate",
+    "minhash_dedup_clustered",
+    "minhash_neardup_pairs",
     "simhash_precision_gate",
-    "text_jaccard_capped",
+    "dsir_weights",
+    "dsir_gumbel_sample",
+    "quality_threshold_calibration",
+    "source_lang_agreement",
+    "mixture_sample",
+    "corpus_pipeline_gate",
+    "embed_docs_384",
     "text_jaccard_pairs",
+    "text_jaccard_capped",
+    "text_jaccard_autocap",
+    "winnow_crossdoc_pairs",
+    "doc_winnow_fp",
+    "doc_repetition",
+    "vocab_coverage",
+    "bpe_pair_counts",
+    "curation_pipeline",
+    "chunk_documents",
+    # (b) r13-displaced cohort (driver-green r12, out of the r13
+    # window), oracle-backed
+    "approx_distinct_gate",
+    "approx_quantile_gate",
+    "boilerplate_removal",
+    "bpe_train_gate",
+    "discounted_revenue",
+    "distinct_users",
+    "doc_perplexity",
+    "events_multi_rollup",
+    "jl_projection_gate",
+    "knn_grouped_topk",
+    "lineitem_conditional",
+    "lineitem_percentile_cont",
+    "lsh_recall_gate",
+    "maxsim_blocked_parity",
+    "maxsim_filtered",
+    "maxsim_topk",
+    "mixture_plan",
+    "orders_grouping_sets",
+    "orders_monthly_growth",
+    "part_price_bands",
+    "product_profit",
+    "rerank_topk",
+    "returned_item_revenue",
+    "salted_join_parity",
+    "semdedup_gate",
+    "store_lifecycle_gate",
+    "streaming_knn_gate",
+    "supplier_top_parts",
+    "weighted_mixture",
 ]
-assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R14_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)
 }
 
 _JACCARD_SHINGLES_BODY = """
